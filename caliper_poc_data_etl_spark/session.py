@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults are tuned so the same plan that is tested on ``local[N]``
+degrades gracefully to a 1000-executor cluster:
+
+- AQE on (runtime partition coalescing, skew-join splitting, dynamic
+  join-strategy switch) — the single most important 100 TB knob.
+- ``spark.sql.shuffle.partitions`` sized to local cores here; on a real
+  cluster AQE's coalescing makes the initial number mostly irrelevant.
+- Session timezone pinned to UTC so results are comparable with
+  UTC-naive engines (the DuckDB oracle) and stable across hosts.
+- Arrow enabled for the (rare, clearly-marked) Pandas-UDF paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "caliper_poc_data_etl_spark",
+    cpus: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Local mode is one JVM with ``cpus`` executor threads; on a cluster
+    the same configs apply unchanged except master/memory, which come
+    from the submit environment.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    driver_memory = driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Files: 128 MiB splits keep scan tasks executor-memory-safe at
+        # 100 TB (≈800k tasks — fine for the DAG scheduler).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,99 @@
+"""Readers: parquet / CSV / JSON with explicit schemas and row policies.
+
+Reference parity notes:
+
+- The reference reads whole files into heap and validates rows with a
+  regex, silently dropping non-matching rows (``etl.js:22,73-74``).
+  Spark's CSV datasource replaces that with splittable scans plus a
+  *named* policy: ``dropmalformed`` (reference-faithful silent drop) or
+  ``permissive`` (corrupt rows observable in ``_corrupt_record`` — the
+  engine default, because silent loss is how the reference lost 80% of
+  its output at 100k rows, SURVEY.md F5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar scan; Catalyst pushes predicates/projection into it."""
+    return spark.read.parquet(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    mode: str = "permissive",
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """CSV scan with an explicit schema and malformed-row policy.
+
+    ``mode='dropmalformed'`` reproduces the reference's
+    validate-by-regex-and-drop semantics (``etl.js:73-74``) without the
+    silence being mandatory; ``mode='permissive'`` (default) keeps bad
+    rows visible. With ``keep_corrupt=False`` corrupt rows are filtered
+    out but the filter is an explicit, observable plan node.
+    """
+    mode = mode.lower()
+    if mode not in {"permissive", "dropmalformed", "failfast"}:
+        raise ValueError(f"unknown CSV mode: {mode}")
+    read_schema = schema
+    if mode == "permissive":
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType(), True)]
+        )
+    df = (
+        spark.read.schema(read_schema)
+        .option("header", header)
+        .option("mode", mode.upper())
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path)
+    )
+    if mode == "permissive" and not keep_corrupt:
+        df = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    return df
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided parquet table from a scale-factor dir."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all driver tables and register them as temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLE_NAMES:
+        df = sf_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
