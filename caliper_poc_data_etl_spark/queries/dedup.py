@@ -1,0 +1,345 @@
+"""Deduplication operators (north-star §2B / LLM-pipeline surface).
+
+Five dedup families over ``documents`` / ``embeddings``:
+
+- exact (hash group-by) — oracle-checked
+- exact-normalized (case/punct/ws-insensitive) — oracle-checked
+- n-gram Jaccard near-dup (exact pairwise) — oracle-checked
+- MinHash + LSH near-dup (banding) — rows-only (engine-specific
+  hashing); recall vs the exact path is asserted in tests
+- SimHash near-dup — rows-only, same reason
+- embedding-cosine near-dup — oracle-checked
+
+Scale posture: the exact-pairwise paths shuffle on shingle (bounded by
+posting-list sizes); the 100 TB path is MinHash/SimHash banding where
+candidate generation is a single groupBy on band keys — no quadratic
+blowup. Signatures are computed as K aggregate columns (no ×K row
+explosion).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+JACCARD_THRESHOLD = 0.8
+COSINE_DUP_THRESHOLD = 0.4
+
+# MinHash parameters: K hashes, banded r rows × b bands (K = r*b).
+MINHASH_K = 64
+MINHASH_BANDS = 32  # r = 2
+MERSENNE_P = (1 << 31) - 1
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup via content-hash group-by; deterministic survivor
+    (min doc_id) so the result is reproducible — `dropDuplicates`
+    keeps an arbitrary row, which is not."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS norm_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark, sf_dir):
+    """Exact dedup on normalized content (case/punctuation/whitespace
+    insensitive) — catches trivially-reformatted copies."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy(
+        F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))).alias("norm_hash")
+    ).agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+
+
+def _doc_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct 3-gram word shingles, exploded."""
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+_NGRAM_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+          i -> string_split_regex(trim(text), '\\s+')[i]   || ' ' ||
+               string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text), '\\s+')[i+2]))) AS shingle
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact near-dup pairs by 3-gram shingle Jaccard ≥ 0.8.
+
+    Plan: explode distinct shingles → self-equi-join on shingle
+    (intersection counts) → join per-doc sizes → filter. The shingle
+    join is an equi-join, so it shuffles on shingle — no cross
+    product; hot shingles are the skew risk (AQE skew-join handles)."""
+    sh = _doc_shingles(t(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+def minhash_signatures(spark, sf_dir) -> DataFrame:
+    """(doc_id, sig: array<bigint>) MinHash signatures.
+
+    Shingle → 64-bit hash → K universal-hash permutations
+    ``(a_i * h + b_i) mod p`` (p Mersenne-31; a/b fixed odd constants
+    so runs are deterministic) → per-doc min per permutation, computed
+    as K aggregate columns in ONE hash aggregate — no ×K row blowup.
+    """
+    sh = _doc_shingles(t(spark, sf_dir, "documents"))
+    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    aggs = []
+    for i in range(MINHASH_K):
+        a_i = 2 * i + 1
+        b_i = 7919 * (i + 1) + 1
+        aggs.append(F.min(F.pmod(a_i * h + b_i, F.lit(MERSENNE_P))).alias(f"mh_{i}"))
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(MINHASH_K)]).alias("sig")
+    )
+
+
+@query("dedup_minhash_lsh", oracle=None)  # engine-specific hashing → rows-only
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: band signatures → candidate buckets →
+    exact-Jaccard verification of candidates only.
+
+    The 100 TB path: candidates come from a groupBy on (band, band
+    hash) — cost scales with bucket collisions, not n². Verification
+    re-joins only candidate pairs. Tests assert recall ≥ 0.9 vs the
+    exact `dedup_ngram_jaccard` result at this threshold."""
+    sig = minhash_signatures(spark, sf_dir)
+    r = MINHASH_K // MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(F.slice("sig", i * r + 1, r).cast("array<string>").cast("string"))
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact verification restricted to candidates.
+    sh = _doc_shingles(t(spark, sf_dir, "documents"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("sb.doc_id"))
+            & (F.col("sa.shingle") == F.col("sb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    za = sizes.alias("za")
+    zb = sizes.alias("zb")
+    jacc = F.col("i") / (F.col("za.n") + F.col("zb.n") - F.col("i"))
+    return (
+        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
+        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
+        .filter(jacc >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+def simhash_column():
+    """64-bit SimHash of the token multiset as a pure Column expression.
+
+    Per bit k: vote = #tokens with bit k set minus #tokens with it
+    clear; bit k of the fingerprint = (vote > 0). All inside
+    whole-stage codegen — no shuffle until the band join."""
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    hashes = F.transform(toks, lambda x: F.xxhash64(x))
+    n = F.size(hashes)
+    bits = []
+    for k in range(64):
+        mask = F.shiftleft(F.lit(1).cast("long"), k)
+        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
+        bit = F.when((2 * ones - n) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bits.append(F.shiftleft(bit, k).cast("long"))
+    fingerprint = bits[0]
+    for b in bits[1:]:
+        fingerprint = fingerprint.bitwiseOR(b)
+    return fingerprint
+
+
+@query("dedup_simhash", oracle=None)  # engine-specific hashing → rows-only
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 64-bit fingerprints, banded into 4×16-bit
+    chunks (guarantees candidate coverage for Hamming distance ≤ 3),
+    verified with bit_count(xor) ≤ 3."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", simhash_column().alias("simhash")
+    )
+    chunks = d.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * i)
+                    .bitwiseAND(F.lit(0xFFFF).cast("long"))
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE)
+                 / (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE))
+                    * sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))),
+                 4) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE)
+          / (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE))
+             * sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE)))
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: all pairs with cosine ≥ threshold.
+
+    Exact quadratic baseline (fine at this SF; the ANN/LSH variant in
+    similarity.py is the scale path). Dot products via zip_with +
+    aggregate — JVM-side, no UDF."""
+    e = t(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: (p * q).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm_b"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine_raw", cos)
+        .filter(F.col("cosine_raw") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
+    )

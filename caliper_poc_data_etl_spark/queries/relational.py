@@ -1,0 +1,569 @@
+"""Relational operator closure: filters, joins, aggregates, set ops.
+
+SURVEY.md §2B rows "Projection/Filter/Join/Agg/Set ops/Sort". Each
+query is a native-Column plan (no UDFs); Catalyst handles pushdown,
+join selection and AQE. Oracle twins are ANSI SQL for DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+# --------------------------------------------------------------------- scans
+
+
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS net_price
+    FROM lineitem
+    """,
+)
+def scan_project(spark, sf_dir):
+    """Projection + arithmetic; column pruning reaches the parquet scan.
+
+    Money math in DECIMAL: double rounding differs across engines at
+    half-boundaries (Spark rounds the shortest decimal repr, others
+    the binary value) — 2-dp prices × 2-dp discounts hit .xx5 cases
+    constantly. Decimal arithmetic is exact and order-independent.
+    """
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_quantity",
+        F.round(dec("l_extendedprice") * (1 - dec("l_discount")), 2)
+        .cast("double")
+        .alias("net_price"),
+    )
+
+
+@query(
+    "filter_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_type, p_size, p_retailprice
+    FROM part
+    WHERE p_size IN (5, 10, 15)
+      AND p_retailprice BETWEEN 500 AND 1500
+      AND p_name LIKE '%a%'
+      AND regexp_matches(p_type, '^(STANDARD|SMALL)')
+    """,
+)
+def filter_predicates(spark, sf_dir):
+    """IN / BETWEEN / LIKE / regexp predicates, pushed to the scan."""
+    p = t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").isin(5, 10, 15)
+        & F.col("p_retailprice").between(500, 1500)
+        & F.col("p_name").like("%a%")
+        & F.col("p_type").rlike("^(STANDARD|SMALL)")
+    ).select("p_partkey", "p_name", "p_type", "p_size", "p_retailprice")
+
+
+@query(
+    "filter_null_semantics",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus
+    FROM orders
+    WHERE o_orderstatus IS NOT NULL AND NOT (o_orderstatus = 'O')
+    """,
+)
+def filter_null_semantics(spark, sf_dir):
+    """Three-valued logic: NOT(x='O') excludes NULLs in both engines."""
+    o = t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isNotNull() & ~(F.col("o_orderstatus") == "O")
+    ).select("o_orderkey", "o_orderstatus")
+
+
+# --------------------------------------------------------------------- joins
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_inner(spark, sf_dir):
+    """Equi inner join; Catalyst picks broadcast vs sort-merge (AQE)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    """Left outer join preserving customers with zero orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Left-semi join = EXISTS; no row multiplication."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """Left-anti join = NOT EXISTS (customers who never ordered)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation, COUNT(*) AS n_suppliers,
+           ROUND(SUM(s.s_acctbal), 2) AS total_bal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    """Star-schema dims joined with explicit broadcast (no shuffle of
+    the fact side for the join — the 100 TB-correct shape)."""
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "join_range_predicate",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, p.p_partkey, p.p_size
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+               AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+    """,
+)
+def join_range_predicate(spark, sf_dir):
+    """Equi key + range band condition (range-predicate join)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    return li.join(
+        p,
+        (li.l_partkey == p.p_partkey)
+        & li.l_quantity.between(p.p_size - 2, p.p_size + 2),
+    ).select("l_orderkey", "l_linenumber", "p_partkey", "p_size")
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT a.n_nationkey AS nation_a, b.n_nationkey AS nation_b
+    FROM nation a JOIN nation b
+      ON a.n_nationkey < b.n_nationkey AND a.n_regionkey = b.n_regionkey
+    """,
+)
+def join_theta(spark, sf_dir):
+    """Pure inequality self-join (BNLJ on the non-equi part)."""
+    a = t(spark, sf_dir, "nation").alias("a")
+    b = t(spark, sf_dir, "nation").alias("b")
+    return a.join(
+        b,
+        (F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        & (F.col("a.n_regionkey") == F.col("b.n_regionkey")),
+    ).select(
+        F.col("a.n_nationkey").alias("nation_a"),
+        F.col("b.n_nationkey").alias("nation_b"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         clicks    AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS prior_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase matched to the user's nearest prior
+    click. Spark lacks a native ASOF; the scalable composition is a
+    single sort within user partitions + a last-non-null running
+    window over the unioned stream (one shuffle, no quadratic join).
+    """
+    e = t(spark, sf_dir, "events")
+    stream = e.filter(F.col("event_type").isin("click", "purchase"))
+    # Order clicks before purchases on equal ts (ASOF uses <=).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        stream.withColumn(
+            "prior_click_ts_raw",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.date_format("prior_click_ts_raw", fmt).alias("prior_click_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- aggregates
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 2) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: multi-aggregate hash agg with partial (map-side)
+    aggregation for free; the headline bench query."""
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_top_revenue",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    """COUNT(DISTINCT) — expand+two-phase agg under the hood."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_stats(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber)
+             AS linenumbers,
+           COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """collect_list with deterministic order (S14 generalized): sort
+    the collected array, then join — Spark gives no intra-group order."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("linenumbers"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS total, COUNT(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """GROUPING SETS via the SQL surface (same Catalyst plan)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ------------------------------------------------------------------- set ops
+
+
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def setop_union_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT n_nationkey AS nationkey FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except(spark, sf_dir):
+    n = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return n.exceptAll(s).distinct()
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT c_nationkey, c_mktsegment FROM customer",
+)
+def distinct_rows(spark, sf_dir):
+    return t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------- sort/top-k
+
+
+@query(
+    "sort_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def sort_topk_global(spark, sf_dir):
+    """Global top-k: Catalyst plans TakeOrderedAndProject — no full sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "limit_rows",
+    oracle="""
+    SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50
+    """,
+)
+def limit_rows(spark, sf_dir):
+    """LIMIT pushdown (S7 generalized) — made deterministic via sort."""
+    return t(spark, sf_dir, "orders").select("o_orderkey").orderBy("o_orderkey").limit(50)

@@ -1,0 +1,231 @@
+"""Text-analysis operators over ``documents.text`` (north-star §2B).
+
+Language-ID, quality scoring, token counting, fingerprinting — all as
+native Column expressions (regex/split/aggregate), so they run inside
+whole-stage codegen at 100 TB; no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+# A compact multi-language stopword table for the n-gram/stopword
+# language heuristic (public common-word lists).
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+}
+
+# BPE-ish token pattern: word pieces or single non-space symbols.
+# Parenthesized: Spark's regexp_extract_all extracts group 1.
+TOKEN_PATTERN = "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s])"
+
+
+def _tokens(col):
+    return F.split(F.trim(col), "\\s+")
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           length(text)                                         AS n_chars_calc,
+           len(string_split_regex(trim(text), '\\s+'))          AS n_tokens,
+           len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct_tokens,
+           ROUND(length(replace(text, ' ', '')) * 1.0
+                 / len(string_split_regex(trim(text), '\\s+')), 4) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Length/token statistics — the quality-score building blocks."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")) / F.size(toks), 4
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
+             length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) * 1.0
+               / length(text) AS symbol_ratio
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+                 + (n_distinct * 1.0 / n_tokens) * 0.4
+                 + (1.0 - symbol_ratio) * 0.2, 4) AS quality,
+           CASE WHEN n_tokens >= 20 AND n_distinct * 1.0 / n_tokens >= 0.3
+                THEN TRUE ELSE FALSE END AS keep
+    FROM feats
+    """,
+)
+def text_quality_score(spark, sf_dir):
+    """Composite quality score (length / lexical diversity / symbol
+    ratio) + a keep/drop gate — the standard pretraining-data filter."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    symbol_ratio = F.length(
+        F.regexp_replace("text", "[a-zA-Z ]", "")
+    ) / F.length("text")
+    quality = (
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+        + (n_distinct / n_tokens) * 0.4
+        + (1.0 - symbol_ratio) * 0.2
+    )
+    keep = (n_tokens >= 20) & ((n_distinct / n_tokens) >= 0.3)
+    return d.select(
+        "doc_id",
+        F.round(quality, 4).alias("quality"),
+        keep.alias("keep"),
+    )
+
+
+def _stopword_hits(tokens_col, words: list[str]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens_col, lambda x: F.array_contains(arr, x)))
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains({LANG_STOPWORDS["en"]!r}, x))) AS hits_en,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains({LANG_STOPWORDS["de"]!r}, x))) AS hits_de,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains({LANG_STOPWORDS["es"]!r}, x))) AS hits_es,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains({LANG_STOPWORDS["fr"]!r}, x))) AS hits_fr,
+             regexp_matches(text, '[\\x{{4e00}}-\\x{{9fff}}]') AS has_cjk
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN has_cjk THEN 'zh'
+                WHEN hits_de > hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+                WHEN hits_es > hits_en AND hits_es >= hits_fr THEN 'es'
+                WHEN hits_fr > hits_en THEN 'fr'
+                ELSE 'en' END AS lang_guess
+    FROM scored
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Heuristic language ID: CJK codepoint detection + per-language
+    stopword scoring (n-gram-free variant; the synthetic corpus shares
+    one vocabulary so real discrimination is exercised by tests)."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.lower(F.col("text")))
+    hits = {k: _stopword_hits(toks, v) for k, v in LANG_STOPWORDS.items()}
+    has_cjk = F.col("text").rlike("[\\x{4e00}-\\x{9fff}]")
+    guess = (
+        F.when(has_cjk, "zh")
+        .when(
+            (hits["de"] > hits["en"])
+            & (hits["de"] >= hits["es"])
+            & (hits["de"] >= hits["fr"]),
+            "de",
+        )
+        .when((hits["es"] > hits["en"]) & (hits["es"] >= hits["fr"]), "es")
+        .when(hits["fr"] > hits["en"], "fr")
+        .otherwise("en")
+    )
+    return d.select("doc_id", "lang", guess.alias("lang_guess"))
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+           len(regexp_extract_all(text, '{TOKEN_PATTERN}', 1)) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_est_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting three ways: whitespace, BPE-ish regex pieces,
+    bytes/4 estimate — the standard LLM-pipeline accounting columns."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_PATTERN))).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).alias("byte_est_tokens"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fingerprint,
+           md5(text) AS exact_hash
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: exact hash + normalized (case/punct/
+    whitespace-insensitive) content hash — md5 agrees across engines."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.regexp_replace("text", "[^a-zA-Z0-9]", ""))).alias(
+            "fingerprint"
+        ),
+        F.md5(F.col("text")).alias("exact_hash"),
+    )
+
+
+@query(
+    "text_ngram_shingles",
+    oracle="""
+    SELECT doc_id,
+           len(list_distinct(
+             list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                            i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                                 string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                                 string_split_regex(trim(text), '\\s+')[i+2])
+           )) AS n_distinct_shingles
+    FROM documents
+    WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    """,
+)
+def text_ngram_shingles(spark, sf_dir):
+    """Distinct 3-gram word shingles per document — the MinHash input."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select("doc_id", F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"))
+    )

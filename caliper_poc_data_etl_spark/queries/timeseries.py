@@ -1,0 +1,163 @@
+"""Event-time windowing over ``events`` — batch twins of the streaming
+operators (SURVEY.md §2B "Streaming" rows).
+
+The same logical windows run as Structured Streaming in
+``caliper_poc_data_etl_spark.streaming``; here they run in batch so the
+DuckDB oracle can check the window semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+FMT_S = "yyyy-MM-dd HH:mm:ss"
+FMT_D = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "ts_tumbling_window",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '{FMT_D}') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time windows per event type."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", FMT_S).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ts_sliding_window",
+    oracle=f"""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w0, * FROM events
+    ), windows AS (
+      SELECT w0 AS window_start, * FROM expanded
+      UNION ALL
+      SELECT w0 - INTERVAL '30 minutes' AS window_start, * FROM expanded
+    )
+    SELECT strftime(window_start, '{FMT_D}') AS window_start,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM windows
+    GROUP BY 1
+    """,
+)
+def ts_sliding_window(spark, sf_dir):
+    """Sliding windows (1 h size, 30 min slide): each event lands in 2
+    windows; Spark's window() emits them directly."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", FMT_S).alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "ts_session_window",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def ts_session_window(spark, sf_dir):
+    """Session windows (30-min gap) via F.session_window — the native
+    batch form of the streaming session operator."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "ts_first_last_by_time",
+    oracle="""
+    SELECT user_id,
+           arg_min(value, ts) AS first_value,
+           arg_max(value, ts) AS last_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+)
+def ts_first_last_by_time(spark, sf_dir):
+    """Time-ordered first/last per key (min_by/max_by)."""
+    e = t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return e.groupBy("user_id").agg(
+        F.min_by("value", "ts").alias("first_value"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.date_format(F.min("ts"), fmt).alias("first_ts"),
+        F.date_format(F.max("ts"), fmt).alias("last_ts"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "ts_rate_per_day",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           COUNT(*) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_rate_per_day(spark, sf_dir):
+    """Daily event counts + distinct users (DAU) — the rollup shape."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("dau"))

@@ -1,0 +1,201 @@
+"""Window-function surface: ranking, analytic, frames, sessionization.
+
+SURVEY.md §2B "Window" rows. All window orderings carry a unique
+tiebreaker column so results are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "window_rank_topk_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER()  OVER w AS rn,
+             RANK()        OVER w AS rnk,
+             DENSE_RANK()  OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def window_rank_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer — the scalable per-group top-k
+    (window + filter, no global sort)."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def window_ntile(spark, sf_dir):
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle=f"""
+    SELECT event_id, user_id,
+           strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+           value,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(value) OVER w AS first_value,
+           LAST_VALUE(value)  OVER w AS last_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    """lag/lead/first/last analytic functions over per-user streams."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("ts_s"),
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w_full).alias("first_value"),
+        F.last("value").over(w_full).alias("last_value"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 2).alias("running_value")
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+                 4) AS mov_avg_4
+    FROM events
+    """,
+)
+def window_moving_avg(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("mov_avg_4")
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+                                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+                 2) AS sum_last_hour
+    FROM events
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over event-time seconds: all events of the trailing
+    hour, regardless of row count."""
+    # epoch(ts) in DuckDB returns fractional seconds; reproduce exactly:
+    e = t(spark, sf_dir, "events").withColumn(
+        "ts_sec",
+        (F.unix_micros("ts").cast("double") / F.lit(1000000.0)),
+    )
+    w = W.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3600, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("sum_last_hour"),
+    )
+
+
+@query(
+    "window_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                             ORDER BY ts, event_id))
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, event_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+    FROM flagged
+    """,
+)
+def window_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + running sum
+    of session-start flags — the classic scalable pattern (one shuffle
+    by user, no iterative logic)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = (
+        F.when(
+            prev_ts.isNull()
+            | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > 1_800_000_000),
+            1,
+        )
+        .otherwise(0)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("new_session", new_session)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("new_session").over(w_run).alias("session_id"),
+        )
+    )

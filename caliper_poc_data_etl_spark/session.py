@@ -44,6 +44,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", driver_memory)
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events table uses parquet TIMESTAMP(NANOS);
+        # Spark has no nanos type — read as long, convert in the reader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Files: 128 MiB splits keep scan tasks executor-memory-safe at
         # 100 TB (≈800k tasks — fine for the DAG scheduler).

@@ -85,8 +85,19 @@ def read_json(
 
 
 def sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-provided parquet table from a scale-factor dir."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Load one driver-provided parquet table from a scale-factor dir.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark reads as a
+    nanos long (``nanosAsLong``); convert to a microsecond timestamp
+    with exact integer division (nanos exceed 2^53 — float division
+    would corrupt them). Micro truncation matches engines whose native
+    precision is micros (DuckDB).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

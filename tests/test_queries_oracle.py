@@ -1,0 +1,110 @@
+"""Differential oracle tests — the engine's primary test strategy
+(SURVEY.md §5.2.1): every declared query vs its DuckDB twin.
+
+Runs the full registry at sf0.001 (fast); the driver runs the same
+comparison at sf0.01. `tools/check_oracle.py` is the shared harness.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from caliper_poc_data_etl_spark.queries import QUERIES
+from caliper_poc_data_etl_spark.sources.readers import TABLE_NAMES
+from tools.check_oracle import _canon
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def test_registry_shape():
+    assert len(QUERIES) >= 50
+    with_oracle = [q for q in QUERIES.values() if q.oracle is not None]
+    # Non-SQL-expressible ops (engine-specific hashing) are the only
+    # rows-only entries; everything else must carry an oracle.
+    rows_only = {q.name for q in QUERIES.values() if q.oracle is None}
+    assert rows_only <= {"dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh"}
+    assert len(with_oracle) >= 50
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    q = QUERIES[name]
+    sdf = q.spark(spark, sf_dir)
+    srows = [tuple(r) for r in sdf.collect()]
+    if q.oracle is None:
+        assert srows is not None  # executes without error
+        return
+    res = duck.execute(q.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(sdf.columns) == sorted(dcols), f"{name}: column mismatch"
+    assert len(srows) == len(drows), f"{name}: rowcount {len(srows)} vs {len(drows)}"
+    assert _canon(srows, sdf.columns) == _canon(drows, dcols), f"{name}: values differ"
+
+
+class TestApproximateOperators:
+    """Rows-only ops get quantitative checks against their exact twins."""
+
+    def test_minhash_lsh_recall(self, spark, oracle_sf_dir):
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["dedup_ngram_jaccard"].spark(spark, oracle_sf_dir).collect()
+        }
+        approx = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["dedup_minhash_lsh"].spark(spark, oracle_sf_dir).collect()
+        }
+        assert exact, "expected planted near-duplicates in testdata"
+        recall = len(exact & approx) / len(exact)
+        # At Jaccard>=0.8 with 32 bands of r=2, P(miss) < 1e-8 per pair.
+        assert recall == 1.0, f"minhash recall {recall}"
+        # No false positives: LSH output verifies candidates exactly.
+        assert approx <= exact
+
+    def test_simhash_finds_near_duplicates(self, spark, oracle_sf_dir):
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["dedup_ngram_jaccard"].spark(spark, oracle_sf_dir).collect()
+        }
+        sim = {
+            (r["doc_a"], r["doc_b"])
+            for r in QUERIES["dedup_simhash"].spark(spark, oracle_sf_dir).collect()
+        }
+        # SimHash (hamming<=3 of 64) is a different similarity notion;
+        # it must still recover a majority of ~0.99-Jaccard clones.
+        recall = len(exact & sim) / len(exact)
+        assert recall >= 0.5, f"simhash recall {recall} over {len(exact)} pairs"
+
+    def test_ann_lsh_agrees_with_exact_scores(self, spark, oracle_sf_dir):
+        exact_rows = QUERIES["sim_cosine_topk"].spark(spark, oracle_sf_dir).collect()
+        exact_top = {}
+        exact_cos = {}
+        for r in exact_rows:
+            exact_top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            exact_cos[(r["query_id"], r["neighbor_id"])] = r["cosine"]
+        ann_rows = QUERIES["sim_ann_lsh"].spark(spark, oracle_sf_dir).collect()
+        assert ann_rows, "ANN returned nothing"
+        # Scoring path must agree exactly where pairs overlap.
+        for r in ann_rows:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact_cos:
+                assert abs(r["cosine"] - exact_cos[key]) < 1e-9
+        hits = sum(
+            1
+            for r in ann_rows
+            if r["neighbor_id"] in exact_top.get(r["query_id"], set())
+        )
+        recall = hits / sum(len(v) for v in exact_top.values())
+        # Bucketed ANN on near-orthogonal synthetic vectors: modest
+        # recall expected; this guards the plumbing, not the ceiling.
+        assert recall >= 0.1, f"ANN recall {recall}"

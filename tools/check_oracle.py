@@ -1,0 +1,128 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin
+on DuckDB over the same parquet tables, then compares row count,
+column names, and order-insensitive values (floats with tolerance).
+
+Usage:
+    python tools/check_oracle.py            # all queries @ sf0.01
+    python tools/check_oracle.py q1 fn_date_pack   # substring filters
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/check_oracle.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from caliper_poc_data_etl_spark.session import get_spark
+from caliper_poc_data_etl_spark.sources.readers import TABLE_NAMES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def _canon(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    """Sort columns by name, then rows — order-insensitive canon form."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    return sorted(
+        (tuple(_norm(r[i]) for i in order) for r in rows),
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+def main() -> int:
+    filters = sys.argv[1:]
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if filters:
+        qs = {k: v for k, v in qs.items() if any(f in k for f in filters)}
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_rowsonly = 0
+    failures: list[str] = []
+    for name, fn in sorted(qs.items()):
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_fail += 1
+            failures.append(name)
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if not problems:
+            sc = _canon(srows, scols)
+            dc = _canon(drows, dcols)
+            if sc != dc:
+                diff_i = next(
+                    (i for i, (a, b) in enumerate(zip(sc, dc)) if a != b), None
+                )
+                detail = (
+                    f"first diff at sorted row {diff_i}: spark={sc[diff_i]} "
+                    f"duck={dc[diff_i]}"
+                    if diff_i is not None
+                    else "values differ"
+                )
+                problems.append(detail)
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+            n_fail += 1
+            failures.append(name)
+        else:
+            print(f"OK    {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            n_pass += 1
+
+    print(
+        f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail"
+        + (f"  FAILURES: {failures}" if failures else "")
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
