@@ -71,9 +71,28 @@ def dedup_exact_normalized(spark, sf_dir):
     ).agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
 
 
+def _spread(d: DataFrame) -> DataFrame:
+    """Repartition a small input so CPU-heavy per-row work uses every
+    core. Small tables arrive as one parquet row-group → one task; a
+    cheap shuffle of (doc_id, text) buys full parallelism for the
+    expensive expressions downstream. At scale the input already has
+    ≥ defaultParallelism partitions and this is a no-op."""
+    sc = d.sparkSession.sparkContext
+    if d.rdd.getNumPartitions() < sc.defaultParallelism:
+        return d.repartition(sc.defaultParallelism)
+    return d
+
+
 def _doc_shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct 3-gram word shingles, exploded."""
-    toks = F.split(F.trim(F.col("text")), "\\s+")
+    """(doc_id, shingle) distinct 3-gram word shingles, exploded.
+
+    ``toks`` is materialized as a named column BEFORE the shingle
+    transform: referencing a raw ``split()`` expression inside a
+    higher-order-function lambda re-runs the regex split per element
+    access (O(tokens²) regex work per row — measured 10×+ slowdown).
+    CollapseProject keeps the materialized alias because it is
+    referenced multiple times by non-cheap expressions."""
+    toks = F.col("toks")
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(
@@ -84,7 +103,9 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
         ),
     )
     return (
-        d.filter(F.size(toks) >= 3)
+        _spread(d)
+        .select("doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks"))
+        .filter(F.size(toks) >= 3)
         .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
     )
 
@@ -156,8 +177,10 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     so runs are deterministic) → per-doc min per permutation, computed
     as K aggregate columns in ONE hash aggregate — no ×K row blowup.
     """
-    sh = _doc_shingles(t(spark, sf_dir, "documents"))
-    h = F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P))
+    sh = _doc_shingles(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h")
+    )
+    h = F.col("h")  # materialized: one xxhash64 per shingle, not K
     aggs = []
     for i in range(MINHASH_K):
         a_i = 2 * i + 1
@@ -191,52 +214,68 @@ def dedup_minhash_lsh(spark, sf_dir):
             )
         ).alias("band", "band_hash"),
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Candidate pairs from bucket membership lists — ONE aggregation,
+    # no self-join (a self-join would recompute the whole signature
+    # pipeline on both sides). Pairs are generated inside each bucket
+    # array; cost scales with Σ bucket² (LSH's intrinsic cost), and a
+    # degenerate all-identical corpus is the only case where a single
+    # bucket array gets large.
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    docs = F.col("docs")
+    pair_arrays = F.transform(
+        docs,
+        lambda x, i: F.transform(
+            F.slice(docs, i + 2, F.size(docs)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    )
     candidates = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # Exact verification restricted to candidates.
-    sh = _doc_shingles(t(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    inter = (
-        candidates.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(
-            sb,
-            (F.col("doc_b") == F.col("sb.doc_id"))
-            & (F.col("sa.shingle") == F.col("sb.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    # Exact verification restricted to candidates: per-doc shingle SETS
+    # (bounded by document length) + array_intersect per pair — avoids
+    # re-shuffling the exploded (doc, shingle) table twice.
+    sets = (
+        _doc_shingles(t(spark, sf_dir, "documents"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shset"))
     )
-    za = sizes.alias("za")
-    zb = sizes.alias("zb")
-    jacc = F.col("i") / (F.col("za.n") + F.col("zb.n") - F.col("i"))
+    pairs = candidates.join(
+        sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a")),
+        "doc_a",
+    ).join(
+        sets.select(F.col("doc_id").alias("doc_b"), F.col("shset").alias("sh_b")),
+        "doc_b",
+    )
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = i / (F.size("sh_a") + F.size("sh_b") - i)
     return (
-        inter.join(za, F.col("doc_a") == F.col("za.doc_id"))
-        .join(zb, F.col("doc_b") == F.col("zb.doc_id"))
-        .filter(jacc >= JACCARD_THRESHOLD)
+        pairs.filter(jacc >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
 
 
-def simhash_column():
-    """64-bit SimHash of the token multiset as a pure Column expression.
+def simhash_fingerprints(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash of the token multiset as pure
+    Column expressions — whole-stage codegen, no shuffle, no UDF.
 
     Per bit k: vote = #tokens with bit k set minus #tokens with it
-    clear; bit k of the fingerprint = (vote > 0). All inside
-    whole-stage codegen — no shuffle until the band join."""
-    toks = F.split(F.trim(F.col("text")), "\\s+")
-    hashes = F.transform(toks, lambda x: F.xxhash64(x))
+    clear; bit k of the fingerprint = (vote > 0). The token-hash array
+    is materialized ONCE as a column; the 64 per-bit filters reference
+    it — inlining the transform would re-hash every token 64×."""
+    hashed = _spread(d).select(
+        "doc_id",
+        F.transform(
+            F.split(F.trim(F.col("text")), "\\s+"), lambda x: F.xxhash64(x)
+        ).alias("hashes"),
+    )
+    hashes = F.col("hashes")
     n = F.size(hashes)
     bits = []
     for k in range(64):
@@ -249,7 +288,7 @@ def simhash_column():
     fingerprint = bits[0]
     for b in bits[1:]:
         fingerprint = fingerprint.bitwiseOR(b)
-    return fingerprint
+    return hashed.select("doc_id", fingerprint.alias("simhash"))
 
 
 @query("dedup_simhash", oracle=None)  # engine-specific hashing → rows-only
@@ -257,9 +296,7 @@ def dedup_simhash(spark, sf_dir):
     """SimHash near-dup: 64-bit fingerprints, banded into 4×16-bit
     chunks (guarantees candidate coverage for Hamming distance ≤ 3),
     verified with bit_count(xor) ≤ 3."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", simhash_column().alias("simhash")
-    )
+    d = simhash_fingerprints(t(spark, sf_dir, "documents"))
     chunks = d.select(
         "doc_id",
         "simhash",

@@ -215,7 +215,9 @@ def text_fingerprint(spark, sf_dir):
 def text_ngram_shingles(spark, sf_dir):
     """Distinct 3-gram word shingles per document — the MinHash input."""
     d = t(spark, sf_dir, "documents")
-    toks = _tokens(F.col("text"))
+    # Materialize toks before the transform — an inlined split() would
+    # re-run the regex per element_at (see dedup._doc_shingles).
+    toks = F.col("toks")
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 2),
         lambda i: F.concat_ws(
@@ -226,6 +228,7 @@ def text_ngram_shingles(spark, sf_dir):
         ),
     )
     return (
-        d.filter(F.size(toks) >= 3)
+        d.select("doc_id", _tokens(F.col("text")).alias("toks"))
+        .filter(F.size(toks) >= 3)
         .select("doc_id", F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"))
     )
