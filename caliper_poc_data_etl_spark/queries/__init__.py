@@ -33,4 +33,5 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     similarity,
     text,
     timeseries,
+    streaming_replay,
 )

@@ -102,6 +102,43 @@ def join_inner(spark, sf_dir):
 
 
 @query(
+    "join_full_outer",
+    oracle="""
+    WITH cs AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust
+                FROM customer GROUP BY 1),
+         ss AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_supp
+                FROM supplier GROUP BY 1)
+    SELECT COALESCE(cs.nationkey, ss.nationkey) AS nationkey,
+           COALESCE(cs.n_cust, 0) AS n_cust,
+           COALESCE(ss.n_supp, 0) AS n_supp
+    FROM cs FULL OUTER JOIN ss ON cs.nationkey = ss.nationkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    """Full outer join: per-nation customer vs supplier counts, keeping
+    nations present on either side only. Pre-aggregating both sides
+    before the join keeps the shuffled rows to one per key."""
+    cs = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    ss = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cs.join(ss, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
     "join_left_outer",
     oracle="""
     SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders,
@@ -373,6 +410,22 @@ def agg_distinct(spark, sf_dir):
             F.countDistinct("l_suppkey").alias("n_supps"),
             F.countDistinct("l_partkey").alias("n_parts"),
             F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query("agg_approx_distinct", oracle=None)  # HLL estimate is engine-specific
+def agg_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100 TB substitute
+    for exact COUNT(DISTINCT): one pass, fixed-size sketch, no expand.
+    Rows-only for the driver; tests assert ≤5% relative error vs the
+    exact count (default rsd 0.05)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         )
     )
 

@@ -1,0 +1,84 @@
+"""Streaming operators graded through the batch oracle.
+
+Each entry builds the REAL Structured Streaming pipeline
+(`readStream` → watermarked event-time op → availableNow replay) and
+returns the finished result as a batch DataFrame, so the driver's
+DuckDB comparison checks streaming semantics end-to-end, not a batch
+stand-in. The oracles are the same SQL as the batch twins in
+``timeseries.py`` — a replay over static input must agree exactly.
+
+``stream_dedup_within_watermark`` stays rows-only: its row count (no
+duplicate event_ids in the generated data → count preserved) is the
+meaningful check, but which physical row survives is engine-timing
+specific.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from caliper_poc_data_etl_spark.queries.registry import query
+from caliper_poc_data_etl_spark.streaming import (
+    read_event_stream,
+    replay_to_df,
+    sessionized_values,
+    stateful_dedup,
+    tumbling_counts,
+)
+
+_TUMBLING_ORACLE = """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+_SESSION_ORACLE = """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+"""
+
+
+@query("stream_tumbling_replay", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_replay(spark, sf_dir):
+    """readStream → watermark → tumbling windows → availableNow replay."""
+    events = read_event_stream(spark, sf_dir)
+    return replay_to_df(tumbling_counts(events), mode="complete")
+
+
+@query("stream_session_replay", oracle=_SESSION_ORACLE)
+def stream_session_replay(spark, sf_dir):
+    """readStream → watermark → session windows → availableNow replay."""
+    events = read_event_stream(spark, sf_dir)
+    return replay_to_df(sessionized_values(events), mode="complete")
+
+
+@query("stream_dedup_within_watermark", oracle=None)  # survivor timing-specific
+def stream_dedup_within_watermark(spark, sf_dir):
+    """readStream → dropDuplicatesWithinWatermark(event_id) replay;
+    projected to the key + stable attributes so the row-count check is
+    meaningful."""
+    events = read_event_stream(spark, sf_dir)
+    out = replay_to_df(stateful_dedup(events), mode="append")
+    return out.select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))

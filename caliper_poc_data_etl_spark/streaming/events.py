@@ -1,0 +1,168 @@
+"""Streaming event-time operators over the ``events`` table.
+
+Each operator is a pure DataFrame→DataFrame transformation, so the
+SAME function works on a batch frame (oracle checking) and a streaming
+frame (production). Watermarks bound state: at 100 TB/day the window
+state store only retains windows newer than (max event time − delay);
+late rows beyond the watermark are dropped, which is the documented
+contract (the reference has no streaming surface to preserve —
+SURVEY.md §2A "Not present").
+
+Replay strategy for tests/driver: ``trigger(availableNow=True)`` over
+the static parquet re-runs the stream to completion in bounded
+micro-batches (``maxFilesPerTrigger`` splits multi-file inputs), after
+which the memory-sink table is a plain batch DataFrame.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_replay_counter = itertools.count()
+
+
+def read_event_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over ``events.parquet``.
+
+    Streaming sources need an explicit schema; we take it from a batch
+    footer read (driver-side metadata only). ``ts`` arrives as a nanos
+    long (session sets ``nanosAsLong``; Spark has no nanos type) and is
+    converted with exact integer division — float math would corrupt
+    values above 2^53.
+    """
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The streaming file source requires a directory; select just the
+    # events table out of the scale-factor dir with a glob filter.
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(sf_dir)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windows per event type (streaming twin of
+    ``ts_tumbling_window``). Output schema matches the batch twin so
+    one oracle serves both."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_totals(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding 1 h / 30 min windows (streaming twin of
+    ``ts_sliding_window``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized_values(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows, 30-minute gap (streaming twin of
+    ``ts_session_window``). Session state merges as events arrive;
+    the watermark closes sessions and bounds the state store."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes the key's first-seen time — bounded state,
+    unlike a global ``dropDuplicates`` which would grow forever."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def replay_to_df(
+    stream_df: DataFrame, mode: str = "append", timeout_s: int = 300
+) -> DataFrame:
+    """Run a streaming frame to completion (availableNow) into a memory
+    sink; return the result as a batch DataFrame.
+
+    ``mode`` must be chosen per operator: windowed AGGREGATIONS need
+    ``complete`` for replay — in append mode a window is emitted only
+    once the watermark passes its end, so the trailing windows of a
+    finite replay would silently never appear. Stateless maps and
+    ``dropDuplicatesWithinWatermark`` use ``append`` (rows emit as
+    processed; the watermark only bounds state, not emission).
+
+    Memory sink is test/driver-scale only (results collect to the
+    driver) — production sinks are files via
+    :func:`stream_events_to_json` / foreachBatch.
+    """
+    if not stream_df.isStreaming:
+        return stream_df
+    name = f"replay_{next(_replay_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return stream_df.sparkSession.table(name)
+
+
+def stream_events_to_json(
+    stream_df: DataFrame,
+    target: str,
+    checkpoint: str,
+    partition_by: str | None = None,
+    available_now: bool = True,
+):
+    """Production-shaped file sink: partitioned JSON with exactly-once
+    file commit via the checkpoint — the streaming analog of the
+    reference's per-group JSON files (etl.js:115-125) without its
+    unbounded-concurrency data loss (SURVEY.md F5)."""
+    writer = (
+        stream_df.writeStream.format("json")
+        .option("path", target)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

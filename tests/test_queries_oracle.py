@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from caliper_poc_data_etl_spark.queries import QUERIES
 from caliper_poc_data_etl_spark.sources.readers import TABLE_NAMES
@@ -29,10 +30,17 @@ def duck(sf_dir):
 def test_registry_shape():
     assert len(QUERIES) >= 50
     with_oracle = [q for q in QUERIES.values() if q.oracle is not None]
-    # Non-SQL-expressible ops (engine-specific hashing) are the only
-    # rows-only entries; everything else must carry an oracle.
+    # Non-SQL-expressible ops (engine-specific hashing / estimates /
+    # timing-dependent survivors) are the only rows-only entries;
+    # everything else must carry an oracle.
     rows_only = {q.name for q in QUERIES.values() if q.oracle is None}
-    assert rows_only <= {"dedup_minhash_lsh", "dedup_simhash", "sim_ann_lsh"}
+    assert rows_only <= {
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_ann_lsh",
+        "agg_approx_distinct",
+        "stream_dedup_within_watermark",
+    }
     assert len(with_oracle) >= 50
 
 
@@ -108,3 +116,22 @@ class TestApproximateOperators:
         # Bucketed ANN on near-orthogonal synthetic vectors: modest
         # recall expected; this guards the plumbing, not the ceiling.
         assert recall >= 0.1, f"ANN recall {recall}"
+
+    def test_approx_count_distinct_error(self, spark, oracle_sf_dir):
+        approx = {
+            r["l_returnflag"]: (r["approx_parts"], r["approx_orders"])
+            for r in QUERIES["agg_approx_distinct"].spark(spark, oracle_sf_dir).collect()
+        }
+        exact_df = (
+            spark.read.parquet(f"{oracle_sf_dir}/lineitem.parquet")
+            .groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_partkey").alias("parts"),
+                F.countDistinct("l_orderkey").alias("orders"),
+            )
+        )
+        for r in exact_df.collect():
+            ap, ao = approx[r["l_returnflag"]]
+            # Default HLL++ rsd is 5%; allow 3 sigma.
+            assert abs(ap - r["parts"]) / r["parts"] < 0.15
+            assert abs(ao - r["orders"]) / r["orders"] < 0.15

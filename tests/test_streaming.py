@@ -1,0 +1,146 @@
+"""Structured Streaming semantics (SURVEY.md §7.1 P5).
+
+Replay equivalence: an availableNow replay over static input must
+produce exactly the batch twin's result. Watermark behavior is tested
+with a hand-built multi-file input processed one file per micro-batch,
+so the watermark genuinely advances between batches.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from caliper_poc_data_etl_spark.queries.timeseries import (
+    ts_session_window,
+    ts_sliding_window,
+    ts_tumbling_window,
+)
+from caliper_poc_data_etl_spark.streaming import (
+    read_event_stream,
+    replay_to_df,
+    sessionized_values,
+    sliding_totals,
+    stateful_dedup,
+    stream_events_to_json,
+    tumbling_counts,
+)
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize(
+    "stream_op, batch_q, mode",
+    [
+        (tumbling_counts, ts_tumbling_window, "complete"),
+        (sliding_totals, ts_sliding_window, "complete"),
+        (sessionized_values, ts_session_window, "complete"),
+    ],
+)
+def test_replay_matches_batch_twin(spark, sf_dir, stream_op, batch_q, mode):
+    streamed = replay_to_df(stream_op(read_event_stream(spark, sf_dir)), mode=mode)
+    batch = batch_q(spark, sf_dir)
+    assert streamed.columns == batch.columns
+    assert _rows(streamed) == _rows(batch)
+
+
+def test_stateful_dedup_preserves_distinct_ids(spark, sf_dir):
+    out = replay_to_df(stateful_dedup(read_event_stream(spark, sf_dir)), mode="append")
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_distinct
+    assert out.select("event_id").distinct().count() == n_distinct
+
+
+def _write_event_file(spark, path, rows):
+    df = spark.createDataFrame(
+        [Row(event_id=i, ts=ts, user_id=u, event_type=et, value=v, props="{}")
+         for (i, ts, u, et, v) in rows],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
+    """One file per micro-batch so the watermark genuinely advances.
+
+    Spark filters late events with the PREVIOUS batch's watermark
+    (eventTimeWatermarkForLateEvents) and evicts/emits with the
+    current one, so the late row must arrive two batches after the
+    watermark-advancing row to be dropped."""
+    base = str(tmp_path / "stream_in")
+    # Batch 1: two events in the 10:00 window.
+    _write_event_file(spark, f"{base}/f1.parquet",
+                      [(1, "2026-01-01 10:10:00", 1, "a", 1.0),
+                       (2, "2026-01-01 10:20:00", 1, "a", 1.0)])
+    time.sleep(1.1)  # file source orders batches by modification time
+    # Batch 2: far-ahead event — watermark will advance to 14:00,
+    # finalizing and emitting the 10:00 window (n=2).
+    _write_event_file(spark, f"{base}/f2.parquet",
+                      [(3, "2026-01-01 15:00:00", 1, "a", 1.0)])
+    time.sleep(1.1)
+    # Batch 3: further ahead — late-event filter for batch 4 becomes 14:00.
+    _write_event_file(spark, f"{base}/f3.parquet",
+                      [(4, "2026-01-01 20:00:00", 1, "a", 1.0)])
+    time.sleep(1.1)
+    # Batch 4: late event for the long-finalized 10:00 window → dropped.
+    _write_event_file(spark, f"{base}/f4.parquet",
+                      [(5, "2026-01-01 10:30:00", 1, "a", 1.0)])
+
+    schema = spark.read.parquet(f"{base}/f1.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(base)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("ws"), "n")
+    )
+    name = f"wm_test_{int(time.time())}"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {r["ws"]: r["n"] for r in spark.table(name).collect()}
+    # 10:00 window emitted with only the on-time events (late row 5
+    # dropped); 15:00 emitted once the watermark passed 16:00; the
+    # 20:00 window is beyond the final watermark and (correctly) never
+    # appears in append mode.
+    assert got == {"2026-01-01 10:00": 2, "2026-01-01 15:00": 1}
+
+
+def test_json_sink_exactly_once(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    events = read_event_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = stream_events_to_json(events, target, ckpt)
+    q.awaitTermination(120)
+    n_rows = spark.read.json(target).count()
+    assert n_rows == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # Re-running against the same checkpoint must be a no-op (no new
+    # input) — the file-commit log guarantees exactly-once.
+    q2 = stream_events_to_json(
+        read_event_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        ),
+        target,
+        ckpt,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.json(target).count() == n_rows
