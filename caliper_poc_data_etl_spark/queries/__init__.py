@@ -34,4 +34,5 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     text,
     timeseries,
     streaming_replay,
+    multimodal_q,
 )
