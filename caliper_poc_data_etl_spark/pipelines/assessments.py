@@ -91,10 +91,14 @@ def assessment_attempt_events(
     row, mirroring the reference's one-file-per-row layout — or, with
     ``exploded=True``, ``(attempt_id, event)`` event rows (3× input).
     """
-    if drop_incomplete:
-        assessments = assessments.na.drop("any", subset=ASSESSMENTS_COLUMNS)
+    # Reference order (S7, etl-assessment-level.js:42-52): the limit
+    # caps RAW rows first; validation drops happen inside the limited
+    # set. So `limit` then `na.drop` — output is the surviving subset
+    # of the first `limit` rows, not the first `limit` survivors.
     if limit is not None:
         assessments = assessments.limit(limit)
+    if drop_incomplete:
+        assessments = assessments.na.drop("any", subset=ASSESSMENTS_COLUMNS)
     fanned = assessments.select(
         F.col("attempt_id"),
         F.array(

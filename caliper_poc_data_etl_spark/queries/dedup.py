@@ -262,33 +262,44 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def simhash_fingerprints(d: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 64-bit SimHash of the token multiset as pure
-    Column expressions — whole-stage codegen, no shuffle, no UDF.
+    """(doc_id, simhash): 64-bit SimHash of the token multiset.
 
     Per bit k: vote = #tokens with bit k set minus #tokens with it
-    clear; bit k of the fingerprint = (vote > 0). The token-hash array
-    is materialized ONCE as a column; the 64 per-bit filters reference
-    it — inlining the transform would re-hash every token 64×."""
-    hashed = _spread(d).select(
-        "doc_id",
-        F.transform(
-            F.split(F.trim(F.col("text")), "\\s+"), lambda x: F.xxhash64(x)
-        ).alias("hashes"),
+    clear; bit k of the fingerprint = (vote > 0). Formulated as
+    explode(token hash) → hash aggregate with 64 SUM(±1) columns —
+    the same partial-aggregate shape as MinHash, which codegen
+    compiles an order of magnitude faster than 64 per-row array-filter
+    lambdas (measured 16 s → ~2 s at sf0.01). Map-side partial
+    aggregation means the shuffle carries one 64-column row per doc
+    per partition, not the token stream."""
+    toks = (
+        _spread(d)
+        .select("doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
     )
-    hashes = F.col("hashes")
-    n = F.size(hashes)
-    bits = []
-    for k in range(64):
-        mask = F.shiftleft(F.lit(1).cast("long"), k)
-        ones = F.size(F.filter(hashes, lambda h: h.bitwiseAND(mask) != 0))
-        bit = F.when((2 * ones - n) > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        bits.append(F.shiftleft(bit, k).cast("long"))
+    h = F.col("h")
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), k)) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"v_{k}")
+        for k in range(64)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.shiftleft(
+            F.when(F.col(f"v_{k}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            k,
+        ).cast("long")
+        for k in range(64)
+    ]
     fingerprint = bits[0]
     for b in bits[1:]:
         fingerprint = fingerprint.bitwiseOR(b)
-    return hashed.select("doc_id", fingerprint.alias("simhash"))
+    return voted.select("doc_id", fingerprint.alias("simhash"))
 
 
 @query("dedup_simhash", oracle=None)  # engine-specific hashing → rows-only
@@ -310,23 +321,34 @@ def dedup_simhash(spark, sf_dir):
             )
         ).alias("chunk_idx", "chunk"),
     )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    # Bucket by chunk and pair up inside each bucket array (one
+    # aggregation — a self-join would recompute the fingerprint
+    # pipeline on both sides). The fingerprint rides along in the
+    # bucket so Hamming verification needs no re-join.
+    buckets = (
+        chunks.groupBy("chunk_idx", "chunk")
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("doc_id"), F.col("simhash")))
+            ).alias("docs")
+        )
+        .filter(F.size("docs") >= 2)
+    )
+    docs = F.col("docs")
+    pair_arrays = F.transform(
+        docs,
+        lambda x, i: F.transform(
+            F.slice(docs, i + 2, F.size(docs)),
+            lambda y: F.struct(
+                x["doc_id"].alias("doc_a"),
+                y["doc_id"].alias("doc_b"),
+                F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming"),
+            ),
+        ),
     )
     return (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
+        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= 3)
     )

@@ -1,0 +1,148 @@
+"""Property-based invariants (SURVEY.md §5.2.4).
+
+Random rows per the FIXTURES schemas drive the pipeline invariants the
+reference provably violates at scale (F5: silent write loss) or
+enforces implicitly (fan-out arity, group-size conservation, S5
+empty-field drop). Hypothesis generates the row sets; Spark jobs are
+kept small by bounding example counts.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from caliper_poc_data_etl_spark.pipelines.assessments import (
+    assessment_attempt_events,
+)
+from caliper_poc_data_etl_spark.pipelines.items import (
+    item_outcome_events,
+    items_grouped_by_attempt,
+    reference_conformance_filter,
+)
+from caliper_poc_data_etl_spark.schemas import (
+    ASSESSMENT_ITEMS_FIDELITY,
+    ASSESSMENTS_FIDELITY,
+)
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+_ident = st.text(alphabet="abcdefghij-", min_size=1, max_size=8)
+_num = st.integers(min_value=0, max_value=100).map(str)
+_lo_cell = st.lists(
+    st.integers(min_value=100, max_value=109).map(str), min_size=1, max_size=3
+).map(";".join)
+
+
+def _item_row(ident, attempt, lo):
+    return (
+        ident, "login", "sch", "asmt", "1.0", attempt, "item", "1", "5",
+        "TYPE", "30", "10", "8", "objectives text", lo, "1.1",
+    )
+
+
+_item_rows = st.lists(
+    st.builds(_item_row, _ident, st.sampled_from(["a1", "a2", "a3"]), _lo_cell),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_item_rows)
+@settings(**_SETTINGS)
+def test_item_group_sizes_conserve_rows(spark, rows):
+    """Σ group sizes == surviving rows; every attempt_id keeps exactly
+    its rows (the reference's Map grouping, etl.js:107-112, minus its
+    fd-exhaustion loss F5)."""
+    df = spark.createDataFrame(rows, ASSESSMENT_ITEMS_FIDELITY)
+    events = item_outcome_events(df, multi_lo="intent")
+    grouped = items_grouped_by_attempt(events).collect()
+    sizes = {r["attempt_id"]: len(r["events"]) for r in grouped}
+    expected: dict[str, int] = {}
+    for row in rows:
+        expected[row[5]] = expected.get(row[5], 0) + 1
+    assert sizes == expected
+
+
+@given(rows=_item_rows)
+@settings(**_SETTINGS)
+def test_reference_mode_drops_exactly_multivalue_rows(spark, rows):
+    """F2: reference regex semantics drop precisely the rows whose
+    masterobjectivesid contains ';' (group 15 is [0-9.]* — etl.js:11)."""
+    df = spark.createDataFrame(rows, ASSESSMENT_ITEMS_FIDELITY)
+    surviving = reference_conformance_filter(df).count()
+    expected = sum(1 for row in rows if ";" not in row[14])
+    assert surviving == expected
+
+
+@given(rows=_item_rows)
+@settings(**_SETTINGS)
+def test_learning_objectives_honor_multivalue_intent(spark, rows):
+    """Engine default: N-element learningObjectives for ';'-lists
+    (the documented intent at etl.js:76-78 the reference can't reach)."""
+    df = spark.createDataFrame(rows, ASSESSMENT_ITEMS_FIDELITY)
+    got = item_outcome_events(df, multi_lo="intent").select("event").collect()
+    los = sorted(
+        tuple(lo["id"] for lo in r["event"]["values"]["target"]["learningObjectives"])
+        for r in got
+    )
+    expected = sorted(tuple(row[14].split(";")) for row in rows)
+    assert los == expected
+
+
+_maybe_empty = st.one_of(st.just(""), _ident)
+
+
+def _assessment_row(ident, attempt, maybe_empty_school):
+    return (
+        ident, "login", maybe_empty_school, "asmt", "1.0", "2016-01-15",
+        "5", "QUIZ", attempt, "2", "true", "70", "100",
+    )
+
+
+_assessment_rows = st.lists(
+    st.builds(_assessment_row, _ident, _ident, _maybe_empty),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_assessment_rows)
+@settings(**_SETTINGS)
+def test_fanout_is_exactly_three_per_surviving_row(spark, rows):
+    """S16: events == 3 × surviving rows; S5: any empty field drops the
+    whole row (the (.+)×13 regex, etl-assessment-level.js:18)."""
+    df = spark.createDataFrame(rows, ASSESSMENTS_FIDELITY)
+    # CSV empty fields arrive as NULL; emulate by nulling empties.
+    from pyspark.sql import functions as F
+
+    df = df.select(
+        *[F.when(F.col(c) == "", None).otherwise(F.col(c)).alias(c) for c in df.columns]
+    )
+    surviving = sum(1 for row in rows if all(v != "" for v in row))
+    fanned = assessment_attempt_events(df, exploded=True)
+    assert fanned.count() == 3 * surviving
+    per_row = assessment_attempt_events(df)
+    assert per_row.count() == surviving
+    assert per_row.filter(F.size("events") != 3).count() == 0
+
+
+@given(rows=_assessment_rows, limit=st.integers(min_value=0, max_value=30))
+@settings(**_SETTINGS)
+def test_limit_applies_before_validation_like_reference(spark, rows, limit):
+    """S7: the limit caps RAW rows first; validation drops happen
+    inside the limited prefix (etl-assessment-level.js:42-52) — so the
+    result is the surviving subset of the first `limit` rows."""
+    df = spark.createDataFrame(rows, ASSESSMENTS_FIDELITY).coalesce(1)
+    from pyspark.sql import functions as F
+
+    df = df.select(
+        *[F.when(F.col(c) == "", None).otherwise(F.col(c)).alias(c) for c in df.columns]
+    )
+    expected = sum(1 for row in rows[:limit] if all(v != "" for v in row))
+    got = assessment_attempt_events(df, limit=limit).count()
+    assert got == expected
