@@ -27,8 +27,11 @@ JACCARD_THRESHOLD = 0.8
 COSINE_DUP_THRESHOLD = 0.4
 
 # MinHash parameters: K hashes, banded r rows × b bands (K = r*b).
-MINHASH_K = 64
-MINHASH_BANDS = 32  # r = 2
+# r=2, b=16: P(candidate) = 1-(1-J²)^16 → at the 0.8 threshold the
+# miss probability is (1-0.64)^16 ≈ 8e-8; halving K from 64 halves
+# the aggregate-codegen cost, which dominates wall time.
+MINHASH_K = 32
+MINHASH_BANDS = 16  # r = 2
 MERSENNE_P = (1 << 31) - 1
 
 
@@ -177,14 +180,20 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     so runs are deterministic) → per-doc min per permutation, computed
     as K aggregate columns in ONE hash aggregate — no ×K row blowup.
     """
+    import random
+
     sh = _doc_shingles(t(spark, sf_dir, "documents")).select(
         "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h")
     )
     h = F.col("h")  # materialized: one xxhash64 per shingle, not K
+    # Full-range random coefficients (fixed seed → deterministic runs):
+    # small sequential a_i make a badly correlated linear family and
+    # measurably miss borderline candidates.
+    rng = random.Random(20260813)
     aggs = []
     for i in range(MINHASH_K):
-        a_i = 2 * i + 1
-        b_i = 7919 * (i + 1) + 1
+        a_i = rng.randrange(1, MERSENNE_P)
+        b_i = rng.randrange(0, MERSENNE_P)
         aggs.append(F.min(F.pmod(a_i * h + b_i, F.lit(MERSENNE_P))).alias(f"mh_{i}"))
     sig = sh.groupBy("doc_id").agg(*aggs)
     return sig.select(
