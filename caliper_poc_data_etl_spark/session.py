@@ -53,6 +53,11 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.driver.extraJavaOptions", "-Djava.io.tmpdir=/tmp")
+        # Managed-table location (bucketed tables) — keep out of the repo.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

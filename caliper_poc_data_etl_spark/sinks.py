@@ -68,3 +68,49 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(target)
+
+
+def write_file(
+    df: DataFrame,
+    target: str,
+    *,
+    fmt: str = "json",
+    partition_by: list[str] | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Generic partitioned overwrite sink (json / csv / orc / parquet /
+    text) — one code path, format is a parameter."""
+    writer = df.write.mode("overwrite").format(fmt)
+    for k, v in (options or {}).items():
+        writer = writer.option(k, v)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(target)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed parquet table (hash-bucketed by join key, optionally
+    sorted within buckets).
+
+    The 100 TB co-location play: two tables bucketed on the same key
+    with the same bucket count join with NO shuffle on either side
+    (and no sort when sortBy matches) — the shuffle is paid once at
+    write time, amortized over every subsequent join/aggregation on
+    that key. Verified in tests by asserting the joined plan has zero
+    Exchange nodes."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        buckets, *bucket_cols
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

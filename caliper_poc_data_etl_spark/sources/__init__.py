@@ -9,7 +9,9 @@ malformed-row policy instead of silent drops.
 from caliper_poc_data_etl_spark.sources.readers import (  # noqa: F401
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
+    read_text,
     sf_table,
     sf_tables,
 )

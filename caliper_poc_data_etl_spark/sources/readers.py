@@ -84,6 +84,24 @@ def read_json(
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet."""
+    return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, *, whole_text: bool = False
+) -> DataFrame:
+    """Raw line scan (``value: string``) — the substrate for the
+    regex-fidelity parser (sources/fidelity.py) and for any custom
+    record format. ``whole_text=True`` reads one row per file (the
+    reference's whole-file read, etl.js:22 — anti-pattern at scale,
+    provided for parity experiments only). NB: must be the reader
+    keyword — a generic .option("wholetext", ...) is silently ignored
+    by the text source."""
+    return spark.read.text(path, wholetext=whole_text)
+
+
 def sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-provided parquet table from a scale-factor dir.
 
