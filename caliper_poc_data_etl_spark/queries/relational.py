@@ -102,6 +102,24 @@ def join_inner(spark, sf_dir):
 
 
 @query(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS price
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def join_right_outer(spark, sf_dir):
+    """Right outer join preserving the customer side (NULL orders for
+    order-less customers)."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 10 == 0)
+    o = t(spark, sf_dir, "orders")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+@query(
     "join_full_outer",
     oracle="""
     WITH cs AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust

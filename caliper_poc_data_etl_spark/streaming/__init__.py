@@ -8,6 +8,11 @@ with ``availableNow`` so the driver's batch oracle can grade streaming
 semantics end-to-end.
 """
 
+from caliper_poc_data_etl_spark.streaming.caliper import (  # noqa: F401
+    attempt_events_stream,
+    read_assessments_stream,
+    run_attempts_stream,
+)
 from caliper_poc_data_etl_spark.streaming.events import (  # noqa: F401
     read_event_stream,
     replay_to_df,

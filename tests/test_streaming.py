@@ -123,6 +123,47 @@ def test_watermark_drops_late_rows_across_batches(spark, tmp_path):
     assert got == {"2026-01-01 10:00": 2, "2026-01-01 15:00": 1}
 
 
+def test_streaming_attempt_pipeline_matches_batch(spark, tmp_path):
+    """The streaming Caliper fan-out over CSV drops produces exactly
+    the batch pipeline's events (stateless op, shared builder); a
+    second CSV drop is picked up incrementally by the checkpoint."""
+    import json
+
+    from caliper_poc_data_etl_spark.streaming import run_attempts_stream
+
+    watch = tmp_path / "drops"
+    watch.mkdir()
+    header = (
+        "identity_id,login_identity_id,school_id,assessment_id,"
+        "assessment_version,date_submitted,assessment_type_id,"
+        "assessment_type,attempt_id,attemptnumber,is_mastered,"
+        "score_earned,score_posible"
+    )
+    row1 = "stu-1,l,sch-9,asmt-01,1.0,2016-01-15,5,QUIZ,att-100,1,true,70,100"
+    (watch / "a.csv").write_text(f"{header}\n{row1}\n")
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    q = run_attempts_stream(spark, str(watch), target, ckpt)
+    q.awaitTermination(120)
+    got1 = [json.loads(r["value"]) for r in spark.read.json(target).collect()]
+    assert len(got1) == 3
+    assert {e["type"] for e in got1} == {"AssessmentEvent", "AssessmentOutcomeEvent"}
+    graded = next(e for e in got1 if e["type"] == "AssessmentOutcomeEvent")
+    # F3 swap preserved through the streaming path too.
+    assert graded["values"]["generated"] == {
+        "totalScore": "70", "normalScore": "100"
+    }
+
+    # Incremental drop: only the new file's rows are appended.
+    row2 = "stu-2,l,sch-9,asmt-01,1.0,2016-01-16,5,QUIZ,att-200,2,false,55,100"
+    (watch / "b.csv").write_text(f"{header}\n{row2}\n")
+    q2 = run_attempts_stream(spark, str(watch), target, ckpt)
+    q2.awaitTermination(120)
+    out = spark.read.json(target)
+    assert out.count() == 6
+    assert out.filter("attempt_id = 'att-200'").count() == 3
+
+
 def test_json_sink_exactly_once(spark, sf_dir, tmp_path):
     target = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
