@@ -410,6 +410,67 @@ def q3_top_revenue(spark, sf_dir):
 
 
 @query(
+    "q5_local_supplier_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate <  DATE '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 analog: revenue from orders where customer and
+    supplier share a nation, by nation.
+
+    Plan posture: the fact chain (orders⋈lineitem) shuffles on its
+    keys; nation/region (and at real scale supplier) are broadcast so
+    the 5-way join adds no extra fact shuffles; the date filter pushes
+    into the orders scan."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            # Decimal accumulation: double SUM order differs between
+            # engines/partitionings and can flip a .xx5 rounding case;
+            # exact decimal sums are identical everywhere.
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@query(
     "agg_distinct",
     oracle="""
     SELECT l_returnflag,
@@ -429,6 +490,53 @@ def agg_distinct(spark, sf_dir):
             F.countDistinct("l_partkey").alias("n_parts"),
             F.count("*").alias("n_rows"),
         )
+    )
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). The 100 TB substitute is `approx_percentile`
+    (t-digest, one pass) — same call shape, tested separately."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", 0.25), 4).alias("p25_price"),
+    )
+
+
+@query(
+    "agg_corr_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS qty_price_covar,
+           ROUND(stddev_samp(l_quantity), 4) AS qty_stddev,
+           ROUND(var_samp(l_quantity), 4) AS qty_var
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_stats(spark, sf_dir):
+    """Statistical aggregates: correlation, covariance, stddev,
+    variance — single-pass co-moment aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
     )
 
 

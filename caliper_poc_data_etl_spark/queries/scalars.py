@@ -184,6 +184,30 @@ def fn_json_pack(spark, sf_dir):
 
 
 @query(
+    "fn_map_pack",
+    oracle="""
+    SELECT o_custkey, o_orderstatus AS status, COUNT(*) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def fn_map_pack(spark, sf_dir):
+    """Map construction + explosion round-trip: per-customer
+    status→count map built with map_from_entries, then exploded back
+    to rows — the oracle checks the scalars that survive the
+    round-trip, so a broken map op can't hide."""
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey", "o_orderstatus").agg(F.count("*").alias("n"))
+    mapped = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("o_orderstatus"), F.col("n")))
+        ).alias("status_counts")
+    )
+    return mapped.select(
+        "o_custkey", F.explode("status_counts").alias("status", "n")
+    )
+
+
+@query(
     "fn_conditional_pack",
     oracle="""
     SELECT o_orderkey,

@@ -40,6 +40,7 @@ def test_registry_shape():
         "sim_ann_lsh",
         "agg_approx_distinct",
         "stream_dedup_within_watermark",
+        "mm_pixel_features",
     }
     assert len(with_oracle) >= 50
 
