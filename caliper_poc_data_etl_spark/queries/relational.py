@@ -664,6 +664,64 @@ def agg_grouping_sets(spark, sf_dir):
 
 
 @query(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (long→wide): order counts per status column. Pinning the
+    pivot values keeps the plan one-pass — an unpinned pivot first runs
+    a distinct-values job, which is a full extra scan at 100 TB."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce("F", F.lit(0)).alias("f_cnt"),
+            F.coalesce("O", F.lit(0)).alias("o_cnt"),
+            F.coalesce("P", F.lit(0)).alias("p_cnt"),
+        )
+    )
+
+
+@query(
+    "unpivot_measures",
+    oracle="""
+    SELECT o_orderkey, measure, ROUND(value, 2) AS value
+    FROM (
+      SELECT o_orderkey,
+             UNPIVOT_ROW.measure, UNPIVOT_ROW.value
+      FROM orders,
+           LATERAL (VALUES ('totalprice', o_totalprice),
+                           ('price_k', o_totalprice / 1000.0))
+             AS UNPIVOT_ROW(measure, value)
+    )
+    WHERE o_orderkey % 100 = 0
+    """,
+)
+def unpivot_measures(spark, sf_dir):
+    """Unpivot/melt (wide→long): each order row becomes one row per
+    measure — a narrow transformation (no shuffle)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return (
+        o.select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            (F.col("o_totalprice") / 1000.0).alias("price_k"),
+        )
+        .unpivot("o_orderkey", ["totalprice", "price_k"], "measure", "value_raw")
+        .select("o_orderkey", "measure", F.round("value_raw", 2).alias("value"))
+    )
+
+
+@query(
     "setop_union_all",
     oracle="""
     SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer

@@ -118,6 +118,18 @@ class TestApproximateOperators:
         # recall expected; this guards the plumbing, not the ceiling.
         assert recall >= 0.1, f"ANN recall {recall}"
 
+    def test_approx_percentile_error(self, spark, oracle_sf_dir):
+        """approx_percentile (t-digest, the 100 TB path) stays within
+        1% relative error of the exact interpolated percentile."""
+        li = spark.read.parquet(f"{oracle_sf_dir}/lineitem.parquet")
+        rows = li.groupBy("l_returnflag").agg(
+            F.percentile("l_extendedprice", 0.5).alias("exact"),
+            F.approx_percentile("l_extendedprice", 0.5, 10000).alias("approx"),
+        ).collect()
+        assert rows
+        for r in rows:
+            assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.01
+
     def test_approx_count_distinct_error(self, spark, oracle_sf_dir):
         approx = {
             r["l_returnflag"]: (r["approx_parts"], r["approx_orders"])
