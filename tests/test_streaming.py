@@ -164,6 +164,49 @@ def test_streaming_attempt_pipeline_matches_batch(spark, tmp_path):
     assert out.filter("attempt_id = 'att-200'").count() == 3
 
 
+def test_custom_stateful_operator_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState per-user profiles: replay the stream in
+    FOUR micro-batches (4 files × maxFilesPerTrigger=1) so state must
+    genuinely fold across batches; the LAST update emitted per user
+    must equal the batch aggregation."""
+    from caliper_poc_data_etl_spark.streaming.stateful import user_profiles
+
+    src = str(tmp_path / "events4")
+    batch_df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch_df.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    out = replay_to_df(user_profiles(stream), mode="update")
+    # Memory sink in update mode appends each emission; keep the last
+    # (largest n_events) per user = final state.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        out.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+    got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()}
+    exp = {r["user_id"]: (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert set(got) == set(exp)
+    for uid, (n, total) in exp.items():
+        gn, gt = got[uid]
+        assert gn == n
+        assert gt == pytest.approx(total)
+
+
 def test_json_sink_exactly_once(spark, sf_dir, tmp_path):
     target = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
