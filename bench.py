@@ -58,6 +58,48 @@ def _sf_from_dir(path: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+CALIPER_ROWS = 100_000
+CALIPER_ATTEMPTS = 500
+
+
+def _caliper_throughput(spark) -> tuple[float, float]:
+    """Reference-comparable number: the item pipeline end-to-end
+    (CSV scan → events → grouped → JSON sink) on the same shape as
+    BASELINE.md's measured run (100k rows, 500 attempt groups).
+    Returns (wall_sec, rows_per_sec)."""
+    import tempfile
+
+    from caliper_poc_data_etl_spark.pipelines.items import (
+        item_outcome_events,
+        items_grouped_by_attempt,
+    )
+    from caliper_poc_data_etl_spark.schemas import ASSESSMENT_ITEMS_FIDELITY
+    from caliper_poc_data_etl_spark.sinks import write_grouped_json
+    from caliper_poc_data_etl_spark.sources import read_csv
+
+    workdir = tempfile.mkdtemp(prefix="caliper_bench_")
+    csv_path = f"{workdir}/items.csv"
+    with open(csv_path, "w") as f:
+        f.write(
+            "identity_id,login_identity_id,school_id,assessment_id,"
+            "assessment_version,attempt_id,assmtitem_id,assmtitem_version,"
+            "assessment_type_id,response_type,question_time,score_posible,"
+            "score_earned,masterobjectives,masterobjectivesid,objectivenumber\n"
+        )
+        for i in range(CALIPER_ROWS):
+            att = i % CALIPER_ATTEMPTS
+            f.write(
+                f"stu-{att},login-{att},sch-1,asmt-1,1.0,att-{att},item-{i},1,"
+                f"5,TYPE,30,10,{i % 10},obj text,{100 + i % 7},1.1\n"
+            )
+    t0 = time.perf_counter()
+    items = read_csv(spark, csv_path, ASSESSMENT_ITEMS_FIDELITY)
+    grouped = items_grouped_by_attempt(item_outcome_events(items))
+    write_grouped_json(grouped, f"{workdir}/out", layout="reference")
+    wall = time.perf_counter() - t0
+    return round(wall, 3), round(CALIPER_ROWS / wall, 1)
+
+
 def main() -> int:
     only = None
     if "--queries" in sys.argv:
@@ -84,6 +126,13 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
+    caliper_wall, caliper_rps = _caliper_throughput(spark)
+    timings["caliper_items_100k_e2e"] = caliper_wall
+    print(
+        f"# caliper_items_100k_e2e: {caliper_wall:.2f}s = {caliper_rps} rows/s "
+        f"(reference single-core baseline: 154k rows/s, BASELINE.md)",
+        file=sys.stderr,
+    )
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -93,6 +142,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "caliper_items_rows_per_sec": caliper_rps,
             }
         )
     )

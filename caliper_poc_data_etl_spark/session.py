@@ -58,6 +58,11 @@ def get_spark(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
         )
+        # Local mode only: skip Hadoop's ChecksumFileSystem (.crc
+        # sibling per file) — halves many-small-file sink time. On a
+        # real cluster the filesystem comes from the deployment
+        # (HDFS/S3A committers), not this flag.
+        .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

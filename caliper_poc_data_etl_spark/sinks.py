@@ -29,22 +29,30 @@ def write_grouped_json(
       group, matching the reference's ``JSON.stringify(events)`` files
       (file *naming* is declared non-semantic, SURVEY.md §7.3).
 
-    The ``repartition(key)`` before ``partitionBy`` yields one file per
-    key directory instead of one-per-input-partition; at 100 TB this is
-    also what bounds the file count (files ≈ distinct keys, not
-    keys × tasks).
+    The ``repartition(N, key)`` before ``partitionBy`` yields one file
+    per key directory instead of one-per-input-partition; at 100 TB
+    this is also what bounds the file count (files ≈ distinct keys,
+    not keys × tasks). ``repartitionByRange`` (not ``repartition``):
+    a hash ``repartition(N, key)`` is elided as redundant when the
+    upstream group-by already hash-partitioned on the key, after which
+    AQE coalesces the tiny shuffle to 1-2 tasks that create hundreds
+    of partition directories SERIALLY — measured 2-3× slower than the
+    write itself. Range partitioning is a different distribution, so
+    the exchange survives with its explicit task count, and each key
+    still lands in exactly one task.
     """
+    n_writers = df.sparkSession.sparkContext.defaultParallelism
     if layout == "reference":
         (
             df.select(F.col(key), F.to_json(F.col("events")).alias("value"))
-            .repartition(F.col(key))
+            .repartitionByRange(n_writers, F.col(key))
             .write.mode("overwrite")
             .partitionBy(key)
             .text(target)
         )
     elif layout == "spark":
         (
-            df.repartition(F.col(key))
+            df.repartitionByRange(n_writers, F.col(key))
             .write.mode("overwrite")
             .option("ignoreNullFields", True)
             .partitionBy(key)

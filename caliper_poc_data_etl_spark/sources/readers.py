@@ -54,6 +54,13 @@ def read_csv(
     silence being mandatory; ``mode='permissive'`` (default) keeps bad
     rows visible. With ``keep_corrupt=False`` corrupt rows are filtered
     out but the filter is an explicit, observable plan node.
+
+    Spark restriction to know: on the permissive path, a query that
+    prunes every DATA column (e.g. a bare ``df.count()``) is rejected
+    by Spark ("queries from raw CSV files are disallowed when the
+    referenced columns only include the internal corrupt record
+    column") — reference a data column or use ``dropmalformed`` for
+    pure row counting.
     """
     mode = mode.lower()
     if mode not in {"permissive", "dropmalformed", "failfast"}:
