@@ -36,4 +36,5 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     streaming_replay,
     multimodal_q,
     udf_escape,
+    scans,
 )

@@ -1,0 +1,102 @@
+"""Source-format scan operators, oracle-checked (§2B Source rows).
+
+Each query materializes one driver table into the target format under
+/tmp once per process, then reads it back through the engine's reader
+with its policy surface — the oracle is plain SQL over the original
+parquet, so a lossy or misparsing format round-trip cannot pass.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+from caliper_poc_data_etl_spark.sources import read_csv, read_json, read_orc
+
+_CACHE: dict[str, str] = {}
+
+
+def _materialized(spark, sf_dir: str, fmt: str) -> str:
+    """Write `nation` (+ a decimal column) as `fmt` once per (sf, fmt)."""
+    cache_key = f"{sf_dir}:{fmt}"
+    if cache_key not in _CACHE:
+        out = tempfile.mkdtemp(prefix=f"scan_{fmt}_")
+        path = os.path.join(out, f"nation.{fmt}")
+        n = t(spark, sf_dir, "nation")
+        w = n.coalesce(1).write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            w = w.option("header", True)
+        w.save(path)
+        _CACHE[cache_key] = path
+    return _CACHE[cache_key]
+
+
+_NATION_ORACLE = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+@query("scan_csv_policy", oracle=_NATION_ORACLE)
+def scan_csv_policy(spark, sf_dir):
+    """CSV scan with explicit schema + PERMISSIVE corrupt-row policy
+    (S1/S4-S6 generalized) — round-trips the nation table through CSV
+    and must reproduce the parquet original exactly."""
+    path = _materialized(spark, sf_dir, "csv")
+    schema = t(spark, sf_dir, "nation").schema
+    return read_csv(spark, path, schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query("scan_json_source", oracle=_NATION_ORACLE)
+def scan_json_source(spark, sf_dir):
+    """JSON scan with explicit schema — same round-trip contract."""
+    path = _materialized(spark, sf_dir, "json")
+    schema = t(spark, sf_dir, "nation").schema
+    return read_json(spark, path, schema).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+@query("scan_orc_source", oracle=_NATION_ORACLE)
+def scan_orc_source(spark, sf_dir):
+    """ORC scan — columnar round-trip."""
+    path = _materialized(spark, sf_dir, "orc")
+    return read_orc(spark, path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+@query(
+    "scan_csv_malformed_policy",
+    oracle="SELECT CAST(2 AS BIGINT) AS good_rows, CAST(1 AS BIGINT) AS bad_rows",
+)
+def scan_csv_malformed_policy(spark, sf_dir):
+    """The malformed-row policy itself: a fixture with one corrupt row
+    (wrong arity) read PERMISSIVE — good rows survive, the corrupt row
+    is counted, nothing is silent (vs the reference's silent drops,
+    SURVEY.md S6/F5)."""
+    cache_key = f"{sf_dir}:malformed"
+    if cache_key not in _CACHE:
+        out = tempfile.mkdtemp(prefix="scan_bad_")
+        p = os.path.join(out, "bad.csv")
+        with open(p, "w") as f:
+            f.write("a,b,c\n1,x,2\nonly-one-field-without-delims-extra\n3,y,4\n")
+        _CACHE[cache_key] = p
+    from pyspark.sql import types as T
+
+    st = T.StructType(
+        [
+            T.StructField("a", T.IntegerType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.IntegerType()),
+        ]
+    )
+    df = read_csv(spark, _CACHE[cache_key], st, keep_corrupt=True)
+    # Count via a data column too — Spark rejects queries whose only
+    # referenced column is the internal corrupt-record column.
+    return df.agg(
+        F.count("a").alias("good_rows"),
+        F.count("_corrupt_record").alias("bad_rows"),
+    )
