@@ -86,8 +86,10 @@ def _spread(d: DataFrame) -> DataFrame:
     return d
 
 
-def _doc_shingles(d: DataFrame) -> DataFrame:
-    """(doc_id, shingle) distinct 3-gram word shingles, exploded.
+def _doc_shingle_sets(d: DataFrame) -> DataFrame:
+    """(doc_id, shset: array<string>) distinct 3-gram word shingles,
+    one row per document — computed entirely per-row (narrow plan, NO
+    shuffle): split → sliding-window transform → array_distinct.
 
     ``toks`` is materialized as a named column BEFORE the shingle
     transform: referencing a raw ``split()`` expression inside a
@@ -109,7 +111,16 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
         _spread(d)
         .select("doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks"))
         .filter(F.size(toks) >= 3)
-        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .select("doc_id", F.array_distinct(shingles).alias("shset"))
+    )
+
+
+def _doc_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) exploded form of ``_doc_shingle_sets`` — only
+    for plans that genuinely need a shingle-keyed shuffle (the exact
+    pairwise self-join)."""
+    return _doc_shingle_sets(d).select(
+        "doc_id", F.explode("shset").alias("shingle")
     )
 
 
@@ -142,12 +153,15 @@ _NGRAM_ORACLE = f"""
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact near-dup pairs by 3-gram shingle Jaccard ≥ 0.8.
 
-    Plan: explode distinct shingles → self-equi-join on shingle
-    (intersection counts) → join per-doc sizes → filter. The shingle
-    join is an equi-join, so it shuffles on shingle — no cross
-    product; hot shingles are the skew risk (AQE skew-join handles)."""
-    sh = _doc_shingles(t(spark, sf_dir, "documents"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    Plan: per-row shingle sets (no shuffle) → explode with the set
+    size carried alongside → self-equi-join on shingle (intersection
+    counts; sizes ride through the group-by keys, so NO extra
+    size-table joins) → filter. The shingle join is an equi-join, so
+    it shuffles on shingle — no cross product; hot shingles are the
+    skew risk (AQE skew-join handles)."""
+    sh = _doc_shingle_sets(t(spark, sf_dir, "documents")).select(
+        "doc_id", F.size("shset").alias("n"), F.explode("shset").alias("shingle")
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -157,17 +171,16 @@ def dedup_ngram_jaccard(spark, sf_dir):
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
         )
         .agg(F.count("*").alias("i"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jacc = F.col("i") / (F.col("sa.n") + F.col("sb.n") - F.col("i"))
+    jacc = F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jacc >= JACCARD_THRESHOLD)
+        inter.filter(jacc >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
 
@@ -175,30 +188,41 @@ def dedup_ngram_jaccard(spark, sf_dir):
 def minhash_signatures(spark, sf_dir) -> DataFrame:
     """(doc_id, sig: array<bigint>) MinHash signatures.
 
-    Shingle → 64-bit hash → K universal-hash permutations
-    ``(a_i * h + b_i) mod p`` (p Mersenne-31; a/b fixed odd constants
-    so runs are deterministic) → per-doc min per permutation, computed
-    as K aggregate columns in ONE hash aggregate — no ×K row blowup.
+    Shingle set (per-row) → 64-bit hash per shingle (hashed ONCE into
+    a materialized ``harr`` column, not once per permutation) → K
+    universal-hash permutations ``min((a_i * h + b_i) mod p)`` as K
+    ``array_min(transform(...))`` expressions (p Mersenne-31; fixed
+    seed so runs are deterministic).
+
+    The whole signature computation is per-row — NO explode, NO
+    shuffle. At 100 TB this is a map-only stage pipelined with the
+    scan; the first exchange in the LSH plan is the band-bucket
+    group-by, which carries one (band, hash, doc_id) row per band per
+    doc, never the shingle stream.
     """
     import random
 
-    sh = _doc_shingles(t(spark, sf_dir, "documents")).select(
-        "doc_id", F.pmod(F.xxhash64("shingle"), F.lit(MERSENNE_P)).alias("h")
+    sets = _doc_shingle_sets(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.transform(
+            "shset", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
+        ).alias("harr"),
     )
-    h = F.col("h")  # materialized: one xxhash64 per shingle, not K
+    harr = F.col("harr")
     # Full-range random coefficients (fixed seed → deterministic runs):
     # small sequential a_i make a badly correlated linear family and
     # measurably miss borderline candidates.
     rng = random.Random(20260813)
-    aggs = []
+    mins = []
     for i in range(MINHASH_K):
         a_i = rng.randrange(1, MERSENNE_P)
         b_i = rng.randrange(0, MERSENNE_P)
-        aggs.append(F.min(F.pmod(a_i * h + b_i, F.lit(MERSENNE_P))).alias(f"mh_{i}"))
-    sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(MINHASH_K)]).alias("sig")
-    )
+        mins.append(
+            F.array_min(
+                F.transform(harr, lambda h: F.pmod(a_i * h + b_i, F.lit(MERSENNE_P)))
+            )
+        )
+    return sets.select("doc_id", F.array(*mins).alias("sig"))
 
 
 @query("dedup_minhash_lsh", oracle=None)  # engine-specific hashing → rows-only
@@ -248,13 +272,9 @@ def dedup_minhash_lsh(spark, sf_dir):
         .distinct()
     )
     # Exact verification restricted to candidates: per-doc shingle SETS
-    # (bounded by document length) + array_intersect per pair — avoids
-    # re-shuffling the exploded (doc, shingle) table twice.
-    sets = (
-        _doc_shingles(t(spark, sf_dir, "documents"))
-        .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("shset"))
-    )
+    # (bounded by document length, computed per-row with no shuffle)
+    # + array_intersect per pair.
+    sets = _doc_shingle_sets(t(spark, sf_dir, "documents"))
     pairs = candidates.join(
         sets.select(F.col("doc_id").alias("doc_a"), F.col("shset").alias("sh_a")),
         "doc_a",
