@@ -189,12 +189,18 @@ def sample_frames(media: DataFrame, frame_bytes: int, every_n: int = 2) -> DataF
     in Column code (binary substring over a generated index), so it
     runs in whole-stage codegen with zero Python.
 
-    Output: (media_id, frame_idx, frame: binary)."""
+    Output: (media_id, frame_idx, frame: binary). Empty payloads emit
+    zero rows — without the guard, ``sequence(0, -1)`` yields the
+    descending array [0, -1] and a spurious empty frame_idx=0 row.
+    """
     n_frames = F.ceil(F.length("payload") / F.lit(frame_bytes)).cast("int")
-    idx = F.filter(
-        F.sequence(F.lit(0), n_frames - 1),
-        lambda i: i % every_n == F.lit(0),
-    )
+    idx = F.when(
+        n_frames > 0,
+        F.filter(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda i: i % every_n == F.lit(0),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return (
         media.select(
             "media_id",

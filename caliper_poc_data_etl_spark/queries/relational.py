@@ -762,9 +762,14 @@ def setop_intersect(spark, sf_dir):
     """,
 )
 def setop_except(spark, sf_dir):
+    """Set EXCEPT: distinct left minus right. ``subtract`` after a
+    ``distinct`` gives true set-difference semantics — the earlier
+    ``exceptAll().distinct()`` kept a value whenever the left side had
+    MORE duplicates than the right (bag difference), which only
+    coincided with set EXCEPT here because n_nationkey is unique."""
     n = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
     s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
-    return n.exceptAll(s).distinct()
+    return n.distinct().subtract(s.distinct())
 
 
 @query(

@@ -156,7 +156,13 @@ def sim_ann_lsh(spark, sf_dir):
 )
 def sim_pairwise_label_stats(spark, sf_dir):
     """Mean pairwise cosine by label pair — embedding-space health
-    check (are same-label vectors closer?)."""
+    check (are same-label vectors closer?).
+
+    QUADRATIC exact baseline (all-pairs join) — the recall/value oracle
+    only, like dedup_ngram_jaccard vs dedup_minhash_lsh. The production
+    path at scale is :func:`sim_label_centroid_stats`, which computes
+    the same statistic in one linear aggregation pass via centroid
+    algebra; run this one only on sampled/capped corpora."""
     e = t(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("vec_a"),
@@ -176,4 +182,87 @@ def sim_pairwise_label_stats(spark, sf_dir):
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .groupBy("label_a", "label_b")
         .agg(F.count("*").alias("n_pairs"), F.round(F.avg(cos), 4).alias("avg_cosine"))
+    )
+
+
+@query(
+    "sim_label_centroid_stats",
+    oracle="""
+    WITH pairs AS (
+      SELECT LEAST(a.label, b.label) AS label_a,
+             GREATEST(a.label, b.label) AS label_b,
+             CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE)
+               / (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE))
+                  * sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE)))
+               AS cos_raw
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT label_a, label_b, COUNT(*) AS n_pairs,
+           ROUND(AVG(cos_raw), 4) + 0.0 AS avg_cosine
+    FROM pairs GROUP BY label_a, label_b
+    """,
+)
+def sim_label_centroid_stats(spark, sf_dir):
+    """Mean pairwise cosine per unordered label pair — LINEAR scale
+    path for the statistic `sim_pairwise_label_stats` computes with an
+    all-pairs join.
+
+    Centroid algebra on unit vectors u_i = e_i/||e_i||, S_L = Σ u_i:
+
+    - within label L:  Σ_{i<j} u_i·u_j = (||S_L||² − n_L)/2,
+      over n_L(n_L−1)/2 pairs → mean = (||S_L||² − n_L)/(n_L(n_L−1))
+    - across labels A<B: Σ u_a·u_b = S_A·S_B over n_A·n_B pairs
+
+    One explode + one hash aggregate (|labels|×dim partials, map-side
+    combined) + a broadcast self-join of the tiny per-label table —
+    no pairwise join anywhere, so the plan is linear in corpus size
+    and exactly reproduces the quadratic oracle (same rounding).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
+    # Per-label unit-vector sums: explode to (label, pos, val) — 64×
+    # row blowup that collapses immediately in a partial-agg groupBy.
+    comp = e.select("label", F.posexplode(unit).alias("pos", "val"))
+    sums = (
+        comp.groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))), lambda p: p["s"]
+            ).alias("s_vec")
+        )
+    )
+    per_label = (
+        e.groupBy("label").agg(F.count("*").alias("n")).join(sums, "label")
+    )
+    a = per_label.select(
+        F.col("label").alias("label_a"),
+        F.col("n").alias("n_a"),
+        F.col("s_vec").alias("s_a"),
+    )
+    b = per_label.select(
+        F.col("label").alias("label_b"),
+        F.col("n").alias("n_b"),
+        F.col("s_vec").alias("s_b"),
+    )
+    cross = a.join(F.broadcast(b), F.col("label_a") <= F.col("label_b"))
+    within = F.col("label_a") == F.col("label_b")
+    n_pairs = F.when(
+        within, (F.col("n_a") * (F.col("n_a") - 1) / 2).cast("long")
+    ).otherwise(F.col("n_a") * F.col("n_b"))
+    sum_cos = F.when(
+        within, (_dot(F.col("s_a"), F.col("s_a")) - F.col("n_a")) / 2
+    ).otherwise(_dot(F.col("s_a"), F.col("s_b")))
+    return (
+        cross.select(
+            "label_a",
+            "label_b",
+            n_pairs.alias("n_pairs"),
+            # + 0.0 canonicalizes IEEE −0.0 → +0.0 (a rounded −0.00004
+            # otherwise string-sorts differently from the oracle's 0.0)
+            (F.round(sum_cos / n_pairs, 4) + F.lit(0.0)).alias("avg_cosine"),
+        )
+        .filter(F.col("n_pairs") > 0)
     )

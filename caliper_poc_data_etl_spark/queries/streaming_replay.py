@@ -36,11 +36,13 @@ _TUMBLING_ORACLE = """
     GROUP BY 1, 2
 """
 
+# ``>=`` matches Spark session_window's half-open [start, last+gap)
+# interval: an event at exactly last_ts + 30 min starts a new session.
 _SESSION_ORACLE = """
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -79,7 +79,7 @@ def ts_sliding_window(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -100,7 +100,13 @@ def ts_sliding_window(spark, sf_dir):
 )
 def ts_session_window(spark, sf_dir):
     """Session windows (30-min gap) via F.session_window — the native
-    batch form of the streaming session operator."""
+    batch form of the streaming session operator.
+
+    Boundary convention: a session covers [first_ts, last_ts + gap) —
+    an event arriving at EXACTLY last_ts + 30 min starts a NEW session
+    (Spark session_window's half-open interval). The oracle's LAG flag
+    uses ``>=`` to match.
+    """
     e = t(spark, sf_dir, "events")
     return (
         e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))

@@ -20,6 +20,8 @@ Both are pure plan constructions (no UDFs, no extra actions):
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 DEFAULT_SALTS = 16
@@ -38,35 +40,47 @@ def salted_agg(
     key: str,
     aggs: dict[str, Column],
     n_salts: int = DEFAULT_SALTS,
+    merges: dict[str, Callable[[str], Column]] | None = None,
 ) -> DataFrame:
     """Two-stage skew-safe aggregation.
 
-    ``aggs`` maps output column name → SUM/COUNT/MIN/MAX-shaped
-    aggregate over input columns. Stage 1 computes partials per
-    (key, salt); stage 2 re-aggregates partials per key with the
-    merge function implied by the aggregate's dataType: counts merge
-    by SUM, sums by SUM, min by MIN, max by MAX. Callers pass the
-    merge explicitly to stay general:
+    ``aggs`` maps output column name → a SUM/COUNT/MIN/MAX aggregate
+    over input columns — the decomposable aggregates whose partials
+    merge with a known function (count/sum partials merge by SUM,
+    min by MIN, max by MAX):
 
         salted_agg(df, "k", {"n": F.count("*"), "total": F.sum("v")})
 
-    merges with SUM for both (count partials sum). For MIN/MAX pass
-    ``F.min``/``F.max`` aggregates — their partials merge with the
-    same function, which is detected from the expression name.
+    Any other aggregate (avg, first, countDistinct, ...) does NOT
+    merge correctly from per-salt partials and is rejected with
+    ``ValueError`` — compose them from supported pieces instead
+    (avg = sum/count) or pass ``merges`` mapping output name →
+    explicit merge builder (e.g. ``{"total": F.sum}``).
     """
     partial = with_salt(df, n_salts).groupBy(key, "_salt").agg(
         *[a.alias(name) for name, a in aggs.items()]
     )
     merged = []
     for name, a in aggs.items():
-        fn_name = str(a).lower()  # e.g. Column<'min(v)'>
-        fn_name = fn_name.split("'", 1)[-1]
-        if fn_name.startswith("min"):
+        if merges is not None and name in merges:
+            merged.append(merges[name](name).alias(name))
+            continue
+        # Column<'min(v) AS alias'> → leading function name
+        expr = str(a).split("'", 1)[-1].lower()
+        fn_name = expr.split("(", 1)[0].strip()
+        if fn_name in {"min"}:
             merged.append(F.min(name).alias(name))
-        elif fn_name.startswith("max"):
+        elif fn_name in {"max"}:
             merged.append(F.max(name).alias(name))
-        else:  # sum/count partials merge by sum
+        elif fn_name in {"sum", "count"}:
             merged.append(F.sum(name).alias(name))
+        else:
+            raise ValueError(
+                f"salted_agg: aggregate {str(a)!r} for output {name!r} has no "
+                "known partial-merge function (supported: sum, count, min, "
+                "max). Compose it from supported aggregates (avg = sum/count) "
+                "or pass merges={name: merge_builder}."
+            )
     return partial.groupBy(key).agg(*merged)
 
 

@@ -35,7 +35,15 @@ def read_event_stream(
     long (session sets ``nanosAsLong``; Spark has no nanos type) and is
     converted with exact integer division — float math would corrupt
     values above 2^53.
+
+    ``nanosAsLong`` is set on the caller's session so this works from a
+    vanilla SparkSession, not just session.get_spark() (same contract
+    as sources.readers.sf_table).
     """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The streaming file source requires a directory; select just the
     # events table out of the scale-factor dir with a glob filter.

@@ -103,3 +103,14 @@ def test_real_decode_is_cleanly_stubbed(media):
         pass
     with pytest.raises(NotImplementedError):
         decode_media_real(media)
+
+
+def test_frame_sampling_empty_payload_emits_no_rows(spark):
+    # sequence(0, -1) on an empty payload would emit a spurious
+    # frame_idx=0 row without the n_frames>0 guard (ADVICE r1).
+    media = spark.createDataFrame(
+        [("m0", b""), ("m1", b"abcdef")], "media_id string, payload binary"
+    )
+    rows = sample_frames(media, frame_bytes=4, every_n=1).collect()
+    assert {r["media_id"] for r in rows} == {"m1"}
+    assert len(rows) == 2  # ceil(6/4) frames for m1 only

@@ -75,3 +75,28 @@ def test_salted_join_matches_plain(spark, skewed):
         .agg(F.count("*").alias("n"), F.round(F.sum("v"), 2).alias("tv"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_agg_rejects_unmergeable_aggregates(spark, skewed):
+    # avg partials cannot merge by sum/min/max — must error, not return
+    # silently wrong results (ADVICE r1).
+    with pytest.raises(ValueError, match="no .*partial-merge"):
+        salted_agg(skewed, "k", {"m": F.avg("v")})
+    with pytest.raises(ValueError, match="no .*partial-merge"):
+        salted_agg(skewed, "k", {"f": F.first("v")})
+
+
+def test_salted_agg_explicit_merges_override(spark, skewed):
+    # min aliased through an expression the name-sniffer can't parse
+    # still works when the caller supplies the merge builder.
+    plain = {
+        r["k"]: r["lo2"]
+        for r in skewed.groupBy("k").agg((F.min("v") * 2).alias("lo2")).collect()
+    }
+    salted = {
+        r["k"]: r["lo2"]
+        for r in salted_agg(
+            skewed, "k", {"lo2": (F.min("v") * 2)}, merges={"lo2": F.min}
+        ).collect()
+    }
+    assert plain == salted

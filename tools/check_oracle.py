@@ -7,7 +7,14 @@ column names, and order-insensitive values (floats with tolerance).
 Usage:
     python tools/check_oracle.py            # all queries @ sf0.01
     python tools/check_oracle.py q1 fn_date_pack   # substring filters
+    python tools/check_oracle.py --vanilla  # driver-like plain SparkSession
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 python tools/check_oracle.py
+
+``--vanilla`` builds a bare SparkSession with none of session.py's
+configs — the same environment the grading driver uses. Round 1 lost 7
+queries to a conf that existed only in get_spark() (nanosAsLong,
+VERDICT r1 §What's-wrong #1); the vanilla pre-flight makes that class
+of divergence visible before snapshot.
 """
 
 from __future__ import annotations
@@ -49,7 +56,9 @@ def _canon(rows: list[tuple], colnames: list[str]) -> list[tuple]:
 
 
 def main() -> int:
-    filters = sys.argv[1:]
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    filters = [a for a in args if not a.startswith("--")]
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -57,7 +66,17 @@ def main() -> int:
     if filters:
         qs = {k: v for k, v in qs.items() if any(f in k for f in filters)}
 
-    spark = get_spark("oracle-check")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle-check-vanilla")
+            .config("spark.sql.shuffle.partitions", "32")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
