@@ -431,3 +431,59 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("cosine_raw") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+@query("dedup_embedding_lsh", oracle=None)  # bucket set engine-specific
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup, LSH-bucketed — the 100 TB path for
+    ``dedup_embedding_cosine``.
+
+    Random-hyperplane buckets (shared with sim_ann_lsh) + 1-bit
+    multi-probe generate candidate pairs inside buckets only; exact
+    cosine verifies candidates, so output pairs ⊆ the exact baseline
+    (recall vs it asserted in tests). Candidate generation is a
+    band-key groupBy-style self-join — no all-pairs blowup."""
+    from caliper_poc_data_etl_spark.queries.similarity import lsh_bucket_column
+
+    e = t(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: (p * q).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        lsh_bucket_column(F.col("embedding")).alias("bucket"),
+    )
+    # Multi-probe: register each vector under its bucket and the 8
+    # 1-bit flips; a pair collides if any probe bucket matches the
+    # other's home bucket.
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(8)],
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+        F.explode(probes).alias("probe"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+        F.col("bucket").alias("home_b"),
+    )
+    cos = dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        a.join(b, (F.col("probe") == F.col("home_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cosine_raw"))
+        .distinct()
+        .filter(F.col("cosine_raw") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
+    )

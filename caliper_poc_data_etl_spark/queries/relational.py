@@ -302,9 +302,19 @@ def join_asof(spark, sf_dir):
     click. Spark lacks a native ASOF; the scalable composition is a
     single sort within user partitions + a last-non-null running
     window over the unioned stream (one shuffle, no quadratic join).
+
+    Why not ``DataFrame._joinAsOf`` (the merge_asof backend): Spark
+    rewrites AsOfJoin into an equi-join on the partition key plus a
+    ``min_by`` aggregate, which materializes every (purchase, prior
+    click) pair per user before aggregating — quadratic in a hot
+    user's activity. The window form shuffles each row once, ever.
+    Only the 4 consumed columns are projected BEFORE the exchange, so
+    wide event payloads never enter the shuffle.
     """
     e = t(spark, sf_dir, "events")
-    stream = e.filter(F.col("event_type").isin("click", "purchase"))
+    stream = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
     # Order clicks before purchases on equal ts (ASOF uses <=).
     w = (
         W.partitionBy("user_id")

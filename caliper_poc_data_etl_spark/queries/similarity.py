@@ -142,6 +142,84 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
+N_CELLS = 16   # IVF inverted-list count
+N_PROBE = 4    # cells each query scans
+
+
+@query("sim_ivf_topk", oracle=None)  # cell assignment engine-specific
+def sim_ivf_topk(spark, sf_dir):
+    """Approximate top-k via IVF (inverted-file) cells — the second ANN
+    family next to ``sim_ann_lsh``.
+
+    Coarse quantizer: the N_CELLS lowest-vec_id vectors act as cell
+    centroids (deterministic; a k-means refinement would slot in the
+    same plan). Every corpus vector is assigned to its max-cosine
+    centroid with a broadcast×max_by aggregation (linear, one pass);
+    queries probe their N_PROBE nearest cells and score exact cosine
+    against only those cells' members. Recall vs ``sim_cosine_topk``
+    is asserted in tests.
+
+    100 TB shape: corpus↔centroid scoring is a broadcast nested loop
+    with map-side max_by partials (no shuffle of embeddings); the only
+    embedding shuffle is the narrow (vec_id, cell) join back, and
+    candidate scoring touches N_PROBE/N_CELLS of the corpus.
+    """
+    e = t(spark, sf_dir, "embeddings")
+    cent = (
+        e.orderBy("vec_id")
+        .limit(N_CELLS)
+        .select(
+            F.col("vec_id").alias("cell"), F.col("embedding").alias("cent_emb")
+        )
+    )
+    cos_cent = _dot(F.col("embedding"), F.col("cent_emb")) / (
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        * F.sqrt(_dot(F.col("cent_emb"), F.col("cent_emb")))
+    )
+    # Corpus→cell: argmax over the broadcast centroid set, carried as a
+    # narrow (vec_id, cell) table joined back by key.
+    assign = (
+        e.join(F.broadcast(cent))
+        .groupBy("vec_id")
+        .agg(F.max_by("cell", cos_cent).alias("cell"))
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    ).join(
+        assign.select(F.col("vec_id").alias("neighbor_id"), "cell"), "neighbor_id"
+    )
+    # Query→probe cells: rank centroids per query, keep N_PROBE.
+    qs = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("embedding")
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("probe_cos"), "cell")
+    q_probes = (
+        qs.join(F.broadcast(cent))
+        .select(
+            "query_id",
+            F.col("embedding").alias("q_emb"),
+            "cell",
+            cos_cent.alias("probe_cos"),
+        )
+        .withColumn("probe_rank", F.row_number().over(wq))
+        .filter(F.col("probe_rank") <= N_PROBE)
+        .select("query_id", "q_emb", "cell")
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    return (
+        corpus.join(F.broadcast(q_probes), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_raw", 4).alias("cosine"), "rank")
+    )
+
+
 @query(
     "sim_pairwise_label_stats",
     oracle="""

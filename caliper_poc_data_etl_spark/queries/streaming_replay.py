@@ -22,6 +22,7 @@ from caliper_poc_data_etl_spark.streaming import (
     read_event_stream,
     replay_to_df,
     sessionized_values,
+    sliding_totals,
     stateful_dedup,
     tumbling_counts,
 )
@@ -67,6 +68,29 @@ def stream_tumbling_replay(spark, sf_dir):
     """readStream → watermark → tumbling windows → availableNow replay."""
     events = read_event_stream(spark, sf_dir)
     return replay_to_df(tumbling_counts(events), mode="complete")
+
+
+_SLIDING_ORACLE = """
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS w0, * FROM events
+    ), windows AS (
+      SELECT w0 AS window_start, * FROM expanded
+      UNION ALL
+      SELECT w0 - INTERVAL '30 minutes' AS window_start, * FROM expanded
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM windows
+    GROUP BY 1
+"""
+
+
+@query("stream_sliding_replay", oracle=_SLIDING_ORACLE)
+def stream_sliding_replay(spark, sf_dir):
+    """readStream → watermark → sliding 1h/30min windows → availableNow
+    replay (streaming twin of ``ts_sliding_window``, same oracle)."""
+    events = read_event_stream(spark, sf_dir)
+    return replay_to_df(sliding_totals(events), mode="complete")
 
 
 @query("stream_session_replay", oracle=_SESSION_ORACLE)

@@ -28,38 +28,66 @@ def write_grouped_json(
       ``events`` array serialized as ONE JSON-array text line per
       group, matching the reference's ``JSON.stringify(events)`` files
       (file *naming* is declared non-semantic, SURVEY.md §7.3).
+    - ``layout='bulk'``: JSON-lines of ``(key, events)`` with NO per-key
+      directories — the 100 TB layout. Any file-per-group layout costs
+      O(distinct keys) filesystem metadata operations (measured ≈1 ms
+      per file even for a raw serial writer); bulk keeps file count =
+      task count and the grouping travels IN the data. Use this when
+      keys number in the millions and a downstream consumer can filter
+      by key (or re-partition coarsely) instead of addressing files.
 
-    The ``repartition(N, key)`` before ``partitionBy`` yields one file
-    per key directory instead of one-per-input-partition; at 100 TB
-    this is also what bounds the file count (files ≈ distinct keys,
-    not keys × tasks). ``repartitionByRange`` (not ``repartition``):
-    a hash ``repartition(N, key)`` is elided as redundant when the
-    upstream group-by already hash-partitioned on the key, after which
-    AQE coalesces the tiny shuffle to 1-2 tasks that create hundreds
-    of partition directories SERIALLY — measured 2-3× slower than the
-    write itself. Range partitioning is a different distribution, so
-    the exchange survives with its explicit task count, and each key
-    still lands in exactly one task.
+    Partitioning strategy: REUSE the input's existing distribution. The
+    callers' group-by / per-key projection already hash-partitions (or
+    uniquifies) the key, so each key's rows sit in exactly one task and
+    each partition directory gets ≈1 file — no extra exchange needed.
+    Two rejected alternatives, both measured slower at 100k rows:
+
+    - an explicit ``repartition(N, key)`` is elided as redundant against
+      the group-by's hash partitioning, after which AQE coalesces the
+      tiny final shuffle to 1-2 tasks that create hundreds of partition
+      directories SERIALLY (2-3× the write cost);
+    - ``repartitionByRange(N, key)`` survives elision but adds a range-
+      sampling pass that RECOMPUTES the entire upstream (scan + agg)
+      a second time — 3× the end-to-end wall clock.
+
+    Instead, AQE partition coalescing is disabled just for this write,
+    so the upstream's full task width carves the partition directories
+    in parallel; the conf is restored afterwards.
     """
-    n_writers = df.sparkSession.sparkContext.defaultParallelism
-    if layout == "reference":
-        (
-            df.select(F.col(key), F.to_json(F.col("events")).alias("value"))
-            .repartitionByRange(n_writers, F.col(key))
-            .write.mode("overwrite")
-            .partitionBy(key)
-            .text(target)
-        )
-    elif layout == "spark":
-        (
-            df.repartitionByRange(n_writers, F.col(key))
-            .write.mode("overwrite")
-            .option("ignoreNullFields", True)
-            .partitionBy(key)
-            .json(target)
-        )
-    else:
-        raise ValueError(f"layout must be 'spark' or 'reference', got {layout!r}")
+    spark = df.sparkSession
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    old = spark.conf.get(coalesce_key, None)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        if layout == "reference":
+            (
+                df.select(F.col(key), F.to_json(F.col("events")).alias("value"))
+                .write.mode("overwrite")
+                .partitionBy(key)
+                .text(target)
+            )
+        elif layout == "spark":
+            (
+                df.write.mode("overwrite")
+                .option("ignoreNullFields", True)
+                .partitionBy(key)
+                .json(target)
+            )
+        elif layout == "bulk":
+            (
+                df.write.mode("overwrite")
+                .option("ignoreNullFields", True)
+                .json(target)
+            )
+        else:
+            raise ValueError(
+                f"layout must be 'spark', 'reference' or 'bulk', got {layout!r}"
+            )
+    finally:
+        if old is None:
+            spark.conf.unset(coalesce_key)
+        else:
+            spark.conf.set(coalesce_key, old)
 
 
 def write_parquet(

@@ -37,7 +37,9 @@ def test_registry_shape():
     assert rows_only <= {
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_embedding_lsh",
         "sim_ann_lsh",
+        "sim_ivf_topk",
         "agg_approx_distinct",
         "stream_dedup_within_watermark",
         "mm_pixel_features",
@@ -117,6 +119,48 @@ class TestApproximateOperators:
         # Bucketed ANN on near-orthogonal synthetic vectors: modest
         # recall expected; this guards the plumbing, not the ceiling.
         assert recall >= 0.1, f"ANN recall {recall}"
+
+    def test_embedding_lsh_subset_of_exact(self, spark, oracle_sf_dir):
+        exact = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in QUERIES["dedup_embedding_cosine"].spark(spark, oracle_sf_dir).collect()
+        }
+        lsh = {
+            (r["vec_a"], r["vec_b"]): r["cosine"]
+            for r in QUERIES["dedup_embedding_lsh"].spark(spark, oracle_sf_dir).collect()
+        }
+        # Candidates are verified with exact cosine → no false positives,
+        # and scores must agree exactly on the overlap.
+        assert set(lsh) <= set(exact)
+        for k, v in lsh.items():
+            assert abs(v - exact[k]) < 1e-9
+        if exact:
+            recall = len(lsh) / len(exact)
+            # 8-hyperplane buckets + 1-bit multi-probe on synthetic
+            # vectors: plumbing guard, not a ceiling claim.
+            assert recall >= 0.1, f"embedding LSH recall {recall}"
+
+    def test_ivf_topk_agrees_with_exact_scores(self, spark, oracle_sf_dir):
+        exact_rows = QUERIES["sim_cosine_topk"].spark(spark, oracle_sf_dir).collect()
+        exact_top = {}
+        exact_cos = {}
+        for r in exact_rows:
+            exact_top.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+            exact_cos[(r["query_id"], r["neighbor_id"])] = r["cosine"]
+        ivf_rows = QUERIES["sim_ivf_topk"].spark(spark, oracle_sf_dir).collect()
+        assert ivf_rows, "IVF returned nothing"
+        for r in ivf_rows:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in exact_cos:
+                assert abs(r["cosine"] - exact_cos[key]) < 1e-9
+        hits = sum(
+            1
+            for r in ivf_rows
+            if r["neighbor_id"] in exact_top.get(r["query_id"], set())
+        )
+        recall = hits / sum(len(v) for v in exact_top.values())
+        # probing 4/16 cells of near-orthogonal vectors — plumbing guard.
+        assert recall >= 0.1, f"IVF recall {recall}"
 
     def test_approx_percentile_error(self, spark, oracle_sf_dir):
         """approx_percentile (t-digest, the 100 TB path) stays within

@@ -35,6 +35,8 @@ EXPECTED_NLJ = {
     "dedup_embedding_cosine",
     "sim_pairwise_label_stats",
     "sim_cosine_topk",  # broadcast NLJ on purpose: tiny query side
+    "sim_ivf_topk",  # corpus × broadcast 16-centroid table (coarse quantizer)
+    "sim_label_centroid_stats",  # |labels|² broadcast self-join of per-label sums
 }
 
 
