@@ -37,6 +37,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     multimodal_q,
     udf_escape,
     scans,
+    curation,
 )
 
 # ---------------------------------------------------------------------------
@@ -57,6 +58,11 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
 # ---------------------------------------------------------------------------
 _DEFERRED = [
     # green in r01, implementation unchanged since:
+    "caliper_eventize_flat",
+    "caliper_group_events",
+    "caliper_fanout",
+    "caliper_split_multivalue",
+    "q1_pricing_summary",
     "scan_project",
     "q3_top_revenue",
     "q5_local_supplier_revenue",

@@ -1,0 +1,341 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The north star's "operations a large-scale training-data pipeline
+would need" beyond dedup/similarity/text-analysis: PII redaction,
+repetition-based quality filtering (Gopher-style), deterministic
+train/val/test splitting, stratified sampling, weighted source
+mixing, and global fuzzy-dedup clustering (connected components over
+near-dup pairs).
+
+All batch paths are pure Column expressions (whole-stage codegen; no
+Python) except the clustering loop, which is the standard iterative
+join/agg idiom (see graph.py). Determinism is load-bearing: splits
+and mixes hash stable keys (md5 agrees across engines and runs), so
+re-running the pipeline on 100 TB assigns every document the same
+split — a requirement for incremental corpus builds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from caliper_poc_data_etl_spark.queries.dedup import _NGRAM_ORACLE, dedup_ngram_jaccard
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+# Parenthesized (group 1) so regexp_extract_all's default group works
+# on both engines. Java regex and RE2 agree on this subset (\d, \b,
+# bounded quantifiers, character classes).
+EMAIL_RE = r"([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})"
+PHONE_RE = r"(\b\d{3}-\d{2,6}\b)"
+IP_RE = r"(\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)"
+
+
+def redact_pii(col):
+    """Redacted text Column: emails → <EMAIL>, IPv4 → <IP>, dashed
+    phone numbers → <PHONE>. Email first (may contain digits/dots),
+    then IP (dotted digit runs), then phone."""
+    return F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), IP_RE, "<IP>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com ph 555-01'
+                  || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{EMAIL_RE}', 1)) AS n_emails,
+           len(regexp_extract_all(raw, '{PHONE_RE}', 1)) AS n_phones,
+           len(regexp_extract_all(raw, '{IP_RE}', 1))    AS n_ips,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw, '{EMAIL_RE}', '<EMAIL>', 'g'),
+               '{IP_RE}', '<IP>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+    FROM synth
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    """PII redaction: emails / phone numbers / IPv4 addresses replaced
+    with typed placeholders, plus per-kind match counts (the audit
+    columns a compliance pass needs).
+
+    The synthetic corpus contains no PII, so a deterministic PII
+    suffix derived from ``doc_id`` is appended first — the redaction
+    regexes then do real work and the oracle checks engine parity on
+    the full redacted text. Redaction order is email → IP → phone
+    (emails can contain digits/dots; IPs must be consumed before the
+    phone pattern sees digit runs)."""
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ph 555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    s = d.select("doc_id", raw.alias("raw"))
+    redacted = redact_pii(F.col("raw"))
+    return s.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(EMAIL_RE))).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(PHONE_RE))).alias("n_phones"),
+        F.size(F.regexp_extract_all("raw", F.lit(IP_RE))).alias("n_ips"),
+        redacted.alias("redacted"),
+    )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 2
+    ),
+    feats AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             list_max(list_transform(list_distinct(tk),
+                      x -> len(list_filter(tk, y -> y = x)))) AS top_tok_cnt,
+             len(list_distinct(tk)) AS n_distinct,
+             list_transform(range(1, len(tk)),
+                            i -> tk[i] || ' ' || tk[i+1]) AS bg
+      FROM toks
+    )
+    SELECT doc_id,
+           ROUND(top_tok_cnt * 1.0 / n_tokens, 4) AS top_token_frac,
+           ROUND(1.0 - n_distinct * 1.0 / n_tokens, 4) AS dup_token_ratio,
+           ROUND(list_max(list_transform(list_distinct(bg),
+                          x -> len(list_filter(bg, y -> y = x))))
+                 * 1.0 / len(bg), 4) AS top_bigram_frac,
+           (top_tok_cnt * 1.0 / n_tokens) <= 0.2
+             AND (1.0 - n_distinct * 1.0 / n_tokens) <= 0.6 AS keep
+    FROM feats
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Repetition-based quality signals (Gopher/RefinedWeb-style):
+    most-frequent-token fraction, duplicate-token ratio, most-frequent-
+    bigram fraction, and a keep gate. All per-row array algebra —
+    O(distinct×tokens) per document, zero shuffle, codegen-compiled."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.col("tk")
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(tk),
+            lambda x: F.size(F.filter(tk, lambda y: y == x)),
+        )
+    )
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(tk, i), F.element_at(tk, i + 1)),
+    )
+    bgc = F.col("bg")
+    top_bg_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(bgc),
+            lambda x: F.size(F.filter(bgc, lambda y: y == x)),
+        )
+    )
+    top_frac = F.col("top_tok_cnt") / F.col("n_tokens")
+    dup_ratio = 1.0 - F.col("n_distinct") / F.col("n_tokens")
+    return (
+        d.select("doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("tk"))
+        .filter(F.size(tk) >= 2)
+        .select(
+            "doc_id",
+            F.size(tk).alias("n_tokens"),
+            top_cnt.alias("top_tok_cnt"),
+            F.size(F.array_distinct(tk)).alias("n_distinct"),
+            bg.alias("bg"),
+        )
+        .select(
+            "doc_id",
+            F.round(top_frac, 4).alias("top_token_frac"),
+            F.round(dup_ratio, 4).alias("dup_token_ratio"),
+            F.round(top_bg_cnt / F.size(bgc), 4).alias("top_bigram_frac"),
+            ((top_frac <= 0.2) & (dup_ratio <= 0.6)).alias("keep"),
+        )
+    )
+
+
+# Hex-prefix thresholds on md5: 'cc' = 204/256 ≈ 0.797 (train),
+# 'e6' = 230/256 ≈ 0.898 (val), rest test — the standard
+# hash-a-stable-key split that stays identical across runs, engines,
+# and incremental corpus additions.
+@query(
+    "sample_hash_split",
+    oracle="""
+    SELECT doc_id,
+           substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (~80/10/10) by hashing the
+    stable document key — no RNG, no seed plumbing; a document's split
+    never changes as the corpus grows. Pure map stage at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+STRATUM_SAMPLE_N = 10
+
+
+@query(
+    "sample_stratified_lang",
+    oracle=f"""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= {STRATUM_SAMPLE_N}
+    """,
+)
+def sample_stratified_lang(spark, sf_dir):
+    """Stratified sample: exactly N documents per language, chosen by
+    hash order (deterministic reservoir). One hash-partitioned window
+    per stratum — the skew risk is a giant stratum, which AQE handles;
+    for top-N-per-huge-group a partial `rank <= N` pre-filter per
+    partition is the known refinement."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= STRATUM_SAMPLE_N)
+    )
+
+
+# Source-mixing tiers: rate by src_num % 4 → 1.0 / 0.5 / 0.25 / 0.1.
+# Keep-decision hashes (source, doc_id) so each source's subsample is
+# independent and deterministic. '80'=128/256, '40'=64/256,
+# '1a'=26/256≈0.102.
+@query(
+    "mix_weighted_sources",
+    oracle="""
+    WITH tagged AS (
+      SELECT source,
+             CAST(regexp_extract(source, 'src(\\d+)', 1) AS INTEGER) % 4 AS tier,
+             substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents
+    )
+    SELECT source,
+           CAST(CASE tier WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                          WHEN 2 THEN 0.25 ELSE 0.1 END AS DOUBLE) AS target_rate,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN tier = 0 OR (tier = 1 AND b < '80')
+                          OR (tier = 2 AND b < '40')
+                          OR (tier = 3 AND b < '1a')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM tagged
+    GROUP BY source, tier
+    """,
+)
+def mix_weighted_sources(spark, sf_dir):
+    """Weighted dataset mixing: each source gets a target sampling
+    rate; membership is decided by hashing (source, doc_id), so the
+    mix is reproducible and incremental. This is the corpus-recipe
+    operator (e.g. upweight curated sources, downsample crawl)."""
+    d = t(spark, sf_dir, "documents")
+    tier = (F.regexp_extract("source", r"src(\d+)", 1).cast("int") % 4).alias("tier")
+    b = F.substring(
+        F.md5(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string"))),
+        1,
+        2,
+    )
+    tagged = d.select("source", tier, b.alias("b"))
+    keep = (
+        (F.col("tier") == 0)
+        | ((F.col("tier") == 1) & (F.col("b") < "80"))
+        | ((F.col("tier") == 2) & (F.col("b") < "40"))
+        | ((F.col("tier") == 3) & (F.col("b") < "1a"))
+    )
+    rate = (
+        F.when(F.col("tier") == 0, 1.0)
+        .when(F.col("tier") == 1, 0.5)
+        .when(F.col("tier") == 2, 0.25)
+        .otherwise(0.1)
+    )
+    return tagged.groupBy("source", rate.alias("target_rate")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+    )
+
+
+@query(
+    "dedup_cluster_cc",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT doc_id AS node, doc_id AS comp FROM documents
+      UNION
+      SELECT e.dst AS node, r.comp
+      FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id,
+           CAST(MIN(comp) AS BIGINT) AS cluster_rep,
+           MIN(comp) = node AS is_keeper
+    FROM reach
+    GROUP BY node
+    """,
+)
+def dedup_cluster_cc(spark, sf_dir):
+    """Global fuzzy-dedup clustering: near-dup pairs (3-gram Jaccard ≥
+    0.8, the oracle-parity exact path) → connected components → one
+    keeper per transitive duplicate group. This is the stage a
+    pairwise dedup is incomplete without: A~B and B~C collapse to one
+    keeper even though A~C was never emitted.
+
+    Components via iterative min-label propagation (graph.py) — per
+    round one equi-join + one group-by, lineage truncated per round;
+    rounds bounded by cluster diameter (near-dup groups are
+    near-cliques). Oracle: recursive-CTE reachability closure."""
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = t(spark, sf_dir, "documents").select("doc_id")
+    from caliper_poc_data_etl_spark.graph import connected_components
+
+    labels = connected_components(
+        nodes, pairs, node_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("comp").alias("cluster_rep"),
+        (F.col("comp") == F.col("node")).alias("is_keeper"),
+    )
