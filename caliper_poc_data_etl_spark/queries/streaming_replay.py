@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from caliper_poc_data_etl_spark.queries.registry import query
 from caliper_poc_data_etl_spark.streaming import (
+    click_purchase_join,
     read_event_stream,
     replay_to_df,
     sessionized_values,
@@ -98,6 +99,35 @@ def stream_session_replay(spark, sf_dir):
     """readStream → watermark → session windows → availableNow replay."""
     events = read_event_stream(spark, sf_dir)
     return replay_to_df(sessionized_values(events), mode="complete")
+
+
+_JOIN_ORACLE = """
+    SELECT p.event_id,
+           p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           c.event_id AS click_event_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+"""
+
+
+@query("stream_join_replay", oracle=_JOIN_ORACLE)
+def stream_join_replay(spark, sf_dir):
+    """Stream-stream join replay: two independent readStreams over the
+    same event source (clicks / purchases), watermarked both sides,
+    joined with a two-sided time bound so join state is evictable —
+    the missing operator family from round 1's streaming surface.
+    Append mode: joined pairs emit as matches occur."""
+    clicks = read_event_stream(spark, sf_dir).filter(F.col("event_type") == "click")
+    purchases = read_event_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    return replay_to_df(click_purchase_join(clicks, purchases), mode="append")
 
 
 @query("stream_dedup_within_watermark", oracle=None)  # survivor timing-specific

@@ -1,0 +1,390 @@
+"""Training-data preparation operators (round-2 additions).
+
+The ops an LLM pretraining/RAG corpus build needs between curation
+(curation.py) and tokenization: document chunking, token-budget
+sequence packing, benchmark decontamination, TF-IDF term scoring,
+inverted-index construction, plus the analytics staples the reference
+never had (funnel analysis, histograms).
+
+Scale notes (100 TB):
+
+- ``chunk_documents`` is a pure per-row explode — zero shuffle; chunk
+  count scales output linearly but each task streams its own rows.
+- ``pack_sequences`` is the GPT-style token-stream packing. A single
+  global running offset would serialize on one reducer, so packing is
+  SHARDED: documents hash into independent shards and the running
+  cumsum window partitions by shard — every shard packs in parallel
+  and emits its own sequence space. This is how production packers
+  scale (per-worker streams), and it is deterministic.
+- ``decontam_ngram_overlap`` broadcasts the benchmark shingle set
+  (benchmarks are tiny next to a crawl); the corpus side never
+  shuffles its documents — only its exploded shingles join the
+  broadcast, then a groupBy on doc_id (the natural key) counts hits.
+- ``tfidf_top_terms`` / ``inverted_index_postings`` shuffle on term —
+  the canonical document-frequency shape. The corpus-size scalar
+  joins in as a broadcast 1-row frame (no driver-side ``.count()``
+  action stitched into the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+PACK_SHARDS = 8
+PACK_BUDGET = 2048
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "chunk_documents",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_SIZE})
+             AS chunk,
+           CAST(len(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT),
+                           {CHUNK_SIZE})) AS INTEGER) AS chunk_len
+    FROM documents,
+         UNNEST(range(0, CAST(ceil(len(text) * 1.0 / {CHUNK_STRIDE}) AS BIGINT)))
+           AS u(i)
+    WHERE len(text) > 0
+    """,
+)
+def chunk_documents(spark, sf_dir):
+    """RAG-style chunking: fixed-size overlapping windows (200 chars,
+    stride 150 → 50-char overlap) per document. Entirely per-row
+    Column code (sequence + explode + substring) — no shuffle, runs in
+    whole-stage codegen; at 100 TB each task chunks its own split."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    n_chunks = F.ceil(F.length("text") / F.lit(float(CHUNK_STRIDE))).cast("long")
+    chunk = F.expr(
+        f"substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})"
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            chunk.alias("chunk"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             doc_id % {PACK_SHARDS} AS shard,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    offs AS (
+      SELECT doc_id, shard, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM sized
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(FLOOR(cum_before / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+           CAST(cum_before % {PACK_BUDGET} AS BIGINT) AS seq_offset
+    FROM offs
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Token-stream sequence packing: lay documents end-to-end and
+    assign each to the {budget}-token training sequence its start
+    offset falls in — the standard pretraining packer, sharded so the
+    running offset parallelizes (one window per shard, not one global
+    single-partition window). Token counts are whitespace counts here;
+    swap in the BPE-regex counter (text_token_count) for real runs."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = sized.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return offs.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor(F.col("cum_before") / PACK_BUDGET).alias("seq_id"),
+        (F.col("cum_before") % PACK_BUDGET).alias("seq_offset"),
+    )
+
+
+# Benchmark set: every 97th document plays the held-out eval set; the
+# remaining corpus is checked for 3-gram overlap against it.
+_DECONTAM_MOD = 97
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, s
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+        FROM tk WHERE len(tk) >= 3
+      )
+    ),
+    bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % {_DECONTAM_MOD} = 0),
+    hits AS (
+      SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT doc_id, s FROM sh WHERE doc_id % {_DECONTAM_MOD} <> 0) c
+      JOIN bench USING (s)
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n, 0) AS n_overlap_shingles,
+           COALESCE(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {_DECONTAM_MOD} <> 0
+    """,
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents sharing any
+    word-3-gram with a (synthetic) held-out benchmark set. The
+    benchmark shingle set is tiny relative to the corpus, so it is
+    broadcast — corpus documents never shuffle; only their exploded
+    shingles meet the broadcast set, then hits aggregate on doc_id."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.trim(F.col("text")), r"\s+")
+    shingled = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 3)
+    tkc = F.col("tk")
+    tri = F.transform(
+        F.sequence(F.lit(1), F.size(tkc) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tkc, i), F.element_at(tkc, i + 1), F.element_at(tkc, i + 2)
+        ),
+    )
+    sh = (
+        shingled.select("doc_id", F.explode(F.array_distinct(tri)).alias("s"))
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _DECONTAM_MOD == 0).select("s").distinct()
+    )
+    hits = (
+        sh.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        d.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_overlap_shingles"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf,
+           ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf
+    FROM tf JOIN df USING (term), n
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF.
+
+    Ranking key is (tf DESC, df ASC, term) — integers, so the window
+    order is engine-exact; the float score is output-only (rounded).
+    The corpus-size scalar joins in as a broadcast one-row aggregate
+    (a plan node, not a driver-side .count())."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           (list(doc_id ORDER BY doc_id))[1:10] AS top_postings
+    FROM tf
+    GROUP BY term
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index build: term → document frequency, total term
+    frequency, and the first 10 postings (doc ids, ascending). The
+    full posting list at scale is the sorted collect per term —
+    bounded here to a prefix so hot terms don't blow the row; the
+    production sink would write the whole list per term-partition."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tf").alias("total_tf"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10).alias("top_postings"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH mv AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v
+      FROM events GROUP BY user_id
+    ),
+    mc AS (
+      SELECT e.user_id, MIN(e.ts) AS c
+      FROM events e JOIN mv ON e.user_id = mv.user_id
+      WHERE e.event_type = 'click' AND mv.v IS NOT NULL AND e.ts >= mv.v
+      GROUP BY e.user_id
+    ),
+    mp AS (
+      SELECT e.user_id, MIN(e.ts) AS p
+      FROM events e JOIN mc ON e.user_id = mc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= mc.c
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM mv WHERE v IS NOT NULL)
+             AS n_viewed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mc) AS n_clicked_after_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM mp) AS n_purchased_after_click
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered event funnel: users who viewed → first click at/after
+    the first view → first purchase at/after that click. Three
+    aggregations on the same key (user_id) — co-partitioned, so the
+    two joins reuse the hash partitioning; final counts cross-join as
+    1-row frames."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    mv = (
+        e.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    mc = (
+        e.filter(F.col("event_type") == "click")
+        .join(mv, "user_id")
+        .filter(F.col("ts") >= F.col("v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c"))
+    )
+    mp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(mc, "user_id")
+        .filter(F.col("ts") >= F.col("c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    return (
+        mv.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(mc.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(mp.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+_HIST_WIDTH = 50_000
+
+
+@query(
+    "hist_order_totals",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) * {_HIST_WIDTH} AS DOUBLE)
+             AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(AVG(o_totalprice), 2) AS avg_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def hist_order_totals(spark, sf_dir):
+    """Equi-width histogram (the profiling primitive): fixed-width
+    value buckets with per-bucket count and mean. Single hash agg on a
+    derived key — map-side partials make this scan-bound at any
+    scale."""
+    o = t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / _HIST_WIDTH)
+    return o.groupBy(
+        bucket.alias("bucket"),
+        (bucket * _HIST_WIDTH).cast("double").alias("bucket_lo"),
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )

@@ -14,6 +14,7 @@ from caliper_poc_data_etl_spark.streaming.caliper import (  # noqa: F401
     run_attempts_stream,
 )
 from caliper_poc_data_etl_spark.streaming.events import (  # noqa: F401
+    click_purchase_join,
     read_event_stream,
     replay_to_df,
     sessionized_values,

@@ -121,6 +121,47 @@ def stateful_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    lookback: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase paired with the same
+    user's clicks in the preceding ``lookback`` interval.
+
+    Both sides carry a watermark and the join predicate bounds click
+    time against purchase time from BOTH directions — the contract
+    Structured Streaming needs to evict join state: a buffered click
+    can be dropped once the purchase-side watermark passes
+    click_ts + lookback. Without the time bound, state grows forever.
+    Works identically on batch frames (oracle path).
+    """
+    c = clicks.select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select("event_id", "user_id", F.col("ts").alias("purchase_ts"))
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", watermark)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", watermark)
+    cond = (
+        (p["user_id"] == c["c_user_id"])
+        & (c["click_ts"] <= p["purchase_ts"])
+        & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {lookback}"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return p.join(c, cond, "inner").select(
+        "event_id",
+        "user_id",
+        F.date_format("purchase_ts", fmt).alias("purchase_ts"),
+        "click_event_id",
+        F.date_format("click_ts", fmt).alias("click_ts"),
+    )
+
+
 def replay_to_df(
     stream_df: DataFrame, mode: str = "append", timeout_s: int = 300
 ) -> DataFrame:
