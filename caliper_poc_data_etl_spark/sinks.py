@@ -53,13 +53,22 @@ def write_grouped_json(
     Instead, AQE partition coalescing is disabled just for this write,
     so the upstream's full task width carves the partition directories
     in parallel; the conf is restored afterwards.
+
+    Input forms: ``(key, events: array<struct>)`` (struct form) or
+    ``(key, value: string)`` from
+    ``pipelines.items.items_grouped_json_by_attempt`` (pre-serialized
+    form — measured 3-4× faster end-to-end at 1M rows because events
+    serialize before the shuffle; see that function's docstring).
     """
+    pre_serialized = dict(df.dtypes).get("value") == "string"
     spark = df.sparkSession
     coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     old = spark.conf.get(coalesce_key, None)
     spark.conf.set(coalesce_key, "false")
     try:
-        if layout == "reference":
+        if pre_serialized:
+            _write_pre_serialized(df, target, key=key, layout=layout)
+        elif layout == "reference":
             (
                 df.select(F.col(key), F.to_json(F.col("events")).alias("value"))
                 .write.mode("overwrite")
@@ -88,6 +97,51 @@ def write_grouped_json(
             spark.conf.unset(coalesce_key)
         else:
             spark.conf.set(coalesce_key, old)
+
+
+def _write_pre_serialized(
+    df: DataFrame, target: str, *, key: str, layout: str
+) -> None:
+    """Sink the ``(key, value: string)`` form — text writes only, no
+    datasource re-serialization.
+
+    - reference: same bytes/partition-dirs as the struct path.
+    - spark: partition-dir per key, JSON-lines ``{"events": [...]}``
+      (field order differs from the struct path; same data).
+    - bulk: single flat JSON-lines file set with the key inlined —
+      the key is JSON-escaped by serializing a 1-field struct and
+      splicing the events array into it, so arbitrary key strings
+      stay valid JSON.
+    """
+    if layout == "reference":
+        df.select(F.col(key), "value").write.mode("overwrite").partitionBy(
+            key
+        ).text(target)
+    elif layout == "spark":
+        (
+            df.select(
+                F.col(key),
+                F.concat(F.lit('{"events":'), F.col("value"), F.lit("}")).alias(
+                    "value"
+                ),
+            )
+            .write.mode("overwrite")
+            .partitionBy(key)
+            .text(target)
+        )
+    elif layout == "bulk":
+        head = F.to_json(F.struct(F.col(key)))
+        line = F.concat(
+            F.substring(head, 1, F.length(head) - 1),
+            F.lit(',"events":'),
+            F.col("value"),
+            F.lit("}"),
+        )
+        df.select(line.alias("value")).write.mode("overwrite").text(target)
+    else:
+        raise ValueError(
+            f"layout must be 'spark', 'reference' or 'bulk', got {layout!r}"
+        )
 
 
 def write_parquet(

@@ -110,6 +110,35 @@ class TestItemsPipeline:
         assert len(files) == 1
         assert json.loads(files[0].read_text().strip()) == [GOLDEN_OUTCOME]
 
+    def test_pre_serialized_matches_struct_path(self, spark, items_csv, tmp_path):
+        """items_grouped_json_by_attempt must be byte-identical to
+        to_json over the struct grouping, for every sink layout."""
+        from pyspark.sql import functions as F
+
+        from caliper_poc_data_etl_spark.pipelines import items as items_mod
+        from caliper_poc_data_etl_spark.sinks import write_grouped_json
+
+        items = read_csv(spark, items_csv, ASSESSMENT_ITEMS_FIDELITY)
+        ev = item_outcome_events(items)
+        struct_json = dict(
+            items_grouped_by_attempt(ev)
+            .select("attempt_id", F.to_json("events"))
+            .collect()
+        )
+        pre = items_mod.items_grouped_json_by_attempt(ev)
+        assert dict(pre.collect()) == struct_json
+        # bulk layout: every line is valid standalone JSON with the key.
+        write_grouped_json(pre, str(tmp_path / "bulk"), layout="bulk")
+        lines = [
+            json.loads(ln)
+            for f in (tmp_path / "bulk").glob("part-*.txt")
+            for ln in f.read_text().splitlines()
+        ]
+        assert {l["attempt_id"] for l in lines} == set(struct_json)
+        for l in lines:
+            assert json.dumps(l["events"]) is not None
+            assert [e for e in l["events"]]
+
     def test_group_sizes_invariant(self, spark, items_csv):
         """Σ group sizes == surviving rows (FIXTURES.md §4 invariant)."""
         items = read_csv(spark, items_csv, ASSESSMENT_ITEMS_FIDELITY)
