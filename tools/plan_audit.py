@@ -39,6 +39,16 @@ EXPECTED_NLJ = {
     "sim_label_centroid_stats",  # |labels|² broadcast self-join of per-label sums
 }
 
+# Queries that cross-join a broadcast ONE-ROW aggregate (a scalar
+# carried as a plan node instead of a driver-side .collect()); the
+# BroadcastNestedLoopJoin there multiplies by 1, not by a table.
+EXPECTED_SCALAR_BNLJ = {
+    "tfidf_top_terms",  # corpus-size scalar for the idf term
+    "funnel_conversion",  # three 1-row stage counts combined
+    "window_ntile",  # N-total scalar for bucket arithmetic
+}
+EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
+
 
 def audit(name: str, df) -> list[str]:
     # Materialize through the noop sink so AQE finalizes the plan —
