@@ -116,6 +116,8 @@ _NEXT = [
     "funnel_conversion",
     "hist_order_totals",
     "stream_join_replay",
+    "upsert_latest_state",
+    "sample_cap_per_source",
 ]
 
 _missing = [n for n in (*_DEFERRED, *_NEXT) if n not in QUERIES]

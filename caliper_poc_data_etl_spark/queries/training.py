@@ -359,6 +359,79 @@ def funnel_conversion(spark, sf_dir):
     )
 
 
+@query(
+    "upsert_latest_state",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           event_type AS last_event_type,
+           ROUND(value, 2) AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def upsert_latest_state(spark, sf_dir):
+    """Changelog → current-state materialization (the CDC upsert /
+    MERGE read path): latest row per key wins; a terminal ``error``
+    event acts as a tombstone that deletes the key from the state
+    table. One window per key partition — the standard incremental-
+    view compaction, shuffle bounded by key cardinality."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.round("value", 2).alias("last_value"),
+        )
+    )
+
+
+_CAP_PER_SOURCE = 40
+
+
+@query(
+    "sample_cap_per_source",
+    oracle=f"""
+    SELECT doc_id, source, sample_rank FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= {_CAP_PER_SOURCE}
+    """,
+)
+def sample_cap_per_source(spark, sf_dir):
+    """Per-domain document cap (the crawl-curation guard against one
+    domain dominating the corpus): keep at most N docs per source,
+    chosen by deterministic hash order so the cap is stable across
+    runs and engines. Same shape as stratified sampling; the skew
+    refinement for a giant source is a per-partition pre-rank filter
+    before the window."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("sample_rank"))
+        .filter(F.col("sample_rank") <= _CAP_PER_SOURCE)
+    )
+
+
 _HIST_WIDTH = 50_000
 
 

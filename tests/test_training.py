@@ -145,6 +145,33 @@ def test_histogram_buckets_partition_orders(spark, sf_dir):
         assert r["bucket_lo"] <= r["avg_price"] <= r["bucket_lo"] + 50_000
 
 
+def test_upsert_latest_state_tombstones(spark, sf_dir):
+    from caliper_poc_data_etl_spark.queries.training import upsert_latest_state
+
+    e = t(spark, sf_dir, "events")
+    out = upsert_latest_state(spark, sf_dir)
+    assert out.filter(F.col("last_event_type") == "error").count() == 0
+    # ≤ one state row per user; users whose LAST event errored are absent
+    n_users = e.select("user_id").distinct().count()
+    assert out.count() <= n_users
+    assert out.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_sample_cap_per_source(spark, sf_dir):
+    from caliper_poc_data_etl_spark.queries.training import (
+        _CAP_PER_SOURCE,
+        sample_cap_per_source,
+    )
+
+    out = sample_cap_per_source(spark, sf_dir)
+    per_src = out.groupBy("source").count().collect()
+    for r in per_src:
+        assert r["count"] <= _CAP_PER_SOURCE
+    # Deterministic: re-running yields the identical sample.
+    again = {tuple(r) for r in sample_cap_per_source(spark, sf_dir).collect()}
+    assert {tuple(r) for r in out.collect()} == again
+
+
 def test_stream_join_matches_batch(spark, sf_dir):
     clicks_s = read_event_stream(spark, sf_dir).filter(F.col("event_type") == "click")
     purch_s = read_event_stream(spark, sf_dir).filter(
