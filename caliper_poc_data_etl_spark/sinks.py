@@ -178,6 +178,40 @@ def write_file(
     writer.save(target)
 
 
+def compact_files(
+    spark,
+    source: str,
+    target: str,
+    *,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Small-file compaction — the table-maintenance operator every
+    long-running ingest needs (streaming sinks and per-key layouts
+    accrete files; scan cost grows with file COUNT, not bytes).
+
+    Read the source directory and rewrite it with AQE partition
+    coalescing deciding the output width: tiny input partitions merge
+    up to the session's advisory partition size, so output file count
+    tracks data volume instead of historical task counts.
+    ``max_records_per_file`` caps the other direction (files too big
+    to parallelize over). No driver-side file listing loops — the
+    rewrite is one distributed job either way.
+    """
+    df = spark.read.format(fmt).load(source)
+    # REBALANCE is the AQE-native reshuffle: the optimizer sizes the
+    # post-shuffle partitions to the advisory size (splitting skewed
+    # ones, merging tiny ones); a plain coalesce() would keep
+    # historical file boundaries glued into uneven tasks.
+    writer = df.hint("rebalance").write.mode("overwrite").format(fmt)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(target)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

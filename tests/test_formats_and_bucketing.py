@@ -100,3 +100,19 @@ def test_read_orc_alias(spark, orders, tmp_path):
     target = str(tmp_path / "orc2")
     orders.write.mode("overwrite").orc(target)
     assert _rows(read_orc(spark, target).select(*orders.columns)) == _rows(orders)
+
+
+def test_compact_files_merges_small_files(spark, orders, tmp_path):
+    from caliper_poc_data_etl_spark.sinks import compact_files
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    # Simulate a file-count explosion: 64 tiny files.
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    n_src = len(list((tmp_path / "fragmented").glob("part-*.parquet")))
+    assert n_src >= 64
+    compact_files(spark, src, dst)
+    n_dst = len(list((tmp_path / "compacted").glob("part-*.parquet")))
+    assert 1 <= n_dst < n_src / 4
+    # Zero loss, identical data.
+    assert _rows(spark.read.parquet(dst)) == _rows(orders)
