@@ -118,6 +118,7 @@ _NEXT = [
     "stream_join_replay",
     "upsert_latest_state",
     "sample_cap_per_source",
+    "stream_stateful_profile_replay",
 ]
 
 _missing = [n for n in (*_DEFERRED, *_NEXT) if n not in QUERIES]

@@ -130,6 +130,39 @@ def stream_join_replay(spark, sf_dir):
     return replay_to_df(click_purchase_join(clicks, purchases), mode="append")
 
 
+_PROFILE_ORACLE = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 2) AS total_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_seen,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen
+    FROM events GROUP BY user_id
+"""
+
+
+@query("stream_stateful_profile_replay", oracle=_PROFILE_ORACLE)
+def stream_stateful_profile_replay(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState) replay: the
+    per-user running profile folded across micro-batches. Replaying
+    the single-file source is one batch, so the update-mode emission
+    is exactly the final profile per user — which must equal the batch
+    aggregation, and that equality is what the oracle checks. The
+    multi-batch incremental path is pytest-covered
+    (tests/test_streaming.py)."""
+    from caliper_poc_data_etl_spark.streaming.stateful import user_profiles
+
+    events = read_event_stream(spark, sf_dir)
+    out = replay_to_df(user_profiles(events), mode="update")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 2).alias("total_value"),
+        F.date_format("first_seen", fmt).alias("first_seen"),
+        F.date_format("last_seen", fmt).alias("last_seen"),
+    )
+
+
 @query("stream_dedup_within_watermark", oracle=None)  # survivor timing-specific
 def stream_dedup_within_watermark(spark, sf_dir):
     """readStream → dropDuplicatesWithinWatermark(event_id) replay;
