@@ -103,19 +103,23 @@ _DEFERRED = [
     "fn_map_pack",
 ]
 
-# New in round 2: none of these has graded evidence yet, but the 50
-# front slots are reserved for the round-1-ungraded families whose
-# first row lands this round; these queue immediately behind for the
-# next rotation (ahead of the r01-green deferred tail).
+# Queued immediately behind the 50 front slots for the next rotation
+# (ahead of the r01-green deferred tail). Two kinds of entries:
+# round-2 additions that didn't fit the window, and same-family
+# VARIANTS demoted to make room for first-of-family operators — a
+# family with several graded siblings (text stats/quality/langid/
+# token-count all front) loses less from deferring its 5th variant
+# than a brand-new family (chunking, packing, decontamination,
+# stream-stream join) loses from having no row at all.
 _NEXT = [
-    "chunk_documents",
-    "pack_sequences",
-    "decontam_ngram_overlap",
+    "text_fingerprint",      # text family: 4 siblings stay front
+    "text_ngram_shingles",   # text family: 4 siblings stay front
+    "ts_rate_per_day",       # timeseries family: 4 siblings stay front
+    "dedup_exact_normalized",  # dedup family: dedup_exact stays front
     "tfidf_top_terms",
     "inverted_index_postings",
     "funnel_conversion",
     "hist_order_totals",
-    "stream_join_replay",
     "upsert_latest_state",
     "sample_cap_per_source",
     "stream_stateful_profile_replay",
