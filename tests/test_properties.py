@@ -146,3 +146,107 @@ def test_limit_applies_before_validation_like_reference(spark, rows, limit):
     expected = sum(1 for row in rows[:limit] if all(v != "" for v in row))
     got = assessment_attempt_events(df, limit=limit).count()
     assert got == expected
+
+
+# ---------------------------------------------------------------- training ops
+
+
+def _py_pack(docs, shards, budget):
+    """Straight-Python reference for pack_sequences semantics."""
+    out = {}
+    by_shard = {}
+    for doc_id, n_tokens in sorted(docs):
+        by_shard.setdefault(doc_id % shards, []).append((doc_id, n_tokens))
+    for shard, rows in by_shard.items():
+        cum = 0
+        for doc_id, n_tokens in rows:
+            out[doc_id] = (shard, cum // budget, cum % budget)
+            cum += n_tokens
+    return out
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.text(alphabet="ab ", min_size=1, max_size=40),
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_python_reference(spark, rows):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from caliper_poc_data_etl_spark.queries.training import (
+        PACK_BUDGET,
+        PACK_SHARDS,
+    )
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sized = df.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    got = {
+        r["doc_id"]: (r["shard"], r["seq_id"], r["seq_offset"])
+        for r in sized.withColumn(
+            "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "shard",
+            F.floor(F.col("cum_before") / PACK_BUDGET).alias("seq_id"),
+            (F.col("cum_before") % PACK_BUDGET).alias("seq_offset"),
+        )
+        .collect()
+    }
+    toks = {
+        r["doc_id"]: r["n_tokens"] for r in sized.select("doc_id", "n_tokens").collect()
+    }
+    want = _py_pack(
+        [(d, toks[d]) for d, _ in rows], PACK_SHARDS, PACK_BUDGET
+    )
+    assert got == want
+
+
+@given(st.text(alphabet="xyz .", min_size=1, max_size=600))
+@settings(**_SETTINGS)
+def test_chunking_matches_python_reference(spark, text):
+    from pyspark.sql import functions as F
+
+    from caliper_poc_data_etl_spark.queries.training import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    n_chunks = F.ceil(F.length("text") / F.lit(float(CHUNK_STRIDE))).cast("long")
+    chunk = F.expr(f"substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_SIZE})")
+    got = [
+        (r["chunk_idx"], r["chunk"])
+        for r in df.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select("chunk_idx", chunk.alias("chunk"))
+        .collect()
+    ]
+    want = [
+        (i, text[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_SIZE])
+        for i in range((len(text) + CHUNK_STRIDE - 1) // CHUNK_STRIDE)
+    ]
+    assert sorted(got) == want
