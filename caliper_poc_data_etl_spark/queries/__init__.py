@@ -123,6 +123,8 @@ _NEXT = [
     "upsert_latest_state",
     "sample_cap_per_source",
     "stream_stateful_profile_replay",
+    "dedup_minhash_md5_parity",
+    "dedup_simhash_md5_parity",
 ]
 
 _missing = [n for n in (*_DEFERRED, *_NEXT) if n not in QUERIES]

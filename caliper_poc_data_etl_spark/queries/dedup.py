@@ -185,6 +185,76 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+def _minhash_coeffs() -> list[tuple[int, int]]:
+    """The K universal-hash permutation constants, fixed-seed so every
+    variant (xxhash64 production path, md5 parity path, its SQL
+    oracle) draws the same family."""
+    import random
+
+    rng = random.Random(20260813)
+    return [
+        (rng.randrange(1, MERSENNE_P), rng.randrange(0, MERSENNE_P))
+        for _ in range(MINHASH_K)
+    ]
+
+
+def _minhash_md5_oracle() -> str:
+    perms = ",\n           ".join(
+        f"list_min(list_transform(harr, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for a, b in _minhash_coeffs()
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shset
+      FROM tk WHERE len(tk) >= 3
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(shset,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE_P})
+               AS harr
+      FROM sh
+    )
+    SELECT doc_id, [{perms}] AS sig FROM h
+    """
+
+
+@query("dedup_minhash_md5_parity", oracle=_minhash_md5_oracle())
+def dedup_minhash_md5_parity(spark, sf_dir):
+    """MinHash signatures with an ENGINE-AGNOSTIC base hash (md5 hex
+    prefix → bigint), hash-match graded against a DuckDB oracle that
+    recomputes the identical K-permutation signatures in SQL.
+
+    Purpose: the production path (:func:`minhash_signatures` /
+    ``dedup_minhash_lsh``) uses xxhash64, which no other engine
+    reproduces, so it can only be rows-only graded; this variant
+    proves the MinHash math itself — shingling, base hashing,
+    universal-hash permutations, per-permutation minima — value-exact
+    across engines. Same permutation constants, same shingle
+    definition; only the base hash differs (md5 costs ~3× xxhash64,
+    which is why it is the parity path, not the production one)."""
+    sets = _doc_shingle_sets(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.transform(
+            "shset",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % MERSENNE_P,
+        ).alias("harr"),
+    )
+    harr = F.col("harr")
+    mins = [
+        F.array_min(F.transform(harr, lambda h: (a * h + b) % MERSENNE_P))
+        for a, b in _minhash_coeffs()
+    ]
+    return sets.select("doc_id", F.array(*mins).alias("sig"))
+
+
 def minhash_signatures(spark, sf_dir) -> DataFrame:
     """(doc_id, sig: array<bigint>) MinHash signatures.
 
@@ -328,6 +398,69 @@ def simhash_fingerprints(d: DataFrame) -> DataFrame:
     fingerprint = bits[0]
     for b in bits[1:]:
         fingerprint = fingerprint.bitwiseOR(b)
+    return voted.select("doc_id", fingerprint.alias("simhash"))
+
+
+_SIMHASH_MD5_BITS = 60  # md5 15-hex-char prefix → 60 usable bits
+
+
+def _simhash_md5_oracle() -> str:
+    vote = (
+        "SUM(CASE WHEN (('0x' || substr(md5(tok), 1, 15))::BIGINT >> {k}) & 1 = 1 "
+        "THEN 1 ELSE -1 END)"
+    )
+    fp = " + ".join(
+        f"(CASE WHEN {vote.format(k=k)} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {k})"
+        for k in range(_SIMHASH_MD5_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT doc_id, {fp} AS simhash
+    FROM toks GROUP BY doc_id
+    """
+
+
+@query("dedup_simhash_md5_parity", oracle=_simhash_md5_oracle())
+def dedup_simhash_md5_parity(spark, sf_dir):
+    """SimHash fingerprints with the engine-agnostic md5 base hash
+    (60-bit), hash-match graded against a DuckDB oracle recomputing
+    the identical per-bit votes in SQL — parity evidence for the
+    SimHash mechanism itself (same vote/threshold/bit-pack math as the
+    xxhash64 production path in :func:`simhash_fingerprints`, which
+    stays rows-only because no other engine reproduces xxhash64)."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        _spread(d)
+        .select("doc_id", F.split(F.trim(F.col("text")), "\\s+").alias("toks"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+            ).alias("h"),
+        )
+    )
+    h = F.col("h")
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), k)) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"v_{k}")
+        for k in range(_SIMHASH_MD5_BITS)
+    ]
+    voted = toks.groupBy("doc_id").agg(*votes)
+    fingerprint = None
+    for k in range(_SIMHASH_MD5_BITS):
+        bit = F.shiftleft(
+            F.when(F.col(f"v_{k}") > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            k,
+        ).cast("long")
+        fingerprint = bit if fingerprint is None else fingerprint + bit
     return voted.select("doc_id", fingerprint.alias("simhash"))
 
 
