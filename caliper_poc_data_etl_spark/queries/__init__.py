@@ -95,7 +95,6 @@ _DEFERRED = [
     "sort_topk_global",
     "limit_rows",
     "window_rank_topk_per_group",
-    "window_ntile",
     "fn_string_pack",
     "fn_date_pack",
     "fn_math_pack",
@@ -112,6 +111,9 @@ _DEFERRED = [
 # than a brand-new family (chunking, packing, decontamination,
 # stream-stream join) loses from having no row at all.
 _NEXT = [
+    "window_ntile",          # re-implemented in r2 (distributed global
+                             # rank) — r01 green row predates it, so it
+                             # heads the regrade queue
     "text_fingerprint",      # text family: 4 siblings stay front
     "text_ngram_shingles",   # text family: 4 siblings stay front
     "ts_rate_per_day",       # timeseries family: 4 siblings stay front
