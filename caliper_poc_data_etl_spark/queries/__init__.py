@@ -127,6 +127,7 @@ _NEXT = [
     "stream_stateful_profile_replay",
     "dedup_minhash_md5_parity",
     "dedup_simhash_md5_parity",
+    "mm_audio_energy",
 ]
 
 _missing = [n for n in (*_DEFERRED, *_NEXT) if n not in QUERIES]
