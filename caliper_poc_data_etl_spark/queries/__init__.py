@@ -128,6 +128,7 @@ _NEXT = [
     "dedup_minhash_md5_parity",
     "dedup_simhash_md5_parity",
     "mm_audio_energy",
+    "sim_lsh_bucket_parity",
 ]
 
 _missing = [n for n in (*_DEFERRED, *_NEXT) if n not in QUERIES]

@@ -142,6 +142,52 @@ def sim_ann_lsh(spark, sf_dir):
     )
 
 
+def _lsh_parity_oracle() -> str:
+    planes = " + ".join(
+        "(CASE WHEN list_dot_product("
+        "list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1000)), "
+        f"[{', '.join(str(v) for v in hp)}]) > 0 "
+        f"THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i, hp in enumerate(_hyperplanes())
+    )
+    return f"SELECT vec_id, {planes} AS bucket FROM embeddings"
+
+
+@query("sim_lsh_bucket_parity", oracle=_lsh_parity_oracle())
+def sim_lsh_bucket_parity(spark, sf_dir):
+    """Random-hyperplane LSH bucket assignment made engine-exact and
+    hash-match graded: embeddings are quantized to integers
+    (round(x·1000)) before the ±1-hyperplane dot products, so every
+    intermediate is an integer exactly representable in double —
+    summation order cannot perturb the sign, and the DuckDB oracle
+    reproduces the identical bucket ids. (A float32 times 1000 can
+    never land exactly on .5 — 1/125 has no binary representation —
+    so the rounding itself is also tie-free.)
+
+    This is the parity twin for the ANN family: ``sim_ann_lsh``
+    (float dots, same hyperplanes) stays the production path and is
+    recall-graded in pytest; this query proves the bucketing
+    mechanism cross-engine the way ``dedup_minhash_md5_parity`` does
+    for MinHash."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("double")
+    )
+    bucket = None
+    for i, hp in enumerate(_hyperplanes()):
+        hp_arr = F.array(*[F.lit(v) for v in hp])
+        bit = F.shiftleft(
+            F.when(_dot(F.col("qv"), hp_arr) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            i,
+        ).cast("long")
+        bucket = bit if bucket is None else bucket + bit
+    return e.select("vec_id", qv.alias("qv")).select(
+        "vec_id", bucket.alias("bucket")
+    )
+
+
 N_CELLS = 16   # IVF inverted-list count
 N_PROBE = 4    # cells each query scans
 
