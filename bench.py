@@ -67,30 +67,12 @@ CALIPER_ROWS_BIG = 1_000_000  # amortizing scale: fixed job overhead /10
 CALIPER_ROWS_PER_ATTEMPT = 200
 
 
-def _caliper_throughput(
-    spark, n_rows: int, layout: str = "reference"
-) -> tuple[float, float]:
-    """Reference-comparable number: the item pipeline end-to-end
-    (CSV scan → events → grouped → JSON sink). ``n_rows=100k`` is the
-    same shape as BASELINE.md's measured reference run (0.65s ≈ 154k
-    rows/s single-core, while silently losing 80% of its writes);
-    ``n_rows=1M`` shows throughput once Spark's fixed per-job overhead
-    amortizes. ``layout='reference'`` is apples-to-apples with the
-    reference's file-per-attempt output (O(groups) filesystem metadata
-    ops — ≈1 ms/file even for a raw serial writer, so it bounds ANY
-    engine's rows/s on this layout); ``layout='bulk'`` is the engine's
-    scale layout (JSON-lines, file count = task count, grouping carried
-    in the data). Input generation is excluded from the timing.
-    Returns (wall_sec, rows_per_sec)."""
+def _caliper_csv(n_rows: int) -> str:
+    """Generate the synthetic items CSV once per size; ``os.sync()``
+    afterwards so pending writeback of the (large) input file does not
+    stall filesystem metadata ops inside the timed sink window —
+    measured as multi-x wall variance on the 5000-file layout."""
     import tempfile
-
-    from caliper_poc_data_etl_spark.pipelines.items import (
-        item_outcome_events,
-        items_grouped_json_by_attempt,
-    )
-    from caliper_poc_data_etl_spark.schemas import ASSESSMENT_ITEMS_FIDELITY
-    from caliper_poc_data_etl_spark.sinks import write_grouped_json
-    from caliper_poc_data_etl_spark.sources import read_csv
 
     n_attempts = n_rows // CALIPER_ROWS_PER_ATTEMPT
     workdir = tempfile.mkdtemp(prefix="caliper_bench_")
@@ -108,10 +90,43 @@ def _caliper_throughput(
             f"{100 + i % 7},1.1\n"
             for i in range(n_rows)
         )
+    try:
+        os.sync()
+    except Exception:
+        pass
+    return csv_path
+
+
+def _caliper_throughput(
+    spark, n_rows: int, layout: str = "reference", csv_path: str | None = None
+) -> tuple[float, float]:
+    """Reference-comparable number: the item pipeline end-to-end
+    (CSV scan → events → grouped → JSON sink). ``n_rows=100k`` is the
+    same shape as BASELINE.md's measured reference run (0.65s ≈ 154k
+    rows/s single-core, while silently losing 80% of its writes);
+    ``n_rows=1M`` shows throughput once Spark's fixed per-job overhead
+    amortizes. ``layout='reference'`` is apples-to-apples with the
+    reference's file-per-attempt output (O(groups) filesystem metadata
+    ops — ≈1 ms/file even for a raw serial writer, so it bounds ANY
+    engine's rows/s on this layout); ``layout='bulk'`` is the engine's
+    scale layout (JSON-lines, file count = task count, grouping carried
+    in the data). Input generation is excluded from the timing.
+    Returns (wall_sec, rows_per_sec)."""
+    from caliper_poc_data_etl_spark.pipelines.items import (
+        item_outcome_events,
+        items_grouped_json_by_attempt,
+    )
+    from caliper_poc_data_etl_spark.schemas import ASSESSMENT_ITEMS_FIDELITY
+    from caliper_poc_data_etl_spark.sinks import write_grouped_json
+    from caliper_poc_data_etl_spark.sources import read_csv
+
+    if csv_path is None:
+        csv_path = _caliper_csv(n_rows)
+    workdir = os.path.dirname(csv_path)
     t0 = time.perf_counter()
     items = read_csv(spark, csv_path, ASSESSMENT_ITEMS_FIDELITY)
     grouped = items_grouped_json_by_attempt(item_outcome_events(items))
-    write_grouped_json(grouped, f"{workdir}/out", layout=layout)
+    write_grouped_json(grouped, f"{workdir}/out_{layout}", layout=layout)
     wall = time.perf_counter() - t0
     return round(wall, 3), round(n_rows / wall, 1)
 
@@ -143,6 +158,7 @@ def main() -> int:
         print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
 
     caliper_wall, caliper_rps = _caliper_throughput(spark, CALIPER_ROWS)
+    big_csv = _caliper_csv(CALIPER_ROWS_BIG)
     timings["caliper_items_100k_e2e"] = caliper_wall
     print(
         f"# caliper_items_100k_e2e: {caliper_wall:.2f}s = {caliper_rps} rows/s "
@@ -153,14 +169,18 @@ def main() -> int:
     # wall) so the round-over-round `value` stays comparable; rows/s is
     # their meaningful axis. reference layout = file-per-attempt parity;
     # bulk = the engine's scale layout (see sinks.write_grouped_json).
-    big_wall, big_rps = _caliper_throughput(spark, CALIPER_ROWS_BIG, "reference")
+    big_wall, big_rps = _caliper_throughput(
+        spark, CALIPER_ROWS_BIG, "reference", csv_path=big_csv
+    )
     print(
         f"# caliper_items_1m_e2e (reference layout): {big_wall:.2f}s = "
         f"{big_rps} rows/s (5000 durable files; the reference loses 80% "
         f"of writes at 1/10 this scale)",
         file=sys.stderr,
     )
-    bulk_wall, bulk_rps = _caliper_throughput(spark, CALIPER_ROWS_BIG, "bulk")
+    bulk_wall, bulk_rps = _caliper_throughput(
+        spark, CALIPER_ROWS_BIG, "bulk", csv_path=big_csv
+    )
     print(
         f"# caliper_items_1m_bulk_e2e: {bulk_wall:.2f}s = {bulk_rps} rows/s "
         f"(JSON-lines scale layout; baseline 154k rows/s)",
