@@ -129,6 +129,7 @@ _NEXT = [
     "dedup_simhash_md5_parity",
     "mm_audio_energy",
     "sim_lsh_bucket_parity",
+    "graph_pagerank",
 ]
 
 _missing = [n for n in (*_DEFERRED, *_NEXT) if n not in QUERIES]

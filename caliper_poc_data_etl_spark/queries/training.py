@@ -432,6 +432,90 @@ def sample_cap_per_source(spark, sf_dir):
     )
 
 
+_PR_ITER = 10
+_PR_DAMP = 0.85
+
+
+def _pagerank_oracle() -> str:
+    """Chained-CTE PageRank: one CTE level per iteration (fixed count,
+    so no recursive-aggregation restrictions). The synthetic link
+    graph (three affine out-links per doc, self-loops removed) has no
+    dangling nodes by construction, so the SQL needs no global-mass
+    term."""
+    # AS MATERIALIZED is load-bearing: each pr{i} is referenced twice
+    # (carrier + contribution subquery); DuckDB's default CTE inlining
+    # would duplicate the whole chain per level — 2^10 plan copies.
+    head = """
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (doc_id * 29 + 3) % nn.n FROM documents, nn
+      ) WHERE src <> dst
+    ),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    pr0 AS MATERIALIZED (SELECT doc_id AS node, 1.0 / nn.n AS rank FROM documents, nn)
+    """
+    steps = []
+    for i in range(1, _PR_ITER + 1):
+        steps.append(
+            f"""pr{i} AS MATERIALIZED (
+      SELECT b.node,
+             (1.0 - {_PR_DAMP}) / (SELECT n FROM nn)
+               + {_PR_DAMP} * COALESCE(m.in_mass, 0.0) AS rank
+      FROM pr{i-1} b LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.rank / deg.deg) AS in_mass
+        FROM edges e JOIN deg USING (src) JOIN pr{i-1} p ON p.node = e.src
+        GROUP BY e.dst
+      ) m USING (node)
+    )"""
+        )
+    return (
+        head
+        + ", "
+        + ",\n    ".join(steps)
+        + f"\n    SELECT node AS doc_id, ROUND(rank, 6) AS rank FROM pr{_PR_ITER}"
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph (every doc
+    links to three affine-indexed docs) — link-derived document
+    authority as a corpus-quality prior, and the engine's second
+    iterative-algorithm operator next to connected components.
+
+    The Spark path is :func:`graph.pagerank` (join + group-by per
+    iteration, lineage truncated per round); the oracle replays the
+    identical 10 iterations as chained CTEs. Per-node in-degree is ~3,
+    so float summation-order divergence stays ~1 ulp per round and the
+    6-decimal rounding hash-matches."""
+    from caliper_poc_data_etl_spark.graph import pagerank as _pagerank
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    n = d.count()
+    links = None
+    for mult, add in ((7, 1), (13, 2), (29, 3)):
+        part = d.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % n).alias("dst"),
+        )
+        links = part if links is None else links.union(part)
+    edges = links.filter(F.col("src") != F.col("dst")).distinct()
+    ranks = _pagerank(
+        d.select(F.col("doc_id").alias("node")),
+        edges,
+        damping=_PR_DAMP,
+        n_iter=_PR_ITER,
+    )
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    )
+
+
 _HIST_WIDTH = 50_000
 
 

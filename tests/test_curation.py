@@ -134,3 +134,34 @@ def test_cluster_cc_is_transitive_closure_of_pairs(spark, oracle_sf_dir):
         by_rep.setdefault(rep, []).append(doc)
     for rep, members in by_rep.items():
         assert rep == min(members)
+
+
+def test_pagerank_matches_python_reference(spark):
+    from caliper_poc_data_etl_spark.graph import pagerank
+
+    # Small directed graph incl. a dangling node (3) and a hub (0).
+    edge_list = [(0, 1), (0, 2), (1, 0), (2, 0), (1, 3), (4, 0)]
+    n = 5
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(nodes, edges, n_iter=15).collect()
+    }
+
+    ranks = {i: 1.0 / n for i in range(n)}
+    out = {}
+    for s, d in edge_list:
+        out.setdefault(s, []).append(d)
+    for _ in range(15):
+        nxt = {i: 0.0 for i in range(n)}
+        dangling = sum(r for i, r in ranks.items() if i not in out)
+        for s, targets in out.items():
+            for d in targets:
+                nxt[d] += ranks[s] / len(targets)
+        ranks = {
+            i: 0.15 / n + 0.85 * (nxt[i] + dangling / n) for i in range(n)
+        }
+    for i in range(n):
+        assert abs(got[i] - ranks[i]) < 1e-9, (i, got[i], ranks[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
