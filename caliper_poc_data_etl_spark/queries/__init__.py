@@ -130,6 +130,8 @@ _NEXT = [
     "mm_audio_energy",
     "sim_lsh_bucket_parity",
     "graph_pagerank",
+    "ts_user_trajectory",
+    "anomaly_zscore_events",
 ]
 
 _missing = [n for n in (*_DEFERRED, *_NEXT) if n not in QUERIES]

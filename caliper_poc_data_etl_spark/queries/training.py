@@ -520,6 +520,117 @@ _HIST_WIDTH = 50_000
 
 
 @query(
+    "ts_user_trajectory",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS trajectory
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+)
+def ts_user_trajectory(spark, sf_dir):
+    """Per-session user trajectories: events within a session (30-min
+    gap) concatenated in time order into one action string — the
+    sequence-assembly step for behavioral/dialogue training data
+    (composite of sessionization + ordered list collection). One
+    shuffle on user_id; both windows and the group-by reuse that
+    partitioning."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap >= 1800.0), 1).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("ts").alias("ts"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("event_type").alias("et"),
+                )
+            )
+        ),
+        lambda p: p["et"],
+    )
+    return sessions.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_steps"),
+        F.array_join(ordered, ">").alias("trajectory"),
+    )
+
+
+@query(
+    "anomaly_zscore_events",
+    oracle="""
+    WITH stats AS (
+      SELECT event_id, user_id, ts, value,
+             AVG(value) OVER w AS mu,
+             STDDEV_SAMP(value) OVER w AS sigma,
+             COUNT(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           ROUND(value, 2) AS value,
+           ROUND((value - mu) / sigma, 3) AS zscore
+    FROM stats
+    WHERE n >= 10 AND sigma > 0 AND abs((value - mu) / sigma) > 2.5
+    """,
+)
+def anomaly_zscore_events(spark, sf_dir):
+    """Per-key z-score outlier detection (the data-quality tripwire a
+    telemetry/feature pipeline runs before training): events whose
+    value deviates > 2.5σ from their user's distribution. One
+    unordered analytic window per user — mean/stddev are partial-agg
+    friendly, so at scale this is a two-pass groupBy-join shape with
+    the same semantics."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    return (
+        e.withColumn("mu", F.avg("value").over(w))
+        .withColumn("sigma", F.stddev_samp("value").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .withColumn("zscore_raw", (F.col("value") - F.col("mu")) / F.col("sigma"))
+        .filter(
+            (F.col("n") >= 10)
+            & (F.col("sigma") > 0)
+            & (F.abs(F.col("zscore_raw")) > 2.5)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+            F.round("value", 2).alias("value"),
+            F.round("zscore_raw", 3).alias("zscore"),
+        )
+    )
+
+
+@query(
     "hist_order_totals",
     oracle=f"""
     SELECT CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT) AS bucket,
