@@ -132,6 +132,7 @@ _NEXT = [
     "graph_pagerank",
     "ts_user_trajectory",
     "anomaly_zscore_events",
+    "udf_grouped_label_var",
 ]
 
 _missing = [n for n in (*_DEFERRED, *_NEXT) if n not in QUERIES]
