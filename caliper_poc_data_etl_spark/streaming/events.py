@@ -189,7 +189,14 @@ def replay_to_df(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    # availableNow guarantees termination; the timeout only guards a
+    # hang. Reading the table after a TIMED-OUT (still running) query
+    # would silently return partial results — fail loudly instead.
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise RuntimeError(
+            f"streaming replay {name!r} did not finish within {timeout_s}s"
+        )
     return stream_df.sparkSession.table(name)
 
 
