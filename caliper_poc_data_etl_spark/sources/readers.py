@@ -132,6 +132,13 @@ def sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ;
+            # normalize to TIMESTAMP (LTZ) so event-time watermarks and
+            # epoch functions (unix_micros) accept it. The cast
+            # interprets the naive value in the session timezone —
+            # wall-clock (and every formatted output) is unchanged.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

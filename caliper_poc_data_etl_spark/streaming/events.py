@@ -51,8 +51,15 @@ def read_event_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(sf_dir)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet reads as NTZ,
+        # but event-time watermarks require TIMESTAMP (LTZ). The cast
+        # interprets the naive value in the session timezone, so the
+        # wall-clock (and every date_format'd output) is unchanged.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
