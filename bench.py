@@ -12,6 +12,15 @@ query is materialized with a count-style action (``collect`` on small
 outputs) so the full plan executes; nothing is cached between queries
 so each timing includes its own scan.
 
+Each query runs ``SPARK_GRAFT_BENCH_TRIALS`` times (default 3) and
+reports the MIN — the capability number. Rationale: round 2 recorded a
+uniform 20-50% slowdown on queries whose code had not changed (r1 q1
+3.05s → r2 3.67s and siblings alike), which no plan can explain;
+single-shot timings on a shared sandbox conflate the engine with
+background load. All trial times are printed to stderr and included in
+the JSON (``trial_times``) so a regression can be told apart from a
+noisy host: real regressions move the min, load moves the spread.
+
 Usage:
     python bench.py                      # sf0.1, local[32]
     SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 python bench.py
@@ -97,8 +106,32 @@ def _caliper_csv(n_rows: int) -> str:
     return csv_path
 
 
+def _file_create_ceiling(n_files: int = 5000, payload_bytes: int = 600) -> float:
+    """Measured files/s of a raw serial writer on this filesystem —
+    the metadata ceiling that bounds ANY engine on a file-per-group
+    layout (open+write+close per file; no Spark involved). The
+    1M-row reference layout emits 5,000 files, so its wall-clock floor
+    is ``5000 / ceiling`` seconds regardless of plan quality."""
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="files_ceiling_")
+    payload = b"x" * payload_bytes
+    t0 = time.perf_counter()
+    for i in range(n_files):
+        with open(f"{d}/f{i}.json", "wb") as f:
+            f.write(payload)
+    wall = time.perf_counter() - t0
+    shutil.rmtree(d, ignore_errors=True)
+    return round(n_files / wall, 1)
+
+
 def _caliper_throughput(
-    spark, n_rows: int, layout: str = "reference", csv_path: str | None = None
+    spark,
+    n_rows: int,
+    layout: str = "reference",
+    csv_path: str | None = None,
+    tag: str = "",
 ) -> tuple[float, float]:
     """Reference-comparable number: the item pipeline end-to-end
     (CSV scan → events → grouped → JSON sink). ``n_rows=100k`` is the
@@ -126,9 +159,30 @@ def _caliper_throughput(
     t0 = time.perf_counter()
     items = read_csv(spark, csv_path, ASSESSMENT_ITEMS_FIDELITY)
     grouped = items_grouped_json_by_attempt(item_outcome_events(items))
-    write_grouped_json(grouped, f"{workdir}/out_{layout}", layout=layout)
+    write_grouped_json(grouped, f"{workdir}/out_{layout}{tag}", layout=layout)
     wall = time.perf_counter() - t0
     return round(wall, 3), round(n_rows / wall, 1)
+
+
+def _caliper_trials(
+    spark, n_rows: int, layout: str, csv_path: str, trials: int, label: str
+) -> tuple[float, float, list[float]]:
+    """Best-of-N e2e runs; each trial writes a FRESH target directory so
+    trial 2+ doesn't pay overwrite-deletion of trial 1's files."""
+    walls: list[float] = []
+    rps_best = 0.0
+    for i in range(trials):
+        wall, rps = _caliper_throughput(
+            spark, n_rows, layout, csv_path=csv_path, tag=f"_t{i}"
+        )
+        walls.append(wall)
+        rps_best = max(rps_best, rps)
+    best = min(walls)
+    print(
+        f"# {label}: trials {walls} -> min {best:.2f}s = {rps_best} rows/s",
+        file=sys.stderr,
+    )
+    return best, rps_best, walls
 
 
 def main() -> int:
@@ -149,43 +203,54 @@ def main() -> int:
     # the plan, not first-touch session costs.
     spark.range(1).count()
 
+    trials_n = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {}
+    trial_times: dict[str, list[float]] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]:.2f}s", file=sys.stderr)
+        walls: list[float] = []
+        n = 0
+        for _ in range(trials_n):
+            t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
+            n = df.count()
+            walls.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(walls)
+        trial_times[name] = walls
+        print(
+            f"# {name}: {n} rows; trials {walls} -> min {timings[name]:.2f}s",
+            file=sys.stderr,
+        )
 
-    caliper_wall, caliper_rps = _caliper_throughput(spark, CALIPER_ROWS)
-    big_csv = _caliper_csv(CALIPER_ROWS_BIG)
-    timings["caliper_items_100k_e2e"] = caliper_wall
+    ceiling_fps = _file_create_ceiling()
     print(
-        f"# caliper_items_100k_e2e: {caliper_wall:.2f}s = {caliper_rps} rows/s "
-        f"(reference single-core baseline: 154k rows/s, BASELINE.md)",
+        f"# raw serial file-create ceiling: {ceiling_fps} files/s -> "
+        f"{5000 / ceiling_fps:.1f}s floor for the 5000-file reference layout "
+        f"(bounds ANY engine on a file-per-group sink)",
         file=sys.stderr,
     )
+
+    csv_100k = _caliper_csv(CALIPER_ROWS)
+    caliper_wall, caliper_rps, walls_100k = _caliper_trials(
+        spark, CALIPER_ROWS, "reference", csv_100k, trials_n,
+        "caliper_items_100k_e2e (reference single-core baseline: 154k rows/s)",
+    )
+    big_csv = _caliper_csv(CALIPER_ROWS_BIG)
+    timings["caliper_items_100k_e2e"] = caliper_wall
+    trial_times["caliper_items_100k_e2e"] = walls_100k
     # 1M-row entries live OUTSIDE the summed headline (the sf0.1 query
     # wall) so the round-over-round `value` stays comparable; rows/s is
     # their meaningful axis. reference layout = file-per-attempt parity;
     # bulk = the engine's scale layout (see sinks.write_grouped_json).
-    big_wall, big_rps = _caliper_throughput(
-        spark, CALIPER_ROWS_BIG, "reference", csv_path=big_csv
+    big_wall, big_rps, walls_1m = _caliper_trials(
+        spark, CALIPER_ROWS_BIG, "reference", big_csv, trials_n,
+        "caliper_items_1m_e2e (reference layout, 5000 durable files)",
     )
-    print(
-        f"# caliper_items_1m_e2e (reference layout): {big_wall:.2f}s = "
-        f"{big_rps} rows/s (5000 durable files; the reference loses 80% "
-        f"of writes at 1/10 this scale)",
-        file=sys.stderr,
+    trial_times["caliper_items_1m_e2e"] = walls_1m
+    bulk_wall, bulk_rps, walls_bulk = _caliper_trials(
+        spark, CALIPER_ROWS_BIG, "bulk", big_csv, trials_n,
+        "caliper_items_1m_bulk_e2e (JSON-lines scale layout)",
     )
-    bulk_wall, bulk_rps = _caliper_throughput(
-        spark, CALIPER_ROWS_BIG, "bulk", csv_path=big_csv
-    )
-    print(
-        f"# caliper_items_1m_bulk_e2e: {bulk_wall:.2f}s = {bulk_rps} rows/s "
-        f"(JSON-lines scale layout; baseline 154k rows/s)",
-        file=sys.stderr,
-    )
+    trial_times["caliper_items_1m_bulk_e2e"] = walls_bulk
     # Input-layout experiment (outside the headline sum): the driver's
     # sf0.1 parquet is ONE row group per table, so any scan decodes on
     # a single task no matter the plan (DuckDB's intra-rowgroup
@@ -239,6 +304,9 @@ def main() -> int:
                 "caliper_items_1m_bulk_e2e_sec": bulk_wall,
                 "caliper_items_1m_bulk_rows_per_sec": bulk_rps,
                 "q1_on_relaid_input_sec": q1_relaid,
+                "trials": trials_n,
+                "trial_times": trial_times,
+                "file_create_ceiling_files_per_sec": ceiling_fps,
             }
         )
     )

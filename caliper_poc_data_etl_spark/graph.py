@@ -89,15 +89,36 @@ def pagerank(
     Dangling nodes (no out-links) redistribute their mass uniformly,
     so total rank stays 1 (asserted in tests). ``localCheckpoint``
     truncates lineage per round.
+
+    Driver-action discipline: the node count and per-iteration
+    dangling mass are 1-row aggregates folded into the plan as
+    broadcast crossJoins — ONE job per iteration (the eager
+    ``localCheckpoint``), no ``collect()``/``count()`` scalars pulled
+    to the driver. At cluster scale an extra driver action per
+    iteration doubles the iteration latency and serializes on the
+    driver; the broadcast-scalar form keeps the whole update
+    pipelined inside one DAG.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     e = e.join(out_deg, "src").localCheckpoint(eager=True)
 
-    n_nodes = nodes.count()
-    ranks = nodes.select(
-        F.col(node_col).alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+    # Node count as a broadcast 1-row frame, not a driver scalar.
+    n_df = nodes.agg(
+        F.count("*").cast("double").alias("n_nodes")
     ).localCheckpoint(eager=True)
+    ranks = (
+        nodes.select(F.col(node_col).alias("node"))
+        .crossJoin(F.broadcast(n_df))
+        .select("node", (F.lit(1.0) / F.col("n_nodes")).alias("rank"))
+        .localCheckpoint(eager=True)
+    )
+    # Nodes with no out-edges — their rank is the dangling mass.
+    dangling_nodes = (
+        nodes.select(F.col(node_col).alias("node"))
+        .join(out_deg.withColumnRenamed("src", "node"), "node", "left_anti")
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(n_iter):
         contrib = (
@@ -106,23 +127,25 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        # Dangling mass: rank held by nodes with no out-edges, spread
-        # uniformly (computed as 1 − mass that flowed along edges).
-        linked_mass = (
-            ranks.join(out_deg.withColumnRenamed("src", "node"), "node")
-            .agg(F.sum("rank"))
-            .collect()[0][0]
-            or 0.0
+        # Dangling mass as a broadcast 1-row aggregate inside the same
+        # job — not a collect().
+        dang = ranks.join(dangling_nodes, "node", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass")
         )
-        dangling = (1.0 - linked_mass) / n_nodes
         ranks = (
             ranks.select("node")
             .join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_df))
             .select(
                 "node",
                 (
-                    (1.0 - damping) / n_nodes
-                    + damping * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + dangling)
+                    (1.0 - damping) / F.col("n_nodes")
+                    + damping
+                    * (
+                        F.coalesce(F.col("in_mass"), F.lit(0.0))
+                        + F.col("dangling_mass") / F.col("n_nodes")
+                    )
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)

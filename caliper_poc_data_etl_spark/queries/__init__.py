@@ -39,6 +39,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     scans,
     curation,
     training,
+    skewed,
 )
 
 # ---------------------------------------------------------------------------
@@ -46,16 +47,17 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
 #
 # The correctness driver grades the FIRST 50 registry entries
 # (CORRECTNESS_r01 cut off exactly at #50), so registration order decides
-# which operators get hard oracle evidence each round. Round 1 left every
-# dedup/similarity/text/timeseries/streaming/multimodal query ungraded
-# because the relational long-tail came first.
+# which operators get hard oracle evidence each round. The rotation policy:
+# entries that earned a green (or rows-only-by-design) driver row in a past
+# round with UNCHANGED implementations move to _DEFERRED, freeing the front
+# of the registry for (a) queries with no graded row yet, (b) regrades of
+# anything re-implemented or oracle-fixed since its green row, and (c) new
+# queries (which stay in natural module order at the front by default).
 #
-# Entries in _DEFERRED are relational/scalar variants that already earned a
-# green hash-match row in CORRECTNESS_r01 with unchanged implementations;
-# they are pushed past the cut so the front of the registry covers every
-# operator family that still needs (or re-needs) a graded row. Anything NOT
-# listed here — including newly added queries — stays in natural module
-# order at the front.
+# Round-3 window: the whole r2 `_NEXT` queue (20 queries — window_ntile and
+# the sketch md5-parity twins first among them), the two regrades
+# (window_sessionize — oracle BIGINT cast fixed; stream_dedup_within_
+# watermark — now deterministic + oracle-twinned), and round-3 additions.
 # ---------------------------------------------------------------------------
 _DEFERRED = [
     # green in r01, implementation unchanged since:
@@ -100,54 +102,71 @@ _DEFERRED = [
     "fn_math_pack",
     "fn_array_pack",
     "fn_map_pack",
+    # green (or rows-only-by-design) in r02, implementation unchanged since.
+    # NOT deferred from the r02 window: window_sessionize (oracle cast
+    # fixed → regrade) and stream_dedup_within_watermark (reformulated
+    # deterministic + oracle-twinned → regrade).
+    "join_asof",
+    "setop_except",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_range_frame",
+    "fn_json_pack",
+    "fn_conditional_pack",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_pairwise_label_stats",
+    "sim_label_centroid_stats",
+    "text_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_token_count",
+    "ts_tumbling_window",
+    "ts_sliding_window",
+    "ts_session_window",
+    "ts_first_last_by_time",
+    "stream_tumbling_replay",
+    "stream_sliding_replay",
+    "stream_session_replay",
+    "stream_join_replay",
+    "mm_payload_stats",
+    "mm_frame_sample",
+    "mm_pixel_features",
+    "udf_vector_norm",
+    "scan_csv_policy",
+    "scan_json_source",
+    "scan_orc_source",
+    "scan_csv_malformed_policy",
+    "text_pii_redact",
+    "text_repetition_stats",
+    "sample_hash_split",
+    "sample_stratified_lang",
+    "mix_weighted_sources",
+    "dedup_cluster_cc",
+    "chunk_documents",
+    "pack_sequences",
+    "decontam_ngram_overlap",
 ]
 
-# Queued immediately behind the 50 front slots for the next rotation
-# (ahead of the r01-green deferred tail). Two kinds of entries:
-# round-2 additions that didn't fit the window, and same-family
-# VARIANTS demoted to make room for first-of-family operators — a
-# family with several graded siblings (text stats/quality/langid/
-# token-count all front) loses less from deferring its 5th variant
-# than a brand-new family (chunking, packing, decontamination,
-# stream-stream join) loses from having no row at all.
-_NEXT = [
-    "window_ntile",          # re-implemented in r2 (distributed global
-                             # rank) — r01 green row predates it, so it
-                             # heads the regrade queue
-    "text_fingerprint",      # text family: 4 siblings stay front
-    "text_ngram_shingles",   # text family: 4 siblings stay front
-    "ts_rate_per_day",       # timeseries family: 4 siblings stay front
-    "dedup_exact_normalized",  # dedup family: dedup_exact stays front
-    "tfidf_top_terms",
-    "inverted_index_postings",
-    "funnel_conversion",
-    "hist_order_totals",
-    "upsert_latest_state",
-    "sample_cap_per_source",
-    "stream_stateful_profile_replay",
-    "dedup_minhash_md5_parity",
-    "dedup_simhash_md5_parity",
-    "mm_audio_energy",
-    "sim_lsh_bucket_parity",
-    "graph_pagerank",
-    "ts_user_trajectory",
-    "anomaly_zscore_events",
-    "udf_grouped_label_var",
-]
-
-_missing = [n for n in (*_DEFERRED, *_NEXT) if n not in QUERIES]
+_missing = [n for n in _DEFERRED if n not in QUERIES]
 if _missing:
-    raise RuntimeError(f"_DEFERRED/_NEXT names not in registry: {_missing}")
-_front = {
-    n: q for n, q in QUERIES.items() if n not in set(_DEFERRED) | set(_NEXT)
-}
+    raise RuntimeError(f"_DEFERRED names not in registry: {_missing}")
+_front = {n: q for n, q in QUERIES.items() if n not in set(_DEFERRED)}
 if len(_front) > 50:
     raise RuntimeError(
         f"{len(_front)} queries ahead of the 50-entry grading window; "
-        "defer more r01-green entries in _DEFERRED"
+        "defer more previously-green entries in _DEFERRED"
     )
 _reordered = dict(_front)
-for _n in (*_NEXT, *_DEFERRED):
+for _n in _DEFERRED:
     _reordered[_n] = QUERIES[_n]
 QUERIES.clear()
 QUERIES.update(_reordered)

@@ -339,3 +339,32 @@ def dedup_cluster_cc(spark, sf_dir):
         F.col("comp").alias("cluster_rep"),
         (F.col("comp") == F.col("node")).alias("is_keeper"),
     )
+
+
+@query(
+    "doc_length_pctl_filter",
+    oracle="""
+    SELECT d.doc_id, d.n_chars, ROUND(q.p90, 4) AS p90
+    FROM documents d
+    CROSS JOIN (SELECT quantile_cont(n_chars, 0.9) AS p90 FROM documents) q
+    WHERE d.n_chars >= q.p90
+    """,
+)
+def doc_length_pctl_filter(spark, sf_dir):
+    """Corpus-relative length filter: keep documents at or above the
+    corpus P90 of n_chars — thresholds in curation pipelines are
+    usually distribution-relative, not absolute.
+
+    The threshold is a broadcast 1-row aggregate crossJoined into the
+    scan (module convention — no driver-side collect). Exact
+    ``percentile`` here because the oracle needs bit-parity
+    (linear-interpolation semantics match DuckDB's quantile_cont); the
+    100 TB substitution is ``approx_percentile`` with the same plan
+    shape."""
+    d = t(spark, sf_dir, "documents")
+    q = d.agg(F.expr("percentile(n_chars, 0.9)").alias("p90"))
+    return (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("n_chars") >= F.col("p90"))
+        .select("doc_id", "n_chars", F.round("p90", 4).alias("p90"))
+    )

@@ -819,3 +819,81 @@ def sort_topk_global(spark, sf_dir):
 def limit_rows(spark, sf_dir):
     """LIMIT pushdown (S7 generalized) — made deterministic via sort."""
     return t(spark, sf_dir, "orders").select("o_orderkey").orderBy("o_orderkey").limit(50)
+
+
+# ------------------------------------------------------- SQL-text surface
+
+
+@query(
+    "sql_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1995-03-15'
+      AND l.l_shipdate > DATE '1995-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+)
+def sql_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 (shipping-priority shape) run as SQL TEXT through
+    ``spark.sql`` — the join-bearing proof of the SQL surface (SURVEY
+    §3.5) beyond the single grouping-sets entry: a 3-way join + filter
+    + aggregate authored as ANSI SQL compiles through the same
+    Catalyst path as the DataFrame twin (``q3_top_revenue``), with
+    identical pushdown/broadcast planning. Views are registered
+    per-call with private names so the entry works on any session."""
+    for name in ("customer", "orders", "lineitem"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"_sqlq3_{name}")
+    return spark.sql(
+        """
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
+               o.o_orderpriority AS orderpriority
+        FROM _sqlq3_customer c
+        JOIN _sqlq3_orders o ON c.c_custkey = o.o_custkey
+        JOIN _sqlq3_lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < DATE '1995-03-15'
+          AND l.l_shipdate > DATE '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        """
+    )
+
+
+@query(
+    "sql_exists_scalar_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+    """,
+)
+def sql_exists_scalar_subquery(spark, sf_dir):
+    """Correlated EXISTS + uncorrelated scalar subquery as SQL TEXT —
+    the subquery surface of the SQL front-end. Catalyst rewrites the
+    EXISTS to a left-semi join and the scalar subquery to a broadcast
+    1-row aggregate (the same shapes the DataFrame API queries build
+    explicitly), so this also pins that the declarative form gets the
+    scale-correct plan."""
+    for name in ("customer", "orders"):
+        t(spark, sf_dir, name).createOrReplaceTempView(f"_sqlex_{name}")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM _sqlex_customer c
+        WHERE c.c_acctbal > (SELECT AVG(c_acctbal) FROM _sqlex_customer)
+          AND EXISTS (SELECT 1 FROM _sqlex_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+        """
+    )

@@ -7,10 +7,13 @@ DuckDB comparison checks streaming semantics end-to-end, not a batch
 stand-in. The oracles are the same SQL as the batch twins in
 ``timeseries.py`` — a replay over static input must agree exactly.
 
-``stream_dedup_within_watermark`` stays rows-only: its row count (no
-duplicate event_ids in the generated data → count preserved) is the
-meaningful check, but which physical row survives is engine-timing
-specific.
+``stream_dedup_within_watermark`` injects exact duplicate rows (a
+two-source union of the same file stream) before
+``dropDuplicatesWithinWatermark``; because the duplicates are
+bit-identical, the surviving SET is deterministic regardless of which
+physical copy the state store keeps — so the dedup result is fully
+oracle-checkable even though survivor *arrival order* is
+engine-timing specific.
 """
 
 from __future__ import annotations
@@ -38,13 +41,14 @@ _TUMBLING_ORACLE = """
     GROUP BY 1, 2
 """
 
-# ``>=`` matches Spark session_window's half-open [start, last+gap)
-# interval: an event at exactly last_ts + 30 min starts a new session.
+# Strict ``>`` matches Spark session_window's closed merge: an event
+# at exactly last_ts + 30 min EXTENDS the session (boundary pinned by
+# tests/test_streaming.py::test_session_window_exact_boundary_convention).
 _SESSION_ORACLE = """
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -163,11 +167,26 @@ def stream_stateful_profile_replay(spark, sf_dir):
     )
 
 
-@query("stream_dedup_within_watermark", oracle=None)  # survivor timing-specific
+_DEDUP_ORACLE = """
+    SELECT event_id, user_id, event_type, ROUND(value, 2) AS value
+    FROM events
+"""
+
+
+@query("stream_dedup_within_watermark", oracle=_DEDUP_ORACLE)
 def stream_dedup_within_watermark(spark, sf_dir):
-    """readStream → dropDuplicatesWithinWatermark(event_id) replay;
-    projected to the key + stable attributes so the row-count check is
-    meaningful."""
-    events = read_event_stream(spark, sf_dir)
-    out = replay_to_df(stateful_dedup(events), mode="append")
-    return out.select("event_id", "user_id", "event_type", F.round("value", 2).alias("value"))
+    """Two readStreams over the same source, unioned (every event
+    arrives twice, bit-identical) → dropDuplicatesWithinWatermark on
+    event_id → exactly one copy per event survives.
+
+    Deterministic by construction: the injected duplicates are
+    identical rows, so whichever physical copy the state store keeps,
+    the output SET equals the distinct input — which the DuckDB oracle
+    states directly. Without the dedup the replay would return 2×
+    rows, so a hash-green row here is hard evidence the operator
+    actually removed the duplicates."""
+    doubled = read_event_stream(spark, sf_dir).union(read_event_stream(spark, sf_dir))
+    out = replay_to_df(stateful_dedup(doubled), mode="append")
+    return out.select(
+        "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
+    )

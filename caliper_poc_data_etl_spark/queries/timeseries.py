@@ -79,7 +79,7 @@ def ts_sliding_window(spark, sf_dir):
     WITH flagged AS (
       SELECT user_id, ts, value,
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -102,10 +102,16 @@ def ts_session_window(spark, sf_dir):
     """Session windows (30-min gap) via F.session_window — the native
     batch form of the streaming session operator.
 
-    Boundary convention: a session covers [first_ts, last_ts + gap) —
-    an event arriving at EXACTLY last_ts + 30 min starts a NEW session
-    (Spark session_window's half-open interval). The oracle's LAG flag
-    uses ``>=`` to match.
+    Boundary convention: Spark session_window MERGES sessions whose
+    intervals touch — an event at EXACTLY last_ts + 30 min EXTENDS the
+    session (closed merge, pinned by
+    tests/test_streaming.py::test_session_window_exact_boundary_convention
+    against a hand-built exact-gap fixture; the sf data has no exact
+    boundaries, so only the fixture exercises it). The oracle's LAG
+    flag therefore uses strict ``>`` — a new session only when the gap
+    EXCEEDS 30 min. Every sessionization op in the engine
+    (window_sessionize, ts_user_trajectory, streaming
+    sessionized_values) pins this same convention.
     """
     e = t(spark, sf_dir, "events")
     return (
@@ -167,3 +173,96 @@ def ts_rate_per_day(spark, sf_dir):
         F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
         "event_type",
     ).agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("dau"))
+
+
+@query(
+    "ts_gap_fill_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), days AS (
+      SELECT user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    )
+    SELECT days.user_id,
+           strftime(days.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n
+    FROM days LEFT JOIN daily USING (user_id, day)
+    """,
+)
+def ts_gap_fill_daily(spark, sf_dir):
+    """Gap-filled daily counts per user: every calendar day between a
+    user's first and last event appears, missing days as 0 — the
+    resample/densify step before any per-day trend or rate model.
+
+    Scale shape: the calendar is GENERATED per user with
+    ``sequence()`` + ``explode`` (rows ≈ users × span-days, built
+    executor-side — never a driver-side date loop) and left-joined to
+    the observed dailies; both sides hash-partition on user_id, so the
+    fill is one co-partitioned shuffle, no crossJoin against a global
+    calendar dimension."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    daily = e.groupBy("user_id", "day").agg(F.count("*").alias("n"))
+    days = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    return days.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
+@query(
+    "ts_ohlc_daily",
+    oracle="""
+    SELECT user_id,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           ROUND(arg_min(value, ts), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(arg_max(value, ts), 4) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_daily(spark, sf_dir):
+    """Daily OHLC downsampling per user (open = value at first event
+    of the day, close = at last): the classic time-series compaction —
+    one hash aggregation, no window, no sort. ``min_by``/``max_by``
+    are single-pass algebraic aggregates, so this keeps map-side
+    partial aggregation even at 100 TB. (user_id, ts) is unique in
+    the fixtures; at scale an event_id tiebreak would be folded into
+    the ordering key."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", "ts"), 4).alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+        )
+    )

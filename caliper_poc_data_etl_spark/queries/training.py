@@ -496,12 +496,15 @@ def graph_pagerank(spark, sf_dir):
     from caliper_poc_data_etl_spark.graph import pagerank as _pagerank
 
     d = t(spark, sf_dir, "documents").select("doc_id")
-    n = d.count()
+    # Corpus size as a broadcast 1-row aggregate (module convention) —
+    # no driver-side count().
+    n_df = d.agg(F.count("*").alias("n_docs"))
+    base = d.crossJoin(F.broadcast(n_df))
     links = None
     for mult, add in ((7, 1), (13, 2), (29, 3)):
-        part = d.select(
+        part = base.select(
             F.col("doc_id").alias("src"),
-            ((F.col("doc_id") * mult + add) % n).alias("dst"),
+            ((F.col("doc_id") * mult + add) % F.col("n_docs")).alias("dst"),
         )
         links = part if links is None else links.union(part)
     edges = links.filter(F.col("src") != F.col("dst")).distinct()
@@ -525,7 +528,7 @@ _HIST_WIDTH = 50_000
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
              CASE WHEN LAG(ts) OVER w IS NULL
-                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -554,9 +557,12 @@ def ts_user_trajectory(spark, sf_dir):
     e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # Strict > : the engine-wide session boundary convention (an exact
+    # 30-min gap extends the session, matching F.session_window's
+    # closed merge — see ts_session_window's docstring).
     flagged = e.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap >= 1800.0), 1).otherwise(0),
+        F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0),
     )
     sessions = flagged.withColumn(
         "session_seq",
@@ -655,4 +661,35 @@ def hist_order_totals(spark, sf_dir):
     ).agg(
         F.count("*").alias("n_orders"),
         F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@query(
+    "scd2_event_intervals",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value, 2) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+    FROM events
+    """,
+)
+def scd2_event_intervals(spark, sf_dir):
+    """SCD-type-2 interval build: each per-user observation becomes a
+    versioned row valid from its own timestamp until the next
+    observation (NULL = current) — the standard history-table
+    construction for CDC feeds, and the interval form consumed by
+    as-of joins. One lead() over the per-user window; partitioned by
+    user, so it parallelizes across users with a single shuffle."""
+    from pyspark.sql.window import Window as W
+
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
     )

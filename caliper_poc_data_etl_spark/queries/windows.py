@@ -209,9 +209,10 @@ def window_range_frame(spark, sf_dir):
       FROM events
     )
     SELECT user_id, event_id,
-           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_id
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW)
+                AS BIGINT) AS session_id
     FROM flagged
     """,
 )
@@ -238,4 +239,28 @@ def window_sessionize(spark, sf_dir):
             "event_id",
             F.sum("new_session").over(w_run).alias("session_id"),
         )
+    )
+
+
+@query(
+    "window_cume_dist",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CUME_DIST()    OVER w, 6) AS cd,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_cume_dist(spark, sf_dir):
+    """Distribution window functions (cume_dist / percent_rank) per
+    customer — partitioned, so the window parallelizes across groups
+    (no global single-reducer sort). Ordering carries the o_orderkey
+    tiebreaker so both engines see one deterministic permutation."""
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
     )

@@ -63,6 +63,15 @@ def get_spark(
         # real cluster the filesystem comes from the deployment
         # (HDFS/S3A committers), not this flag.
         .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+        # FileOutputCommitter v2: task commits move files straight to
+        # the destination (parallel, across tasks) instead of v1's
+        # job-commit rename of every task directory SERIALLY on the
+        # driver. On a 5,000-partition-directory sink v1's serial merge
+        # is both the bottleneck and the variance (it contends with
+        # page-cache writeback); v2 removes that phase. Trade-off —
+        # a failed job can leave partial files — is the standard one
+        # accepted for object-store-style sinks.
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)

@@ -8,8 +8,54 @@ overwrite, retries, and backpressure for free.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _write_reference_direct(df: DataFrame, target: str, *, key: str) -> None:
+    """Direct executor-side file-per-group writer (reference layout).
+
+    Input is the pre-serialized ``(key, value: string)`` form; each row
+    becomes one ``{key}=<k>/part-<task>-<seq>.txt`` file written with
+    plain POSIX I/O from the task — no Hadoop committer. Measured
+    motivation: the committer path costs ~2 metadata operations per
+    file (temp write + commit rename) plus a job-commit listing over
+    every partition directory; at 5,000 one-file groups that overhead
+    — not the bytes — dominates the whole pipeline (15.5 s committed
+    vs a 0.6 s raw-writer floor for the same files, bench.py's
+    ``file_create_ceiling``).
+
+    Semantics: rows write synchronously and any I/O error fails the
+    task (and job) loudly — unlike the reference's unbounded async
+    ``fs.writeFile`` (etl.js:115-125) this cannot silently drop
+    groups (pinned by tests/test_scale_no_loss.py). Trade-offs,
+    accepted for this layout only: no task-retry atomicity (a retried
+    task rewrites the same deterministic filenames) and the target
+    must be POSIX-reachable from executors (local/NFS). File-per-group
+    is the parity experiment, not the scale path — ``bulk`` remains
+    the 100 TB layout and keeps the committer.
+    """
+    shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(target, exist_ok=True)
+
+    def _write_partition(rows) -> None:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        for row in rows:
+            d = os.path.join(target, f"{key}={row[0]}")
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"part-{pid:05d}-{seq:05d}.txt"), "w") as fh:
+                fh.write(row[1])
+                fh.write("\n")
+            seq += 1
+
+    df.select(F.col(key).cast("string"), "value").foreachPartition(_write_partition)
 
 
 def write_grouped_json(
@@ -28,6 +74,9 @@ def write_grouped_json(
       ``events`` array serialized as ONE JSON-array text line per
       group, matching the reference's ``JSON.stringify(events)`` files
       (file *naming* is declared non-semantic, SURVEY.md §7.3).
+      Written executor-direct, bypassing the Hadoop committer — see
+      :func:`_write_reference_direct` for the measured rationale and
+      trade-offs.
     - ``layout='bulk'``: JSON-lines of ``(key, events)`` with NO per-key
       directories — the 100 TB layout. Any file-per-group layout costs
       O(distinct keys) filesystem metadata operations (measured ≈1 ms
@@ -69,11 +118,10 @@ def write_grouped_json(
         if pre_serialized:
             _write_pre_serialized(df, target, key=key, layout=layout)
         elif layout == "reference":
-            (
-                df.select(F.col(key), F.to_json(F.col("events")).alias("value"))
-                .write.mode("overwrite")
-                .partitionBy(key)
-                .text(target)
+            _write_reference_direct(
+                df.select(F.col(key), F.to_json(F.col("events")).alias("value")),
+                target,
+                key=key,
             )
         elif layout == "spark":
             (
@@ -114,9 +162,7 @@ def _write_pre_serialized(
       stay valid JSON.
     """
     if layout == "reference":
-        df.select(F.col(key), "value").write.mode("overwrite").partitionBy(
-            key
-        ).text(target)
+        _write_reference_direct(df, target, key=key)
     elif layout == "spark":
         (
             df.select(

@@ -109,37 +109,63 @@ def read_text(
     return spark.read.text(path, wholetext=whole_text)
 
 
-def sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-provided parquet table from a scale-factor dir.
+def apply_fixture_confs(spark: SparkSession) -> None:
+    """Runtime-settable SQL confs the driver parquet fixtures require,
+    applied to the CALLER's session so readers work from any vanilla
+    SparkSession (a grading driver, a notebook), not only
+    :func:`session.get_spark`:
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS) which Spark reads as a
-    nanos long (``nanosAsLong``); convert to a microsecond timestamp
-    with exact integer division (nanos exceed 2^53 — float division
-    would corrupt them). Micro truncation matches engines whose native
-    precision is micros (DuckDB).
-
-    ``nanosAsLong`` is set here, on the *caller's* session, not only in
-    :func:`session.get_spark` — the reader must work from any vanilla
-    SparkSession (a grading driver, a notebook), where the plain
-    ``spark.read.parquet`` would otherwise throw ``PARQUET_TYPE_ILLEGAL``
-    on TIMESTAMP(NANOS) columns. It is a runtime-settable SQL conf.
+    - ``nanosAsLong``: TIMESTAMP(NANOS) columns otherwise throw
+      ``PARQUET_TYPE_ILLEGAL``;
+    - ``session.timeZone=UTC``: the NTZ→LTZ ``ts`` cast in
+      :func:`normalize_ts` interprets naive values in the session
+      timezone, and unix_micros / F.window bucketing / date_format all
+      read the session zone — the DuckDB oracle interprets the same
+      naive parquet values as UTC, so any other zone (DST gaps,
+      fractional offsets) silently diverges.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # non-fatal: older/newer Spark without the conf
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-fatal: older/newer Spark without the conf
+
+
+def normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize the fixtures' ``ts`` encodings to TIMESTAMP (LTZ, µs).
+
+    - bigint (TIMESTAMP(NANOS) read under ``nanosAsLong``): exact
+      integer division to micros — nanos exceed 2^53, float math would
+      corrupt them; micro truncation matches DuckDB's native precision.
+    - timestamp_ntz (TIMESTAMP(MICROS, isAdjustedToUTC=false)): cast to
+      LTZ so event-time watermarks and epoch functions accept it. The
+      cast reads the session timezone, which
+      :func:`apply_fixture_confs` pins to UTC — making the stored
+      naive value, the internal epoch, and every formatted output
+      agree unconditionally (in a DST zone they would not).
+
+    Shared by the batch reader (:func:`sf_table`) and the streaming
+    reader (streaming/events.read_event_stream) so the encodings
+    cannot drift between the two paths.
+    """
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif field.name == "ts" and isinstance(field.dataType, T.TimestampNTZType):
-            # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ;
-            # normalize to TIMESTAMP (LTZ) so event-time watermarks and
-            # epoch functions (unix_micros) accept it. The cast
-            # interprets the naive value in the session timezone —
-            # wall-clock (and every formatted output) is unchanged.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver-provided parquet table from a scale-factor dir,
+    with ``ts`` normalized (see :func:`normalize_ts`) and the required
+    session confs applied to the caller's session
+    (:func:`apply_fixture_confs`)."""
+    apply_fixture_confs(spark)
+    return normalize_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

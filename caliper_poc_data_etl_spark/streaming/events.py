@@ -36,31 +36,24 @@ def read_event_stream(
     converted with exact integer division — float math would corrupt
     values above 2^53.
 
-    ``nanosAsLong`` is set on the caller's session so this works from a
-    vanilla SparkSession, not just session.get_spark() (same contract
-    as sources.readers.sf_table).
+    Session confs (``nanosAsLong``, UTC timezone) and the ``ts``
+    normalization are shared with the batch reader via
+    ``sources.readers.apply_fixture_confs`` / ``normalize_ts`` — one
+    implementation, so the two paths cannot drift.
     """
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    from caliper_poc_data_etl_spark.sources.readers import (
+        apply_fixture_confs,
+        normalize_ts,
+    )
+
+    apply_fixture_confs(spark)
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The streaming file source requires a directory; select just the
     # events table out of the scale-factor dir with a glob filter.
     reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(sf_dir)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet reads as NTZ,
-        # but event-time watermarks require TIMESTAMP (LTZ). The cast
-        # interprets the naive value in the session timezone, so the
-        # wall-clock (and every date_format'd output) is unchanged.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return normalize_ts(reader.parquet(sf_dir))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

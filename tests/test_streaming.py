@@ -228,3 +228,53 @@ def test_json_sink_exactly_once(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.json(target).count() == n_rows
+
+
+def test_session_window_exact_boundary_convention(spark):
+    """Pin Spark session_window's exact-boundary behavior (the
+    engine-wide convention every sessionization oracle must match —
+    queries/timeseries.py ts_session_window docstring): an event at
+    EXACTLY last_ts + 30 min MERGES into the session (touching
+    intervals merge — closed boundary); only a gap strictly greater
+    than 30 min splits. The sf fixtures contain no exact-boundary
+    gaps, so the driver oracle never exercises this edge — this
+    fixture does. (Writing this test with the opposite, half-open
+    assumption is what exposed the latent `>=` bug in the r2
+    session oracles.)"""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            ("u1", base, 1.0),
+            # exactly +30:00 → touching intervals MERGE
+            ("u1", base + dt.timedelta(minutes=30), 1.0),
+            # 29:59 after the previous → same session
+            ("u1", base + dt.timedelta(minutes=59, seconds=59), 1.0),
+            # 30:01 after the previous → gap EXCEEDS 30 min → NEW session
+            ("u1", base + dt.timedelta(minutes=90), 1.0),
+        ],
+        "user_id string, ts timestamp, value double",
+    )
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "HH:mm:ss").alias("start"), "n")
+        .collect()
+    )
+    assert sorted((r.start, r.n) for r in out) == [("00:00:00", 3), ("01:30:00", 1)]
+
+
+def test_stream_dedup_removes_injected_duplicates(spark, sf_dir):
+    """The oracle-graded formulation: two readStreams over the same
+    source unioned (every event arrives twice) must collapse back to
+    exactly the distinct input under dropDuplicatesWithinWatermark."""
+    doubled = read_event_stream(spark, sf_dir).union(read_event_stream(spark, sf_dir))
+    out = replay_to_df(stateful_dedup(doubled), mode="append")
+    n_distinct = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_distinct
