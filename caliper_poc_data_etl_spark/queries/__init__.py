@@ -57,7 +57,11 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
 # Round-3 window: the whole r2 `_NEXT` queue (20 queries — window_ntile and
 # the sketch md5-parity twins first among them), the two regrades
 # (window_sessionize — oracle BIGINT cast fixed; stream_dedup_within_
-# watermark — now deterministic + oracle-twinned), and round-3 additions.
+# watermark — now deterministic + oracle-twinned), and 19 round-3
+# additions (9 early-session + 10 late: null-safe join, heavy-hitter
+# mode, column profiling, char entropy, regex pack, kNN vote, int8
+# quantization, MoM trend, event throttle, curriculum order) — 41
+# front entries; slots 42-50 regrade unchanged r1 greens.
 # ---------------------------------------------------------------------------
 _DEFERRED = [
     # green in r01, implementation unchanged since:

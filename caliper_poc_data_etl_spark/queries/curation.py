@@ -18,6 +18,7 @@ split — a requirement for incremental corpus builds.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from caliper_poc_data_etl_spark.queries.dedup import _NGRAM_ORACLE, dedup_ngram_jaccard
 from caliper_poc_data_etl_spark.queries.registry import query, t
@@ -367,4 +368,63 @@ def doc_length_pctl_filter(spark, sf_dir):
         d.crossJoin(F.broadcast(q))
         .filter(F.col("n_chars") >= F.col("p90"))
         .select("doc_id", "n_chars", F.round("p90", 4).alias("p90"))
+    )
+
+
+@query(
+    "curriculum_quality_order",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS n_distinct,
+             length(regexp_replace(text, '[a-zA-Z ]', '', 'g')) * 1.0
+               / length(text) AS symbol_ratio
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             ROUND(LEAST(n_tokens / 100.0, 1.0) * 0.4
+                   + (n_distinct * 1.0 / n_tokens) * 0.4
+                   + (1.0 - symbol_ratio) * 0.2, 4) AS quality
+      FROM feats
+    )
+    SELECT doc_id,
+           CAST(LEAST(FLOOR(quality * 10), 9) AS INT) AS phase,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY CAST(LEAST(FLOOR(quality * 10), 9) AS INT)
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS seq
+    FROM scored
+    """,
+)
+def curriculum_quality_order(spark, sf_dir):
+    """Curriculum ordering: bucket documents into quality phases (the
+    ``text_quality_score`` composite, value-bucketed into deciles) and
+    assign a deterministic shuffled sequence within each phase
+    (md5-keyed, so the order is engine- and run-stable) — the
+    quality-ascending data ordering used in curriculum training.
+
+    Value-based bucketing (``floor(quality*10)``) instead of
+    ``ntile``/``percent_rank`` keeps the phase assignment embarrassingly
+    parallel — no global sort anywhere; the only window partitions by
+    phase (10 groups — at 100 TB the within-phase sequence would
+    instead come from the distributed global-rank construction in
+    ``window_ntile``)."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    symbol_ratio = F.length(
+        F.regexp_replace("text", "[a-zA-Z ]", "")
+    ) / F.length("text")
+    quality = F.round(
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+        + (n_distinct / n_tokens) * 0.4
+        + (1.0 - symbol_ratio) * 0.2,
+        4,
+    )
+    phase = F.least(F.floor(quality * 10), F.lit(9)).cast("int")
+    scored = d.select("doc_id", phase.alias("phase"))
+    w = W.partitionBy("phase").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return scored.select(
+        "doc_id", "phase", F.row_number().over(w).alias("seq")
     )

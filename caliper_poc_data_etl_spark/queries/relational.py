@@ -821,6 +821,145 @@ def limit_rows(spark, sf_dir):
     return t(spark, sf_dir, "orders").select("o_orderkey").orderBy("o_orderkey").limit(50)
 
 
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS k
+      FROM orders
+    ), dim AS (
+      SELECT DISTINCT o_orderstatus AS k FROM orders
+      UNION ALL SELECT NULL
+    )
+    SELECT d.k AS join_key, COUNT(*) AS n_rows
+    FROM keyed l JOIN dim d ON l.k IS NOT DISTINCT FROM d.k
+    GROUP BY d.k
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of dropping out — the semantics dedup and
+    CDC merges rely on when the business key is nullable. Spark plans
+    ``eqNullSafe`` as a hash join (the null bucket is just another
+    key), so the scale shape is identical to a plain equi-join."""
+    o = t(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("k"),
+    )
+    dim = (
+        o.select(F.col("o_orderstatus").alias("k"))
+        .distinct()
+        .unionAll(spark.range(1).select(F.lit(None).cast("string").alias("k")))
+        .withColumnRenamed("k", "dk")
+    )
+    return (
+        keyed.join(F.broadcast(dim), keyed.k.eqNullSafe(dim.dk))
+        .groupBy(F.col("dk").alias("join_key"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+@query(
+    "agg_heavy_hitter_per_user",
+    oracle="""
+    SELECT user_id, event_type AS top_event_type, cnt FROM (
+      SELECT user_id, event_type, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY COUNT(*) DESC, event_type) AS rn
+      FROM events GROUP BY user_id, event_type
+    ) WHERE rn = 1
+    """,
+)
+def agg_heavy_hitter_per_user(spark, sf_dir):
+    """Deterministic per-group mode (most frequent event_type per
+    user): count + window-rank with an explicit (count DESC, value)
+    tiebreak instead of ``mode()``, whose tie choice is
+    engine-arbitrary. Two shuffles, both keyed on user_id, and the
+    window input is already the aggregated (user, type) table — tiny
+    relative to the raw events."""
+    e = t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "cnt")
+    )
+
+
+_PROFILE_COLS = [
+    # (name, spark min/max projection needs a cast that stringifies the
+    #  same in both engines — DECIMAL for doubles, date_format for ts)
+    ("o_orderstatus", "CAST(MIN(o_orderstatus) AS VARCHAR)", "CAST(MAX(o_orderstatus) AS VARCHAR)"),
+    ("o_orderpriority", "CAST(MIN(o_orderpriority) AS VARCHAR)", "CAST(MAX(o_orderpriority) AS VARCHAR)"),
+    ("o_custkey", "CAST(MIN(o_custkey) AS VARCHAR)", "CAST(MAX(o_custkey) AS VARCHAR)"),
+    ("o_totalprice", "CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)",
+     "CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)"),
+    ("o_orderdate", "strftime(MIN(o_orderdate), '%Y-%m-%d')", "strftime(MAX(o_orderdate), '%Y-%m-%d')"),
+]
+
+
+@query(
+    "profile_orders_columns",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           {mn} AS min_s, {mx} AS max_s
+    FROM orders"""
+        for c, mn, mx in _PROFILE_COLS
+    ),
+)
+def profile_orders_columns(spark, sf_dir):
+    """Single-pass column profiling (null count / distinct / min / max
+    per column, long format) — the data-quality summary every ingest
+    job runs first. Spark computes ALL columns' statistics in ONE
+    aggregation over one scan (the oracle's UNION-ALL-of-aggregates is
+    the naive N-scan formulation), then pivots to long form with
+    ``inline`` — constant-size output, no second pass."""
+    o = t(spark, sf_dir, "orders")
+
+    def _minmax(c):
+        if c == "o_totalprice":
+            col = F.col(c).cast("decimal(18,2)")
+            return F.min(col).cast("string"), F.max(col).cast("string")
+        if c == "o_orderdate":
+            return (
+                F.date_format(F.min(c), "yyyy-MM-dd"),
+                F.date_format(F.max(c), "yyyy-MM-dd"),
+            )
+        return F.min(c).cast("string"), F.max(c).cast("string")
+
+    aggs = []
+    for c, _, _ in _PROFILE_COLS:
+        mn, mx = _minmax(c)
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            mn.alias(f"{c}__min"),
+            mx.alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_s"),
+                F.col(f"{c}__max").alias("max_s"),
+            )
+            for c, _, _ in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.inline(rows))
+
+
 # ------------------------------------------------------- SQL-text surface
 
 

@@ -267,6 +267,127 @@ def sim_ivf_topk(spark, sf_dir):
 
 
 @query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             CAST(list_dot_product(q.embedding, c.embedding) AS DOUBLE)
+               / (sqrt(CAST(list_dot_product(q.embedding, q.embedding) AS DOUBLE))
+                  * sqrt(CAST(list_dot_product(c.embedding, c.embedding) AS DOUBLE)))
+               AS cos_raw
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERY_VECS}
+    ), knn AS (
+      SELECT query_id, label FROM (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_raw DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT query_id, label AS pred_label, votes FROM (
+      SELECT query_id, label, COUNT(*) AS votes,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY COUNT(*) DESC, label) AS vr
+      FROM knn GROUP BY query_id, label
+    ) WHERE vr = 1
+    """,
+)
+def knn_label_vote(spark, sf_dir):
+    """kNN classification by majority vote over the TOP_K cosine
+    neighbors, with a deterministic (votes DESC, label) tiebreak — the
+    standard label-propagation / weak-labeling pass over an embedded
+    corpus. Same broadcast-queries-vs-partitioned-corpus shape as
+    ``sim_cosine_topk``; the vote is a tiny per-query aggregation on
+    the k×|queries| candidate table."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
+        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
+    knn = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "label", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("votes"), "label")
+    return (
+        knn.groupBy("query_id", "label")
+        .agg(F.count("*").alias("votes"))
+        .withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+
+
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ), quant AS (
+      SELECT vec_id, scale,
+             list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+               ELSE CAST(GREATEST(-127, LEAST(127,
+                    FLOOR(CAST(x AS DOUBLE) / scale + 0.5))) AS BIGINT) END) AS q
+      FROM scaled
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           CAST(list_min(q) AS BIGINT) AS q_min,
+           CAST(list_max(q) AS BIGINT) AS q_max
+    FROM quant
+    """,
+)
+def embed_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding column (scale =
+    max|x|/127, round-half-up via floor(x/s + 0.5), clamp ±127) — the
+    4× memory/IO compression step before shipping vectors to an ANN
+    index. Every quantized value is an exact small integer, so the
+    checksum columns (sum/min/max) hash-match across engines with no
+    float tolerance; per-row array math, zero shuffle."""
+    e = t(spark, sf_dir, "embeddings")
+    scale = F.array_max(
+        F.transform("embedding", lambda x: F.abs(x.cast("double")))
+    ) / F.lit(127.0)
+    scaled = e.select("vec_id", scale.alias("scale"), "embedding")
+    q = F.transform(
+        "embedding",
+        lambda x: F.when(F.col("scale") == 0, F.lit(0).cast("long")).otherwise(
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x.cast("double") / F.col("scale") + 0.5),
+                ),
+            )
+        ),
+    )
+    quant = scaled.select("vec_id", "scale", q.alias("q"))
+    return quant.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("q", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+    )
+
+
+@query(
     "sim_pairwise_label_stats",
     oracle="""
     SELECT a.label AS label_a, b.label AS label_b, COUNT(*) AS n_pairs,

@@ -199,6 +199,102 @@ def text_fingerprint(spark, sf_dir):
 
 
 @query(
+    "text_char_entropy",
+    oracle="""
+    WITH normed AS (
+      SELECT doc_id, regexp_replace(text, '\\s', ' ', 'g') AS norm
+      FROM documents WHERE length(text) > 0
+    ), counted AS (
+      SELECT doc_id, norm,
+             list_sort(list_distinct(regexp_extract_all(norm, '.'))) AS dchars
+      FROM normed
+    )
+    SELECT doc_id,
+           length(norm) AS n_chars_norm,
+           len(dchars) AS n_distinct_chars,
+           ROUND(-list_sum(list_transform(dchars, c ->
+               ((length(norm) - length(replace(norm, c, ''))) * 1.0 / length(norm))
+               * log2((length(norm) - length(replace(norm, c, ''))) * 1.0
+                      / length(norm)))), 4) AS entropy
+    FROM counted
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy — the cheap
+    gibberish/boilerplate detector (natural text sits ~4 bits/char;
+    base64 blobs and repeated padding land far off).
+
+    Stays entirely in array algebra: distinct chars (sorted, so both
+    engines sum the entropy terms in the same order) and a
+    count-via-replace length trick per char — O(len·|alphabet|) inside
+    whole-stage codegen, zero shuffle, no explode of one row per
+    character (which would 5000× the row count before aggregating
+    right back)."""
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    normed = d.select(
+        "doc_id", F.regexp_replace("text", "\\s", " ").alias("norm")
+    )
+    counted = normed.select(
+        "doc_id",
+        "norm",
+        F.array_sort(
+            F.array_distinct(F.regexp_extract_all("norm", F.lit("(.)")))
+        ).alias("dchars"),
+    )
+    n = F.length("norm")
+    cnt = lambda c: n - F.length(F.replace(F.col("norm"), c))  # noqa: E731
+    term = lambda c: (cnt(c).cast("double") / n) * F.log2(  # noqa: E731
+        cnt(c).cast("double") / n
+    )
+    return counted.select(
+        "doc_id",
+        n.alias("n_chars_norm"),
+        F.size("dchars").alias("n_distinct_chars"),
+        F.round(
+            -F.aggregate(
+                "dchars", F.lit(0.0), lambda acc, c: acc + term(c)
+            ),
+            4,
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "text_regex_extract",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '([0-9]+)', 1)) AS n_numbers,
+           COALESCE(NULLIF(regexp_extract(text, '([0-9]+)', 1), ''), 'NA')
+             AS first_number,
+           len(regexp_extract_all(text, '([A-Z][a-z]+)', 1)) AS n_capitalized,
+           len(regexp_extract_all(text, '(https?://[^ ]+)', 1)) AS n_urls
+    FROM documents
+    """,
+)
+def text_regex_extract(spark, sf_dir):
+    """Regex extraction pack: occurrence counts + first-match capture
+    (numbers, Capitalized words, URLs) — the structured-signal pass of
+    a scrape-cleaning pipeline. Patterns stick to constructs with
+    identical semantics in Java regex (Spark) and RE2 (DuckDB); empty
+    no-match extracts are normalized to 'NA' on both engines."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("([0-9]+)"))).alias("n_numbers"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("text", "([0-9]+)", 1), F.lit("")),
+            F.lit("NA"),
+        ).alias("first_number"),
+        F.size(F.regexp_extract_all("text", F.lit("([A-Z][a-z]+)"))).alias(
+            "n_capitalized"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit("(https?://[^ ]+)"))).alias(
+            "n_urls"
+        ),
+    )
+
+
+@query(
     "text_ngram_shingles",
     oracle="""
     SELECT doc_id,

@@ -9,6 +9,7 @@ DuckDB oracle can check the window semantics exactly.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from caliper_poc_data_etl_spark.queries.registry import query, t
 
@@ -265,4 +266,71 @@ def ts_ohlc_daily(spark, sf_dir):
             "close",
             "n",
         )
+    )
+
+
+@query(
+    "ts_month_over_month",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT month,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND((CAST(rev AS DOUBLE)
+                  - CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE))
+                 / CAST(LAG(rev) OVER (ORDER BY month) AS DOUBLE), 6) AS mom_pct
+    FROM m
+    """,
+)
+def ts_month_over_month(spark, sf_dir):
+    """Monthly revenue + month-over-month percent change — the trend
+    report shape. Revenue sums in DECIMAL (exact, order-independent
+    across partitions/engines); the lag window runs AFTER aggregation
+    over one row per month, so the unpartitioned ORDER BY window is
+    driver-scale by construction, not a single-reducer pass over the
+    fact table."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = W.orderBy("month")
+    rev = F.col("rev").cast("double")
+    prev = F.lag(F.col("rev")).over(w).cast("double")
+    return m.select(
+        "month",
+        rev.alias("revenue"),
+        F.round((rev - prev) / prev, 6).alias("mom_pct"),
+    )
+
+
+@query(
+    "dedup_events_throttle",
+    oracle="""
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id, event_type
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ) WHERE gap_us IS NULL OR gap_us > 300000000
+    """,
+)
+def dedup_events_throttle(spark, sf_dir):
+    """Time-windowed event dedup (throttle): keep an event only if the
+    previous event of the same (user, type) is more than 5 minutes
+    older — the batch twin of ``stream_dedup_within_watermark`` and the
+    standard duplicate-burst suppressor for at-least-once event
+    streams. One lag window keyed on (user_id, event_type): a single
+    shuffle, no self-join."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.withColumn("gap_us", gap)
+        .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000))
+        .select("user_id", "event_type", "event_id")
     )

@@ -1,0 +1,204 @@
+"""Semantic edge-case tests for the round-3 operator additions —
+properties the differential oracle can't pin (it only proves both
+engines agree, not that the shared semantics are right).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from caliper_poc_data_etl_spark.queries import QUERIES
+
+
+def _df_from(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestCharEntropy:
+    """text_char_entropy against hand-computable fixtures."""
+
+    def _entropy(self, spark, tmp_path, texts):
+        sf = str(tmp_path)
+        docs = spark.createDataFrame(
+            [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+        out = QUERIES["text_char_entropy"].spark(spark, sf).collect()
+        return {r["doc_id"]: r for r in out}
+
+    def test_known_values(self, spark, tmp_path):
+        got = self._entropy(
+            spark,
+            tmp_path,
+            [
+                "aaaa",          # one symbol -> 0 bits
+                "abab",          # two equiprobable symbols -> 1 bit
+                "abcd",          # four equiprobable -> 2 bits
+                "a b\na\tb",     # whitespace classes normalize to ' '
+            ],
+        )
+        assert got[0]["entropy"] == 0.0
+        assert got[1]["entropy"] == 1.0
+        assert got[2]["entropy"] == 2.0
+        # 'a b a b' -> a:2 b:2 ' ':3 over 7 chars
+        p = [2 / 7, 2 / 7, 3 / 7]
+        expect = -sum(x * math.log2(x) for x in p)
+        assert abs(got[3]["entropy"] - round(expect, 4)) < 1e-9
+        assert got[3]["n_chars_norm"] == 7
+        assert got[3]["n_distinct_chars"] == 3
+
+
+class TestQuantizeInt8:
+    def test_roundtrip_error_bounded(self, spark, sf_dir):
+        """Dequantized vectors stay within scale/2 of the original per
+        element — the defining property of symmetric round-to-nearest."""
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        scale = F.array_max(
+            F.transform("embedding", lambda x: F.abs(x.cast("double")))
+        ) / F.lit(127.0)
+        q = F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5),
+        )
+        err = F.array_max(
+            F.zip_with(
+                "embedding",
+                "q",
+                lambda x, qq: F.abs(x.cast("double") - qq * F.col("scale")),
+            )
+        )
+        bad = (
+            e.select("vec_id", scale.alias("scale"), "embedding")
+            .filter(F.col("scale") > 0)
+            .withColumn("q", q)
+            .withColumn("err", err)
+            .filter(F.col("err") > F.col("scale") / 2 + 1e-12)
+            .count()
+        )
+        assert bad == 0
+
+    def test_range_clamped(self, spark, sf_dir):
+        rows = QUERIES["embed_quantize_int8"].spark(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert -127 <= r["q_min"] <= r["q_max"] <= 127
+
+    def test_max_element_hits_127(self, spark, sf_dir):
+        """The max-|x| element must quantize to exactly ±127."""
+        rows = QUERIES["embed_quantize_int8"].spark(spark, sf_dir).collect()
+        assert any(r["q_max"] == 127 or r["q_min"] == -127 for r in rows)
+
+
+class TestEventThrottle:
+    def test_burst_suppressed(self, spark, tmp_path):
+        sf = str(tmp_path)
+        rows = [
+            # user 1, 'click': burst at t0, t0+10s, t0+4m59s, then t0+10m
+            (1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 00:00:10", 1, "click", 1.0, "{}"),
+            (3, "2024-01-01 00:04:59", 1, "click", 1.0, "{}"),
+            (4, "2024-01-01 00:10:00", 1, "click", 1.0, "{}"),
+            # different type interleaved: independent throttle key
+            (5, "2024-01-01 00:00:05", 1, "view", 1.0, "{}"),
+            # exact 5-minute gap: NOT kept (strict >)
+            (6, "2024-01-01 01:00:00", 2, "click", 1.0, "{}"),
+            (7, "2024-01-01 01:05:00", 2, "click", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            [(i, ts, u, et, v, p) for i, ts, u, et, v, p in rows],
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+        kept = {
+            r["event_id"]
+            for r in QUERIES["dedup_events_throttle"].spark(spark, sf).collect()
+        }
+        # 1 first; 2 suppressed (10s); 3 suppressed (4m49s after 2 —
+        # throttle is vs PREVIOUS event, kept or not); 4 kept (5m01s
+        # after 3); 5 kept (own key); 6 first; 7 suppressed (exactly
+        # 5m, strict >).
+        assert kept == {1, 4, 5, 6}
+
+
+class TestHeavyHitter:
+    def test_tie_breaks_lexicographically(self, spark, tmp_path):
+        sf = str(tmp_path)
+        df = spark.createDataFrame(
+            [
+                (1, "2024-01-01 00:00:00", 1, "zeta", 1.0, "{}"),
+                (2, "2024-01-01 00:00:01", 1, "alpha", 1.0, "{}"),
+            ],
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        df.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+        rows = QUERIES["agg_heavy_hitter_per_user"].spark(spark, sf).collect()
+        assert len(rows) == 1
+        assert rows[0]["top_event_type"] == "alpha"  # count tie -> lexical
+
+
+class TestProfile:
+    def test_null_counting(self, spark, sf_dir):
+        rows = {
+            r["column_name"]: r
+            for r in QUERIES["profile_orders_columns"].spark(spark, sf_dir).collect()
+        }
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        n_status_null = o.filter(F.col("o_orderstatus").isNull()).count()
+        assert rows["o_orderstatus"]["n_nulls"] == n_status_null
+        assert rows["o_custkey"]["n_distinct"] == (
+            o.select("o_custkey").distinct().count()
+        )
+
+
+class TestCurriculum:
+    def test_phases_partition_and_seq_dense(self, spark, sf_dir):
+        rows = QUERIES["curriculum_quality_order"].spark(spark, sf_dir).collect()
+        assert rows
+        by_phase: dict[int, list[int]] = {}
+        for r in rows:
+            assert 0 <= r["phase"] <= 9
+            by_phase.setdefault(r["phase"], []).append(r["seq"])
+        for phase, seqs in by_phase.items():
+            assert sorted(seqs) == list(range(1, len(seqs) + 1)), phase
+
+
+class TestKnnVote:
+    def test_vote_consistent_with_topk(self, spark, sf_dir):
+        """pred_label must be the (votes desc, label) argmax over the
+        labels of the exact top-k neighbor set."""
+        topk = QUERIES["sim_cosine_topk"].spark(spark, sf_dir).collect()
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        labels = {r["vec_id"]: r["label"] for r in e.collect()}
+        votes: dict[int, dict[int, int]] = {}
+        for r in topk:
+            lab = labels[r["neighbor_id"]]
+            votes.setdefault(r["query_id"], {}).setdefault(lab, 0)
+            votes[r["query_id"]][lab] += 1
+        got = {
+            r["query_id"]: (r["pred_label"], r["votes"])
+            for r in QUERIES["knn_label_vote"].spark(spark, sf_dir).collect()
+        }
+        assert set(got) == set(votes)
+        for qid, counts in votes.items():
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            assert got[qid] == (best[0], best[1]), qid
