@@ -1036,3 +1036,47 @@ def sql_exists_scalar_subquery(spark, sf_dir):
                         AND o.o_totalprice > 300000)
         """
     )
+
+
+@query(
+    "agg_filtered_pack",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                      FILTER (WHERE l_linestatus = 'F'), 2) AS DOUBLE)
+             AS rev_finished,
+           ROUND(AVG(l_quantity) FILTER (WHERE l_tax > 0.03), 4) AS avg_qty_taxed,
+           COUNT(DISTINCT l_suppkey) FILTER (WHERE l_quantity >= 30)
+             AS n_bulk_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filtered_pack(spark, sf_dir):
+    """Conditional aggregation (SQL FILTER clause) four ways:
+    count_if, filtered DECIMAL sum, filtered avg, filtered distinct
+    count — all in ONE hash aggregate pass over the fact table (the
+    naive formulation is four scans). Spark expresses FILTER as
+    when()-guarded inputs; every variant keeps map-side partial
+    aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_linestatus") == "F",
+                    F.col("l_extendedprice").cast("decimal(18,2)"),
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("rev_finished"),
+        F.round(
+            F.avg(F.when(F.col("l_tax") > 0.03, F.col("l_quantity"))), 4
+        ).alias("avg_qty_taxed"),
+        F.count_distinct(
+            F.when(F.col("l_quantity") >= 30, F.col("l_suppkey"))
+        ).alias("n_bulk_suppliers"),
+    )

@@ -693,3 +693,65 @@ def scd2_event_intervals(spark, sf_dir):
         F.date_format("ts", fmt).alias("valid_from"),
         F.date_format(F.lead("ts").over(w), fmt).alias("valid_to"),
     )
+
+
+@query(
+    "decontam_exact_substring",
+    oracle=f"""
+    WITH bench AS (
+      SELECT doc_id AS bench_id, substr(trim(text), 10, 40) AS snippet
+      FROM documents
+      WHERE doc_id % {_DECONTAM_MOD} = 0 AND length(trim(text)) >= 50
+    ), hits AS (
+      SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      FROM documents d JOIN bench b
+        ON position(b.snippet IN d.text) > 0
+      WHERE d.doc_id % {_DECONTAM_MOD} <> 0
+      GROUP BY d.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {_DECONTAM_MOD} <> 0
+    """,
+)
+def decontam_exact_substring(spark, sf_dir):
+    """Verbatim-leak decontamination: flag corpus documents that
+    contain any held-out benchmark SNIPPET as an exact substring —
+    the stricter companion to ``decontam_ngram_overlap`` (token
+    shingles tolerate reformatting; substring containment catches
+    verbatim copies, the cangram-free check most eval-suite hygiene
+    uses first).
+
+    Plan: the snippet table is tiny (one 40-char probe per benchmark
+    doc) and broadcast; the containment join is a deliberate
+    broadcast nested-loop (corpus never shuffles) and hits aggregate
+    on doc_id. At 100 TB the same shape holds — the NLJ cost is
+    |corpus| × |snippets| string scans, which an Aho-Corasick
+    mapInPandas would cut to |corpus| if the snippet set grew large."""
+    d = t(spark, sf_dir, "documents")
+    bench = (
+        d.filter(
+            (F.col("doc_id") % _DECONTAM_MOD == 0)
+            & (F.length(F.trim("text")) >= 50)
+        )
+        .select(F.substring(F.trim("text"), 10, 40).alias("snippet"))
+    )
+    corpus = d.filter(F.col("doc_id") % _DECONTAM_MOD != 0)
+    hits = (
+        corpus.join(
+            F.broadcast(bench), F.instr(corpus.text, bench.snippet) > 0
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -264,3 +264,57 @@ def window_cume_dist(spark, sf_dir):
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
     )
+
+
+@query(
+    "window_session_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                             ORDER BY ts, event_id))
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS duration_sec,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def window_session_stats(spark, sf_dir):
+    """Session-level rollup on top of gap-based sessionization
+    (``window_sessionize``): events per session, wall duration, value
+    sum — the composition proof that the sessionize output feeds a
+    plain hash aggregate. Both passes key on user_id, so the window
+    shuffle is REUSED by the groupBy (one Exchange total)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev_ts)) > 1_800_000_000),
+        1,
+    ).otherwise(0)
+    sessions = (
+        t(spark, sf_dir, "events")
+        .withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(w_run))
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))) / 1_000_000
+        ).alias("duration_sec"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )

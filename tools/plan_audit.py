@@ -35,6 +35,7 @@ EXPECTED_NLJ = {
     "dedup_embedding_cosine",
     "sim_pairwise_label_stats",
     "sim_cosine_topk",  # broadcast NLJ on purpose: tiny query side
+    "knn_label_vote",  # same broadcast-query shape as sim_cosine_topk
     "sim_ivf_topk",  # corpus × broadcast 16-centroid table (coarse quantizer)
     "sim_label_centroid_stats",  # |labels|² broadcast self-join of per-label sums
 }
@@ -46,7 +47,10 @@ EXPECTED_SCALAR_BNLJ = {
     "tfidf_top_terms",  # corpus-size scalar for the idf term
     "funnel_conversion",  # three 1-row stage counts combined
     "window_ntile",  # N-total scalar for bucket arithmetic
+    "doc_length_pctl_filter",  # corpus-P90 threshold scalar
 }
+# Deliberate broadcast containment join (tiny snippet table).
+EXPECTED_NLJ.add("decontam_exact_substring")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
 
 
