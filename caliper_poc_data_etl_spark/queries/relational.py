@@ -1080,3 +1080,280 @@ def agg_filtered_pack(spark, sf_dir):
             F.when(F.col("l_quantity") >= 30, F.col("l_suppkey"))
         ).alias("n_bulk_suppliers"),
     )
+
+
+# ------------------------------------------------ TPC-H analog closure
+# q1/q3/q5 analogs live above; these six close out the TPC-H shapes the
+# driver tables support (no partsupp table → q2/q9/q11/q16/q20 family
+# is out of scope; shipdate stands in for commit/receipt dates).
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 analog: pure filtered aggregate — every predicate
+    reaches the parquet scan (PushedFilters), the agg is a map-side
+    partial + 1-row exchange. DECIMAL money math (house convention)."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-07-01' AND o.o_orderdate < DATE '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 analog: priority counts of orders with a late shipment
+    (≥60 days after order date; shipdate stands in for the missing
+    commit/receipt dates). The EXISTS is a left-semi join — lineitem
+    never multiplies the order rows, and the date predicate rides the
+    join condition."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate >= F.date_add(o.o_orderdate, 60)
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, ship_year,
+           CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,4))) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      WHERE ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+          OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+        AND l.l_shipdate >= DATE '1996-01-01'
+        AND l.l_shipdate < DATE '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 analog: bilateral trade volume between two nations by
+    ship year. Five joins: the two nation dims broadcast (pushing
+    their name filters to partition the supplier/customer sides
+    early); lineitem↔orders is the only big shuffle pair."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    ns = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    nc = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("ship_year"),
+            (dec("l_extendedprice") * (1 - dec("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.round(F.sum("volume"), 2).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1996-10-01' AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 analog: top-20 customers by returned-item revenue in
+    a quarter. Global top-k after the aggregate plans as
+    TakeOrderedAndProject (no full sort); c_custkey breaks revenue
+    ties deterministically."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(dec("l_extendedprice") * (1 - dec("l_discount"))), 2
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(ROUND(
+             100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                      THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                      ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+             4) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= DATE '1996-09-01' AND l.l_shipdate < DATE '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 analog: promo revenue share for one month. Part is
+    the broadcast side; both sums accumulate in DECIMAL (exact) and
+    only the final ratio drops to double."""
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = t(spark, sf_dir, "part")
+    vol = dec("l_extendedprice") * (1 - dec("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(vol).cast("double"),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customer",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o.o_totalprice, 2) AS totalprice,
+           big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark, sf_dir):
+    """TPC-H Q18 analog: customers behind the largest-volume orders
+    (HAVING sum(qty) > threshold). The heavy groupBy runs FIRST and
+    its survivors (a tiny keyset) drive semi-sized joins into orders
+    and customer — never the other way around."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
