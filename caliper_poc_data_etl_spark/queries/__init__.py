@@ -57,11 +57,14 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
 # Round-3 window: the whole r2 `_NEXT` queue (20 queries — window_ntile and
 # the sketch md5-parity twins first among them), the two regrades
 # (window_sessionize — oracle BIGINT cast fixed; stream_dedup_within_
-# watermark — now deterministic + oracle-twinned), and 19 round-3
-# additions (9 early-session + 10 late: null-safe join, heavy-hitter
-# mode, column profiling, char entropy, regex pack, kNN vote, int8
-# quantization, MoM trend, event throttle, curriculum order) — 41
-# front entries; slots 42-50 regrade unchanged r1 greens.
+# watermark — now deterministic + oracle-twinned), and 28 round-3
+# additions (9 early-session: SQL text, cume_dist, gap-fill, OHLC,
+# SCD2, percentile filter, salted agg/join; 19 late: null-safe join,
+# heavy-hitter mode, column profiling, char entropy, regex pack, kNN
+# vote, int8 quantization, MoM trend, event throttle, curriculum
+# order, session rollup, substring decontam, FILTER-clause agg pack,
+# and the TPC-H q4/q6/q7/q10/q14/q18 analogs) — exactly 50 front
+# entries, filling the graded window.
 # ---------------------------------------------------------------------------
 _DEFERRED = [
     # green in r01, implementation unchanged since:
