@@ -202,3 +202,114 @@ class TestKnnVote:
         for qid, counts in votes.items():
             best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
             assert got[qid] == (best[0], best[1]), qid
+
+
+class TestRound3Properties:
+    """Hypothesis properties: Spark column math vs pure-Python refs."""
+
+    _SETTINGS = None  # set below to avoid import-order noise
+
+    def test_entropy_matches_python(self, spark, tmp_path):
+        import math
+        import re as _re
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        texts_strategy = st.lists(
+            st.text(
+                alphabet="abcXYZ012 .,\t\n",
+                min_size=1,
+                max_size=60,
+            ).filter(lambda s: len(s) > 0),
+            min_size=1,
+            max_size=6,
+        )
+
+        @given(texts=texts_strategy)
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.too_slow,
+                HealthCheck.function_scoped_fixture,
+            ],
+        )
+        def check(texts):
+            sf = str(tmp_path)
+            docs = spark.createDataFrame(
+                [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+                "doc_id long, text string, lang string, source string,"
+                " n_chars long",
+            )
+            docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+            got = {
+                r["doc_id"]: r["entropy"]
+                for r in QUERIES["text_char_entropy"].spark(spark, sf).collect()
+            }
+            for i, t in enumerate(texts):
+                norm = _re.sub(r"\s", " ", t)
+                n = len(norm)
+                counts = {}
+                for ch in norm:
+                    counts[ch] = counts.get(ch, 0) + 1
+                expect = -sum(
+                    (c / n) * math.log2(c / n) for c in counts.values()
+                )
+                assert abs(got[i] - round(expect, 4)) < 2e-4, (t, got[i], expect)
+
+        check()
+
+    def test_quantize_matches_numpy(self, spark, tmp_path):
+        import numpy as np
+
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        vec_strategy = st.lists(
+            st.floats(
+                min_value=-10.0,
+                max_value=10.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=16,
+        )
+
+        @given(vecs=st.lists(vec_strategy, min_size=1, max_size=5))
+        @settings(
+            max_examples=6,
+            deadline=None,
+            suppress_health_check=[
+                HealthCheck.too_slow,
+                HealthCheck.function_scoped_fixture,
+            ],
+        )
+        def check(vecs):
+            sf = str(tmp_path)
+            df = spark.createDataFrame(
+                [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+                "vec_id long, embedding array<float>, label int",
+            )
+            df.write.mode("overwrite").parquet(f"{sf}/embeddings.parquet")
+            got = {
+                r["vec_id"]: r
+                for r in QUERIES["embed_quantize_int8"].spark(spark, sf).collect()
+            }
+            for i, v in enumerate(vecs):
+                x = np.asarray(v, dtype=np.float32).astype(np.float64)
+                amax = float(np.max(np.abs(x)))
+                scale = amax / 127.0
+                if scale == 0:
+                    q = np.zeros(len(x), dtype=np.int64)
+                else:
+                    q = np.clip(
+                        np.floor(x / scale + 0.5), -127, 127
+                    ).astype(np.int64)
+                assert got[i]["q_sum"] == int(q.sum()), (v, got[i])
+                assert got[i]["q_min"] == int(q.min())
+                assert got[i]["q_max"] == int(q.max())
+
+        check()

@@ -55,11 +55,17 @@ EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
 
 
 def audit(name: str, df) -> list[str]:
-    # Materialize through the noop sink so AQE finalizes the plan —
-    # pre-execution AdaptiveSparkPlan hides codegen stages and the
-    # actual join strategies.
-    df.write.format("noop").mode("overwrite").save()
+    # Materialize via collect() — it executes THIS DataFrame's own
+    # QueryExecution, so AQE finalizes in place (isFinalPlan=true) and
+    # the string shows real join strategies + codegen stages. (A noop
+    # write builds a separate QueryExecution: the df's own plan then
+    # prints pre-execution, with zero codegen markers — measured.)
+    df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # A finalized AdaptiveSparkPlan prints the final plan AND an
+    # "== Initial Plan ==" echo; keep only the final section or every
+    # scan/exchange/codegen count doubles.
+    plan = plan.split("== Initial Plan ==")[0]
     notes: list[str] = []
     n_exchange = len(re.findall(r"\bExchange\b", plan)) - plan.count("ReusedExchange")
     # Codegen stages print as "*(n) Operator" in the plan string.
