@@ -464,11 +464,19 @@ def sim_label_centroid_stats(spark, sf_dir):
     and exactly reproduces the quadratic oracle (same rounding).
     """
     e = t(spark, sf_dir, "embeddings")
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    unit = F.transform("embedding", lambda x: x.cast("double") / norm)
+    # Materialize the norm as a COLUMN before the transform — an
+    # inlined norm expression re-evaluates the full dot product per
+    # array element (O(dim²)/row; measured 17.8× instead of 10× wall
+    # in the 10× scale smoke before this fix).
+    normed = e.select(
+        "label",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    unit = F.transform("embedding", lambda x: x.cast("double") / F.col("norm"))
     # Per-label unit-vector sums: explode to (label, pos, val) — 64×
     # row blowup that collapses immediately in a partial-agg groupBy.
-    comp = e.select("label", F.posexplode(unit).alias("pos", "val"))
+    comp = normed.select("label", F.posexplode(unit).alias("pos", "val"))
     sums = (
         comp.groupBy("label", "pos")
         .agg(F.sum("val").alias("s"))
