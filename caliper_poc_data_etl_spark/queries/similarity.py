@@ -55,14 +55,20 @@ def sim_cosine_topk(spark, sf_dir):
     100 TB the corpus side stays partitioned and never shuffles; the
     per-query top-k is a bounded window."""
     e = t(spark, sf_dir, "embeddings")
+    # Norms precomputed per SIDE, not per pair: the scoring join then
+    # evaluates one dot per pair instead of three (same doubles — the
+    # norm value is identical, just not re-derived |pairs| times).
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb"))
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
-        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("c_norm"),
     )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_raw", cos)
@@ -116,18 +122,17 @@ def sim_ann_lsh(spark, sf_dir):
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
             F.explode(probes).alias("probe_bucket"),
         )
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("c_norm"),
         F.col("bucket").alias("c_bucket"),
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
-        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
-    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     scored = (
         c.join(F.broadcast(q), F.col("probe_bucket") == F.col("c_bucket"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -230,7 +235,9 @@ def sim_ivf_topk(spark, sf_dir):
         .agg(F.max_by("cell", cos_cent).alias("cell"))
     )
     corpus = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("c_norm"),
     ).join(
         assign.select(F.col("vec_id").alias("neighbor_id"), "cell"), "neighbor_id"
     )
@@ -244,17 +251,15 @@ def sim_ivf_topk(spark, sf_dir):
         .select(
             "query_id",
             F.col("embedding").alias("q_emb"),
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
             "cell",
             cos_cent.alias("probe_cos"),
         )
         .withColumn("probe_rank", F.row_number().over(wq))
         .filter(F.col("probe_rank") <= N_PROBE)
-        .select("query_id", "q_emb", "cell")
+        .select("query_id", "q_emb", "q_norm", "cell")
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
-        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
-    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
     return (
         corpus.join(F.broadcast(q_probes), "cell")
@@ -302,17 +307,17 @@ def knn_label_vote(spark, sf_dir):
     the k×|queries| candidate table."""
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label"),
         F.col("embedding").alias("c_emb"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("c_norm"),
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (
-        F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
-        * F.sqrt(_dot(F.col("c_emb"), F.col("c_emb")))
-    )
+    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
     knn = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
