@@ -620,3 +620,70 @@ def dedup_embedding_lsh(spark, sf_dir):
         .filter(F.col("cosine_raw") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cosine_raw", 4).alias("cosine"))
     )
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+_CONTAINMENT_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+          i -> string_split_regex(trim(text), '\\s+')[i]   || ' ' ||
+               string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+               string_split_regex(trim(text), '\\s+')[i+2]))) AS shingle
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / sa.n, 4) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / sa.n >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric containment dedup: |sh(A) ∩ sh(B)| / |sh(A)| ≥ 0.9 —
+    catches document A embedded inside a larger B (quote farms,
+    boilerplate wrappers, concatenated dumps), which symmetric Jaccard
+    misses whenever B is much longer than A. Directed pairs: (a, b)
+    and (b, a) score independently.
+
+    Plan shape is ``dedup_ngram_jaccard``'s: per-row shingle sets, one
+    shingle-keyed equi-join for intersections, sizes riding the
+    group-by keys — quadratic only in co-occurring shingles, the exact
+    oracle baseline for a banded variant at 100 TB."""
+    d = t(spark, sf_dir, "documents")
+    sized = _doc_shingle_sets(d).select(
+        "doc_id", "shset", F.size("shset").alias("n")
+    )
+    sh = sized.select(
+        "doc_id", "n", F.explode("shset").alias("shingle")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        "shingle",
+    )
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a")
+        .agg(F.count("*").alias("i"))
+    )
+    containment = F.col("i") / F.col("n_a")
+    return (
+        inter.filter(containment >= CONTAINMENT_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", F.round(containment, 4).alias("containment")
+        )
+    )

@@ -190,3 +190,31 @@ def stream_dedup_within_watermark(spark, sf_dir):
     return out.select(
         "event_id", "user_id", "event_type", F.round("value", 2).alias("value")
     )
+
+
+_THROTTLE_ORACLE = """
+    SELECT user_id, event_type, event_id FROM (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id, event_type
+                                                   ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ) WHERE gap_us IS NULL OR gap_us > 300000000
+"""
+
+
+@query("stream_throttle_replay", oracle=_THROTTLE_ORACLE)
+def stream_throttle_replay(spark, sf_dir):
+    """Streaming event throttle (custom applyInPandasWithState machine,
+    one long of state per key) replayed over the static source — must
+    reproduce the batch lag-window formulation exactly, which is the
+    same SQL that grades ``dedup_events_throttle``. The multi-batch
+    state fold (last raw ts carrying across batches) is pytest-covered
+    (tests/test_streaming.py)."""
+    from caliper_poc_data_etl_spark.streaming import (
+        read_event_stream,
+        replay_to_df,
+        throttled_events,
+    )
+
+    events = read_event_stream(spark, sf_dir)
+    return replay_to_df(throttled_events(events), mode="append")

@@ -13,6 +13,10 @@ from caliper_poc_data_etl_spark.streaming.caliper import (  # noqa: F401
     read_assessments_stream,
     run_attempts_stream,
 )
+from caliper_poc_data_etl_spark.streaming.stateful import (  # noqa: F401
+    throttled_events,
+    user_profiles,
+)
 from caliper_poc_data_etl_spark.streaming.events import (  # noqa: F401
     click_purchase_join,
     read_event_stream,

@@ -81,3 +81,62 @@ def user_profiles(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+THROTTLE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+    ]
+)
+
+THROTTLE_GAP_US = 300_000_000  # 5 minutes, matches dedup_events_throttle
+
+_THROTTLE_STATE = "last_us LONG"
+
+
+def _throttle_group(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    user_id, event_type = key
+    last_us = state.get[0] if state.exists else None
+    rows = pd.concat(list(batches), ignore_index=True)
+    # Event-time order within the batch — the batch twin's lag window
+    # orders by (ts, event_id); state carries the last RAW event's ts
+    # (throttle is vs previous event, kept or not).
+    rows = rows.sort_values(["ts", "event_id"])
+    kept = []
+    for r in rows.itertuples(index=False):
+        ts_us = int(r.ts.value // 1000)  # pandas ns -> us
+        if last_us is None or ts_us - last_us > THROTTLE_GAP_US:
+            kept.append(r.event_id)
+        last_us = ts_us
+    state.update((last_us,))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id] * len(kept),
+            "event_type": [event_type] * len(kept),
+            "event_id": kept,
+        }
+    )
+
+
+def throttled_events(events: DataFrame) -> DataFrame:
+    """Streaming event throttle (custom state machine): emit an event
+    only if the previous event of the same (user, type) — kept or not —
+    is more than THROTTLE_GAP_US older. The per-key state is ONE long
+    (last raw event-time), folded across micro-batches; the batch twin
+    is ``queries.timeseries.dedup_events_throttle`` and a single-batch
+    replay must reproduce it exactly (the driver oracle checks that)."""
+    return (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _throttle_group,
+            outputStructType=THROTTLE_SCHEMA,
+            stateStructType=_THROTTLE_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -278,3 +278,59 @@ def test_stream_dedup_removes_injected_duplicates(spark, sf_dir):
         .count()
     )
     assert out.count() == n_distinct
+
+
+def test_throttle_state_folds_across_batches(spark, tmp_path):
+    """Streaming throttle: 3 micro-batches in event-time order (file
+    mod-time order = time slices); the state (last raw ts per
+    user+type) must carry across batch boundaries — row 4 arrives in a
+    LATER batch only 60 s after row 3, so dropping it proves the fold.
+
+    (File-source batches replay in mod-time order; an out-of-order
+    split would be a different operator — late-data throttling needs
+    watermark reordering, documented out of scope for this machine.)"""
+    import time as _time
+
+    from caliper_poc_data_etl_spark.streaming import replay_to_df
+    from caliper_poc_data_etl_spark.streaming.stateful import throttled_events
+
+    rows = [
+        # (event_id, ts, user, type) — batches sliced at 00:06 / 00:20
+        (1, "2024-01-01 00:00:00", 1, "click"),   # b0 keep (first)
+        (2, "2024-01-01 00:00:30", 1, "click"),   # b0 drop (30s)
+        (3, "2024-01-01 00:05:00", 1, "click"),   # b0 drop (4m30s after 2)
+        (4, "2024-01-01 00:06:00", 1, "click"),   # b1 drop (60s after 3 — STATE)
+        (5, "2024-01-01 00:15:00", 1, "click"),   # b1 keep (9m after 4)
+        (6, "2024-01-01 00:16:00", 2, "view"),    # b1 keep (own key, first)
+        (7, "2024-01-01 00:30:00", 1, "click"),   # b2 keep (15m after 5)
+        (8, "2024-01-01 00:31:00", 2, "view"),    # b2 drop (15m? no: 15m>5m -> keep)
+    ]
+    slices = [rows[:3], rows[3:6], rows[6:]]
+    src = str(tmp_path / "throttle_src")
+    schema = (
+        "event_id long, ts_s string, user_id long, event_type string"
+    )
+    for i, chunk in enumerate(slices):
+        df = spark.createDataFrame(chunk, schema).select(
+            "event_id",
+            F.to_timestamp("ts_s").alias("ts"),
+            "user_id",
+            "event_type",
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        df.coalesce(1).write.parquet(f"{src}/b{i}")
+        _time.sleep(1.1)  # distinct mod-times -> deterministic batch order
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out = replay_to_df(throttled_events(stream), mode="append")
+    kept = {r["event_id"] for r in out.collect()}
+    # 8: 15m after 6 -> kept; expected set mirrors the batch lag rule.
+    assert kept == {1, 5, 6, 7, 8}
