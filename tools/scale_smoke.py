@@ -16,6 +16,12 @@ embeddings.vec_id). Dimension tables (region/nation/customer/supplier/
 part) are NOT tiled — at 100 TB the dims stay broadcast-sized while
 facts grow, which is exactly the shape this smoke wants to stress.
 
+Caveat for dedup operators: tiling makes every document K×-duplicated
+(tile copies are textually identical), so near-dup OUTPUT grows ~K²
+(measured: dedup_minhash_lsh 2,506 → 250,600 pairs at K=10 — exactly
+100×) and wall-clock follows the output, not the input. Compare their
+time ratio against the printed row count, not against K.
+
 Usage:
     python tools/scale_smoke.py            # K=10, headline subset
     SPARK_GRAFT_SCALE_K=4 python tools/scale_smoke.py q1 dedup_minhash
