@@ -40,6 +40,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     curation,
     training,
     skewed,
+    extended,
 )
 
 # ---------------------------------------------------------------------------
@@ -171,6 +172,16 @@ _NEXT = [
     "join_bucketed_colocated",
     "dedup_ngram_containment",
     "agg_regr_slope",
+    # queries/extended.py — the full module is queued:
+    "fn_bitwise_pack",
+    "agg_bool_pack",
+    "agg_string_agg_ordered",
+    "window_locf_fill",
+    "ts_dow_hour_profile",
+    "text_readability_score",
+    "mix_temperature_sampling",
+    "anomaly_iqr_events",
+    "ts_cumulative_dau",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1,0 +1,346 @@
+"""Extended operator surface (round-4 queue): scalar/agg/window
+families rounding out the SQL closure, plus LLM-pipeline additions.
+
+Everything here follows the registry conventions (__init__ docstring):
+identical aliases both sides, DECIMAL money math, BIGINT casts on
+DuckDB integer aggregates, string-formatted timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+
+@query(
+    "fn_bitwise_pack",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS low_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 1365) AS xored,
+           o_orderkey << 2 AS shl2,
+           o_orderkey >> 3 AS shr3,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def fn_bitwise_pack(spark, sf_dir):
+    """Bitwise scalar pack (& | xor << >> popcount) — the flag-field
+    and hash-manipulation toolkit (the SimHash/LSH operators use these
+    internally; this declares them as public surface)."""
+    k = F.col("o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(k % 97 == 0)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("low_byte"),
+            k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+            k.bitwiseXOR(F.lit(1365)).alias("xored"),
+            F.shiftleft(k, 2).alias("shl2"),
+            F.shiftright(k, 3).alias("shr3"),
+            F.bit_count(k).alias("popcount"),
+        )
+    )
+
+
+@query(
+    "agg_bool_pack",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           bool_and(o_custkey IS NOT NULL) AS all_have_cust,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_bool_pack(spark, sf_dir):
+    """Boolean aggregates (every/any): data-quality assertions as
+    single-pass algebraic aggregates — the cheap way to validate an
+    invariant over 100 TB without a second filtered count."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_custkey").isNotNull()).alias("all_have_cust"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "agg_string_agg_ordered",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(o_orderstatus, ',' ORDER BY o_orderkey) AS status_seq,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    GROUP BY o_custkey
+    """,
+)
+def agg_string_agg_ordered(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/string_agg): the
+    order-sensitive concat built from collect_list of (key, value)
+    structs + array_sort — deterministic across partitions because the
+    sort happens AFTER collection on the struct key, the same
+    technique as ``agg_collect_sorted``."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    pair = F.struct(F.col("o_orderkey"), F.col("o_orderstatus"))
+    seq = F.concat_ws(
+        ",",
+        F.transform(
+            F.array_sort(F.collect_list(pair)), lambda p: p["o_orderstatus"]
+        ),
+    )
+    return o.groupBy("o_custkey").agg(
+        seq.alias("status_seq"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "window_locf_fill",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def window_locf_fill(spark, sf_dir):
+    """Last-observation-carried-forward (IGNORE NULLS running
+    last_value): each event carries the most recent purchase value of
+    its user — the standard sparse-signal fill before feature joins.
+    One window, one shuffle on user_id."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    signal = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.last(signal, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@query(
+    "ts_dow_hour_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(isodow(ts) - 1 AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hr,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def ts_dow_hour_profile(spark, sf_dir):
+    """Day-of-week × hour activity profile (Monday=0) — the seasonality
+    heatmap behind anomaly baselines and traffic models. Pure hash
+    aggregation on derived keys."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type",
+        F.weekday("ts").alias("dow"),
+        F.hour("ts").alias("hr"),
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+
+
+@query(
+    "text_readability_score",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             GREATEST(len(string_split_regex(trim(text), '\\s+')), 1) AS words,
+             GREATEST(len(regexp_extract_all(text, '([.!?]+)', 1)), 1) AS sentences,
+             GREATEST(len(regexp_extract_all(lower(text), '([aeiouy]+)', 1)), 1)
+               AS syllables
+      FROM documents
+    )
+    SELECT doc_id, words, sentences,
+           FLOOR((206.835 - 1.015 * (words * 1.0 / sentences)
+                          - 84.6 * (syllables * 1.0 / words)) * 100 + 0.5) / 100
+             AS flesch
+    FROM feats
+    """,
+)
+def text_readability_score(spark, sf_dir):
+    """Flesch-style readability: words/sentence and vowel-group
+    syllable proxy — the classic document-complexity feature for
+    quality filtering and curriculum staging. Regex counts in
+    whole-stage codegen; zero shuffle."""
+    d = t(spark, sf_dir, "documents")
+    words = F.greatest(
+        F.size(F.split(F.trim(F.col("text")), "\\s+")), F.lit(1)
+    )
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit("([.!?]+)"))), F.lit(1)
+    )
+    syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("([aeiouy]+)"))),
+        F.lit(1),
+    )
+    raw = (
+        F.lit(206.835)
+        - 1.015 * (words.cast("double") / sentences)
+        - 84.6 * (syllables.cast("double") / words)
+    )
+    # floor(x*100 + 0.5)/100 instead of round(x, 2): both engines
+    # compute bit-identical doubles for `raw`, and floor of the same
+    # double is deterministic — engine round() implementations disagree
+    # exactly at .xx5 boundaries (one corpus doc hits one).
+    flesch = F.floor(raw * 100 + 0.5) / 100
+    return d.select(
+        "doc_id",
+        words.alias("words"),
+        sentences.alias("sentences"),
+        flesch.alias("flesch"),
+    )
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), weights AS (
+      SELECT source, n, sqrt(n) AS w FROM counts
+    ), quotas AS (
+      SELECT source,
+             CAST(FLOOR(0.5 * (SELECT SUM(n) FROM counts)
+                        * w / (SELECT SUM(w) FROM weights)) AS BIGINT) AS quota
+      FROM weights
+    ), ranked AS (
+      SELECT d.doc_id, d.source,
+             ROW_NUMBER() OVER (PARTITION BY d.source
+                                ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id)
+               AS rn
+      FROM documents d
+    )
+    SELECT r.doc_id, r.source
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.rn <= q.quota
+    """,
+)
+def mix_temperature_sampling(spark, sf_dir):
+    """Temperature-flattened source mixing (T=2 → weight ∝ sqrt(n)):
+    per-source quotas that up-weight small sources relative to
+    proportional sampling — the corpus-recipe balancing step of every
+    multi-source pretraining mix. sqrt is IEEE-correctly-rounded on
+    both engines, so quotas match exactly (a general pow(n, 1/T) is
+    only ~1-ulp and could flip a FLOOR at integer boundaries —
+    documented limitation, not an accident).
+
+    Scale shape: quotas are a broadcast few-row table; the per-source
+    ranking is a partitioned window on the source key (md5-ordered, so
+    the selection is deterministic and engine-stable)."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").alias("n"))
+    weights = counts.select("source", "n", F.sqrt("n").alias("w"))
+    totals = weights.agg(
+        F.sum("n").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    quotas = weights.crossJoin(F.broadcast(totals)).select(
+        "source",
+        F.floor(0.5 * F.col("n_total") * F.col("w") / F.col("w_total")).alias(
+            "quota"
+        ),
+    )
+    wr = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select("doc_id", "source", F.row_number().over(wr).alias("rn"))
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "anomaly_iqr_events",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value,
+           ROUND(q.q3 + 1.5 * (q.q3 - q.q1), 4) AS hi_fence
+    FROM events e JOIN q USING (event_type)
+    WHERE e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+       OR e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+    """,
+)
+def anomaly_iqr_events(spark, sf_dir):
+    """Tukey-fence (IQR) outlier detection per event type — the
+    robust-statistics companion to ``anomaly_zscore_events`` (fences
+    don't move when the outliers themselves inflate the variance).
+    Exact interpolated percentiles match DuckDB's quantile_cont (the
+    ``doc_length_pctl_filter`` precedent); per-type fences broadcast
+    back over the scan."""
+    e = t(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .filter(
+            (F.col("value") > F.col("q3") + 1.5 * iqr)
+            | (F.col("value") < F.col("q1") - 1.5 * iqr)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(F.col("q3") + 1.5 * iqr, 4).alias("hi_fence"),
+        )
+    )
+
+
+@query(
+    "ts_cumulative_dau",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ), daily_new AS (
+      SELECT d0 AS day, COUNT(*) AS new_users FROM first_seen GROUP BY d0
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM daily_new
+    """,
+)
+def ts_cumulative_dau(spark, sf_dir):
+    """Cumulative distinct users by day WITHOUT a running
+    distinct-count: each user reduces to a first-seen day (one hash
+    agg), days aggregate to new-user counts, and the cumulative sum
+    runs over one row per DAY — the set-cardinality-over-time trick
+    that replaces an O(days × users) rescan with two linear passes
+    plus a driver-scale window."""
+    e = t(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    daily_new = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily_new.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )

@@ -48,6 +48,7 @@ EXPECTED_SCALAR_BNLJ = {
     "funnel_conversion",  # three 1-row stage counts combined
     "window_ntile",  # N-total scalar for bucket arithmetic
     "doc_length_pctl_filter",  # corpus-P90 threshold scalar
+    "mix_temperature_sampling",  # broadcast 1-row (n_total, w_total)
 }
 # Deliberate broadcast containment join (tiny snippet table).
 EXPECTED_NLJ.add("decontam_exact_substring")
