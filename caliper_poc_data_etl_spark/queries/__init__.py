@@ -182,6 +182,8 @@ _NEXT = [
     "mix_temperature_sampling",
     "anomaly_iqr_events",
     "ts_cumulative_dau",
+    "join_shuffle_hash_hint",
+    "scan_partitioned_pruning",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

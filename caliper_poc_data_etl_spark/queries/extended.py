@@ -344,3 +344,66 @@ def ts_cumulative_dau(spark, sf_dir):
         "new_users",
         F.sum("new_users").over(w).alias("cum_users"),
     )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_customers,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_shuffle_hash_hint(spark, sf_dir):
+    """Join-strategy hint surface: the same star join as
+    ``join_broadcast_dims`` but forced through SHUFFLE_HASH — the
+    escape hatch when the small side exceeds the broadcast threshold
+    but still fits an executor's hash map (skips the sort-merge sort
+    on the big side). Results must be strategy-invariant; that is
+    exactly what the oracle row proves."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation").hint("shuffle_hash")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "scan_partitioned_pruning",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def scan_partitioned_pruning(spark, sf_dir):
+    """Partition-pruned scan, graded end-to-end: orders is written out
+    partitioned by o_orderstatus (hive-style directories), re-read,
+    and filtered to one partition — the scan touches only that
+    directory (PartitionFilters, pinned by
+    tests/test_formats_and_bucketing.py) and values must match the
+    unpartitioned oracle. At 100 TB partition-on-predicate-column is
+    the first IO lever, before any plan tuning."""
+    import tempfile
+
+    target = tempfile.mkdtemp(prefix="graft_part_") + "/orders"
+    t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderstatus"
+    ).parquet(target)
+    return (
+        spark.read.parquet(target)
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
