@@ -184,6 +184,9 @@ _NEXT = [
     "ts_cumulative_dau",
     "join_shuffle_hash_hint",
     "scan_partitioned_pruning",
+    "embed_dim_variance",
+    "text_bigram_lm",
+    "text_tokenize_vocab_ids",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

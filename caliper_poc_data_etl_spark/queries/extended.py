@@ -407,3 +407,165 @@ def scan_partitioned_pruning(spark, sf_dir):
             F.round("o_totalprice", 2).alias("totalprice"),
         )
     )
+
+
+@query(
+    "embed_dim_variance",
+    oracle="""
+    WITH comp AS (
+      SELECT u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    )
+    SELECT CAST(pos AS INT) AS pos,
+           COUNT(*) AS n,
+           ROUND(AVG(val), 6) AS mean_val,
+           ROUND(stddev_samp(val), 6) AS std_val
+    FROM comp GROUP BY pos
+    """,
+)
+def embed_dim_variance(spark, sf_dir):
+    """Per-dimension mean/std across the embedding corpus — the
+    collapsed-dimension / normalization health check run before any
+    ANN indexing (a dimension with ~0 variance carries no signal and
+    distorts cosine). posexplode → one hash aggregate keyed on
+    position: the 64× row blowup collapses immediately into 64
+    partial-agg rows per task — linear, map-side combined."""
+    e = t(spark, sf_dir, "embeddings")
+    comp = e.select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "pos0", "val"
+        )
+    )
+    return (
+        comp.groupBy((F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("val"), 6).alias("mean_val"),
+            F.round(F.stddev_samp("val"), 6).alias("std_val"),
+        )
+    )
+
+
+@query(
+    "text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ), bigrams AS (
+      SELECT u.i AS pos, tk[u.i] AS w1, tk[u.i + 1] AS w2
+      FROM toks, unnest(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2
+    ), big_counts AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ), uni_counts AS (
+      SELECT w1, SUM(c12) AS c1 FROM big_counts GROUP BY w1
+    )
+    SELECT b.w1, b.w2, b.c12,
+           ROUND(b.c12 * 1.0 / u.c1, 6) AS p_w2_given_w1
+    FROM big_counts b JOIN uni_counts u USING (w1)
+    WHERE b.c12 >= 20
+    """,
+)
+def text_bigram_lm(spark, sf_dir):
+    """Bigram conditional probabilities P(w2|w1) over the corpus — the
+    classic count-based LM statistic (and the building block of PMI /
+    collocation mining). Two hash aggregations; the unigram
+    denominator derives from the bigram counts themselves (no second
+    corpus pass) and joins back on w1 — skew on stop-words is the
+    AQE-skew-join case, and the c12 floor keeps the output to the
+    statistically meaningful tail."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    toks = d.select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    tkc = F.col("tk")
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tkc) - 1),
+                lambda i: F.struct(
+                    F.element_at(tkc, i).alias("w1"),
+                    F.element_at(tkc, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = big_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return (
+        big_counts.join(uni_counts, "w1")
+        .filter(F.col("c12") >= 20)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(F.col("c12") / F.col("c1"), 6).alias("p_w2_given_w1"),
+        )
+    )
+
+
+VOCAB_SIZE = 200
+
+
+@query(
+    "text_tokenize_vocab_ids",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ), exploded AS (
+      SELECT doc_id, u.i AS pos, tk[u.i] AS tok
+      FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)
+    ), vocab AS (
+      SELECT tok, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok) AS tok_id
+      FROM exploded GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok LIMIT {VOCAB_SIZE}
+    )
+    SELECT e.doc_id,
+           list(COALESCE(v.tok_id, 0) ORDER BY e.pos) AS token_ids,
+           CAST(COUNT(*) FILTER (WHERE v.tok_id IS NULL) AS BIGINT) AS n_unk
+    FROM exploded e LEFT JOIN vocab v USING (tok)
+    GROUP BY e.doc_id
+    """,
+)
+def text_tokenize_vocab_ids(spark, sf_dir):
+    """Distributed tokenization against a learned vocabulary: build
+    the top-{VOCAB_SIZE} token vocab (frequency-ranked, lexical
+    tiebreak → deterministic ids), then map every document to its id
+    sequence with 0 = UNK — the id-ification step between raw text
+    and sequence packing.
+
+    Scale shape: the vocab is tiny and BROADCAST into the token
+    stream (documents never shuffle for the lookup); the id sequence
+    reassembles per doc with the ordered-collect technique
+    (collect_list of (pos, id) structs + array_sort), the engine's
+    standard S14 pattern."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    exploded = d.select(
+        "doc_id", F.posexplode(tk).alias("pos", "tok")
+    )
+    # Top-K FIRST via orderBy+limit (TakeOrderedAndProject — per-
+    # partition heaps, no global sort), THEN the id-assigning window
+    # over the K-row survivor set. A bare row_number over the full
+    # distinct-token table would single-reduce the whole vocabulary.
+    wv = W.orderBy(F.desc("c"), "tok")
+    vocab = (
+        exploded.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "tok")
+        .limit(VOCAB_SIZE)
+        .withColumn("tok_id", F.row_number().over(wv))
+        .select("tok", "tok_id")
+    )
+    pair = F.struct(F.col("pos"), F.coalesce("tok_id", F.lit(0)).alias("tid"))
+    return (
+        exploded.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(pair)), lambda p: p["tid"]
+            ).alias("token_ids"),
+            F.sum(F.col("tok_id").isNull().cast("long")).alias("n_unk"),
+        )
+    )
