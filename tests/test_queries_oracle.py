@@ -51,6 +51,21 @@ def test_registry_shape():
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     q = QUERIES[name]
     sdf = q.spark(spark, sf_dir)
+    # The grading driver canonicalizes via pandas sort_values, which
+    # cannot hash list/dict cells — graded outputs must be scalar-only
+    # (r3: dedup_minhash_md5_parity and inverted_index_postings erred
+    # on array columns). Serialize arrays with array_join/concat_ws.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{name}: non-scalar output columns {complex_cols} would crash "
+        "the grading driver's canonicalizer"
+    )
     srows = [tuple(r) for r in sdf.collect()]
     if q.oracle is None:
         assert srows is not None  # executes without error
