@@ -47,6 +47,13 @@ def connected_components(
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("comp")
     ).localCheckpoint(eager=True)
+    # Driver-action discipline, CC carve-out: unlike pagerank (fixed
+    # iteration count — zero driver scalars, see its docstring), a
+    # FIXED-POINT loop must observe convergence somewhere, and that
+    # observation is inherently a driver decision. The payload is one
+    # aggregated row (sum of labels) per iteration — a control-flow
+    # scalar, not a data collect; tools/plan_audit.py whitelists
+    # exactly this pattern.
     prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
 
     for _ in range(max_iter):

@@ -55,17 +55,13 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
 # anything re-implemented or oracle-fixed since its green row, and (c) new
 # queries (which stay in natural module order at the front by default).
 #
-# Round-3 window: the whole r2 `_NEXT` queue (20 queries — window_ntile and
-# the sketch md5-parity twins first among them), the two regrades
-# (window_sessionize — oracle BIGINT cast fixed; stream_dedup_within_
-# watermark — now deterministic + oracle-twinned), and 28 round-3
-# additions (9 early-session: SQL text, cume_dist, gap-fill, OHLC,
-# SCD2, percentile filter, salted agg/join; 19 late: null-safe join,
-# heavy-hitter mode, column profiling, char entropy, regex pack, kNN
-# vote, int8 quantization, MoM trend, event throttle, curriculum
-# order, session rollup, substring decontam, FILTER-clause agg pack,
-# and the TPC-H q4/q6/q7/q10/q14/q18 analogs) — exactly 50 front
-# entries, filling the graded window.
+# Round-4 window: the whole r3 `_NEXT` queue (18 queries — the extended.py
+# module, streaming throttle, bucketed join, containment dedup, regression
+# aggregates), two regrades whose array-typed outputs crashed the r3
+# driver canonicalizer and are now string-serialized on both sides
+# (dedup_minhash_md5_parity — the MinHash family's missing hash-exact
+# evidence — and inverted_index_postings), and the round-4 additions
+# (new operators register at the front in module order).
 # ---------------------------------------------------------------------------
 _DEFERRED = [
     # green in r01, implementation unchanged since:
@@ -162,32 +158,65 @@ _DEFERRED = [
     "chunk_documents",
     "pack_sequences",
     "decontam_ngram_overlap",
+    # green in r03 (CORRECTNESS_r03), implementation unchanged since.
+    # NOT deferred from the r03 window: dedup_minhash_md5_parity and
+    # inverted_index_postings (driver canonicalizer err on array
+    # columns → outputs string-serialized → regrade in r4).
+    "join_null_safe",
+    "agg_heavy_hitter_per_user",
+    "profile_orders_columns",
+    "sql_q3_shipping_priority",
+    "sql_exists_scalar_subquery",
+    "agg_filtered_pack",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "window_ntile",
+    "window_sessionize",
+    "window_cume_dist",
+    "window_session_stats",
+    "dedup_exact_normalized",
+    "dedup_simhash_md5_parity",
+    "sim_lsh_bucket_parity",
+    "knn_label_vote",
+    "embed_quantize_int8",
+    "text_fingerprint",
+    "text_char_entropy",
+    "text_regex_extract",
+    "text_ngram_shingles",
+    "ts_rate_per_day",
+    "ts_gap_fill_daily",
+    "ts_ohlc_daily",
+    "ts_month_over_month",
+    "dedup_events_throttle",
+    "stream_stateful_profile_replay",
+    "stream_dedup_within_watermark",
+    "mm_audio_energy",
+    "udf_grouped_label_var",
+    "doc_length_pctl_filter",
+    "curriculum_quality_order",
+    "tfidf_top_terms",
+    "funnel_conversion",
+    "upsert_latest_state",
+    "sample_cap_per_source",
+    "graph_pagerank",
+    "ts_user_trajectory",
+    "anomaly_zscore_events",
+    "hist_order_totals",
+    "scd2_event_intervals",
+    "decontam_exact_substring",
+    "agg_salted_event_type",
+    "join_salted_supplier",
 ]
 
-# Round-4 queue: implemented + pytest-evidenced this round, but the
-# round-3 window is full (exactly 50) — these rotate INTO the front in
-# r4 (with the then-green r3 entries moving to _DEFERRED).
-_NEXT = [
-    "stream_throttle_replay",
-    "join_bucketed_colocated",
-    "dedup_ngram_containment",
-    "agg_regr_slope",
-    # queries/extended.py — the full module is queued:
-    "fn_bitwise_pack",
-    "agg_bool_pack",
-    "agg_string_agg_ordered",
-    "window_locf_fill",
-    "ts_dow_hour_profile",
-    "text_readability_score",
-    "mix_temperature_sampling",
-    "anomaly_iqr_events",
-    "ts_cumulative_dau",
-    "join_shuffle_hash_hint",
-    "scan_partitioned_pruning",
-    "embed_dim_variance",
-    "text_bigram_lm",
-    "text_tokenize_vocab_ids",
-]
+# Round-5 queue: implemented queries that do not fit the current
+# 50-entry graded window — they rotate INTO the front next round
+# (with the then-green r4 entries moving to _DEFERRED). Empty at the
+# start of round 4: the whole r3 queue is in the graded window.
+_NEXT: list[str] = []
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]
 if _missing:

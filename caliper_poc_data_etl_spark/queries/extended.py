@@ -138,20 +138,32 @@ def window_locf_fill(spark, sf_dir):
            CAST(isodow(ts) - 1 AS INT) AS dow,
            CAST(hour(ts) AS INT) AS hr,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
     FROM events GROUP BY 1, 2, 3
     """,
 )
 def ts_dow_hour_profile(spark, sf_dir):
     """Day-of-week × hour activity profile (Monday=0) — the seasonality
     heatmap behind anomaly baselines and traffic models. Pure hash
-    aggregation on derived keys."""
+    aggregation on derived keys.
+
+    The value sum runs in DECIMAL(18,4) on both sides (the
+    ts_month_over_month convention): a double SUM is accumulation-
+    order-dependent across partitions/engines, and a 2-dp round of an
+    order-dependent double can flip at the boundary. Decimal addition
+    is exact, so the sum is order-independent."""
     e = t(spark, sf_dir, "events")
     return e.groupBy(
         "event_type",
         F.weekday("ts").alias("dow"),
         F.hour("ts").alias("hr"),
-    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
 
 
 @query(
@@ -391,10 +403,15 @@ def scan_partitioned_pruning(spark, sf_dir):
     directory (PartitionFilters, pinned by
     tests/test_formats_and_bucketing.py) and values must match the
     unpartitioned oracle. At 100 TB partition-on-predicate-column is
-    the first IO lever, before any plan tuning."""
+    the first IO lever, before any plan tuning.
+
+    The partitioned copy lands at a STABLE per-session path
+    (applicationId-keyed, overwritten in place) — a fresh mkdtemp per
+    invocation would leak a full orders copy every run."""
     import tempfile
 
-    target = tempfile.mkdtemp(prefix="graft_part_") + "/orders"
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    target = f"{tempfile.gettempdir()}/graft_part_{app}/orders"
     t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
         "o_orderstatus"
     ).parquet(target)
@@ -413,14 +430,20 @@ def scan_partitioned_pruning(spark, sf_dir):
     "embed_dim_variance",
     oracle="""
     WITH comp AS (
-      SELECT u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS val
+      SELECT u.i AS pos,
+             CAST(CAST(embedding[u.i] AS DOUBLE) AS DECIMAL(18,9)) AS vd
       FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)
+    ), m AS (
+      SELECT CAST(pos AS INT) AS pos, COUNT(*) AS n,
+             SUM(vd) AS sx, SUM(vd * vd) AS sxx
+      FROM comp GROUP BY pos
     )
-    SELECT CAST(pos AS INT) AS pos,
-           COUNT(*) AS n,
-           ROUND(AVG(val), 6) AS mean_val,
-           ROUND(stddev_samp(val), 6) AS std_val
-    FROM comp GROUP BY pos
+    SELECT pos, n,
+           FLOOR((CAST(sx AS DOUBLE) / n) * 1e6 + 0.5) / 1e6 AS mean_val,
+           FLOOR(sqrt((CAST(sxx AS DOUBLE)
+                       - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / n)
+                      / (n - 1)) * 1e6 + 0.5) / 1e6 AS std_val
+    FROM m
     """,
 )
 def embed_dim_variance(spark, sf_dir):
@@ -429,20 +452,38 @@ def embed_dim_variance(spark, sf_dir):
     ANN indexing (a dimension with ~0 variance carries no signal and
     distorts cosine). posexplode → one hash aggregate keyed on
     position: the 64× row blowup collapses immediately into 64
-    partial-agg rows per task — linear, map-side combined."""
+    partial-agg rows per task — linear, map-side combined.
+
+    Cross-engine determinism: components quantize to DECIMAL(18,9)
+    and the Σx / Σx² moments accumulate in exact decimal (order-
+    independent — a double SUM varies by accumulation order across
+    partitions/engines and can flip a 6-dp round). Mean and sample
+    std derive from the exact moments in IEEE doubles, identically
+    on both sides, with the floor-based half-up round."""
     e = t(spark, sf_dir, "embeddings")
     comp = e.select(
         F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
             "pos0", "val"
         )
+    ).select(
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("val").cast("decimal(18,9)").alias("vd"),
     )
-    return (
-        comp.groupBy((F.col("pos0") + 1).cast("int").alias("pos"))
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("val"), 6).alias("mean_val"),
-            F.round(F.stddev_samp("val"), 6).alias("std_val"),
-        )
+    m = comp.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum("vd").alias("sx"),
+        F.sum(F.col("vd") * F.col("vd")).alias("sxx"),
+    )
+    n = F.col("n")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    mean = (sxd / n) * 1e6
+    std = F.sqrt((sxxd - (sxd * sxd) / n) / (n - 1)) * 1e6
+    return m.select(
+        "pos",
+        "n",
+        (F.floor(mean + F.lit(0.5)) / 1e6).alias("mean_val"),
+        (F.floor(std + F.lit(0.5)) / 1e6).alias("std_val"),
     )
 
 

@@ -1387,16 +1387,25 @@ def join_bucketed_colocated(spark, sf_dir):
     tests/test_formats_and_bucketing.py::test_bucketed_join_has_no_shuffle).
     The graded check here proves the full bucketed write → catalog
     read → join path is value-exact vs the plain join oracle on a
-    vanilla session."""
+    vanilla session.
+
+    Staging discipline: the bucketed copies land at a STABLE
+    per-session path (keyed by applicationId) and are overwritten in
+    place on re-invocation — a fresh mkdtemp per call would leak a
+    full orders+lineitem copy every run, and unsuffixed catalog names
+    would race across concurrent sessions sharing a metastore."""
     import tempfile
 
     from caliper_poc_data_etl_spark.sinks import write_bucketed
 
     dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
-    base = tempfile.mkdtemp(prefix="graft_bucketed_")
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base = f"{tempfile.gettempdir()}/graft_bucketed_{app}"
+    tbl_orders = f"graft_b_orders_{app}"
+    tbl_lineitem = f"graft_b_lineitem_{app}"
     write_bucketed(
         t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
-        "graft_b_orders",
+        tbl_orders,
         buckets=8,
         bucket_cols=["o_orderkey"],
         sort_cols=["o_orderkey"],
@@ -1406,14 +1415,14 @@ def join_bucketed_colocated(spark, sf_dir):
         t(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice", "l_discount"
         ),
-        "graft_b_lineitem",
+        tbl_lineitem,
         buckets=8,
         bucket_cols=["l_orderkey"],
         sort_cols=["l_orderkey"],
         path=f"{base}/lineitem",
     )
-    o = spark.table("graft_b_orders")
-    li = spark.table("graft_b_lineitem")
+    o = spark.table(tbl_orders)
+    li = spark.table(tbl_lineitem)
     return (
         o.join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderstatus")
@@ -1426,35 +1435,98 @@ def join_bucketed_colocated(spark, sf_dir):
     )
 
 
+_REGR_X0_US = 1704067200000000  # 2024-01-01T00:00:00Z in epoch microseconds
+
+
 @query(
     "agg_regr_slope",
-    oracle="""
-    SELECT user_id,
-           COUNT(*) AS n,
-           ROUND(regr_slope(value, epoch(ts)), 6) AS slope,
-           ROUND(regr_intercept(value, epoch(ts)), 4) AS intercept,
-           ROUND(regr_r2(value, epoch(ts)), 6) AS r2
-    FROM events
-    GROUP BY user_id
-    HAVING COUNT(*) >= 2
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id, COUNT(*) AS n,
+             SUM(xd) AS sx, SUM(yd) AS sy,
+             SUM(xd * xd) AS sxx, SUM(xd * yd) AS sxy, SUM(yd * yd) AS syy
+      FROM (
+        SELECT user_id,
+               -- DECIMAL(19): DuckDB stores p<=18 in int64, and the
+               -- xd*xd product overflows int64; 19 forces int128.
+               CAST(epoch_us(ts) - {_REGR_X0_US} AS DECIMAL(19,0)) AS xd,
+               CAST(value AS DECIMAL(18,6)) AS yd
+        FROM events
+      )
+      GROUP BY user_id
+      HAVING COUNT(*) >= 2
+    ), d AS (
+      SELECT user_id, n, CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(syy AS DOUBLE) AS syyd
+      FROM m
+    ), k AS (
+      SELECT user_id, n, nd, sxd, syd,
+             (nd * sxyd - sxd * syd) AS num,
+             (nd * sxxd - sxd * sxd) AS denx,
+             (nd * syyd - syd * syd) AS deny
+      FROM d
+    )
+    SELECT user_id, n,
+           FLOOR(((num / denx) * 1e6) * 1e6 + 0.5) / 1e6 AS slope,
+           FLOOR(((syd - (num / denx) * sxd) / nd) * 1e4 + 0.5) / 1e4
+             AS intercept,
+           FLOOR((num * num / (denx * deny)) * 1e6 + 0.5) / 1e6 AS r2
+    FROM k
     """,
 )
 def agg_regr_slope(spark, sf_dir):
     """Per-user linear trend: least-squares slope/intercept/R² of
-    event value over time as ALGEBRAIC aggregates (regr_*) — one hash
-    aggregation with map-side partials, the scalable substitute for
-    fitting per-key models driver-side. epoch seconds as the x axis
-    matches DuckDB's epoch()."""
-    e = t(spark, sf_dir, "events").withColumn(
-        "ts_sec", F.unix_micros("ts").cast("double") / 1_000_000.0
+    event value over time — one hash aggregation with map-side
+    partials, the scalable substitute for fitting per-key models
+    driver-side.
+
+    Cross-engine determinism: the regression MOMENTS (Σx, Σy, Σx²,
+    Σxy, Σy²) accumulate in exact DECIMAL — x as integer microseconds
+    centered at 2024-01-01T00:00Z (so x² fits DECIMAL(38,0)), y
+    quantized to DECIMAL(18,6). Built-in regr_* aggregates sum
+    doubles, which is accumulation-order-dependent and can flip the
+    rounded output between engines/partitionings. Slope is per
+    SECOND; intercept is the fitted value at 2024-01-01T00:00Z (the
+    centering origin), not at epoch 0. The final arithmetic runs in
+    IEEE doubles derived from the exact sums, written identically on
+    both sides, with floor-based half-up rounding."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") - F.lit(_REGR_X0_US))
+        .cast("decimal(18,0)")
+        .alias("xd"),
+        F.col("value").cast("decimal(18,6)").alias("yd"),
     )
-    return (
+    m = (
         e.groupBy("user_id")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.regr_slope("value", "ts_sec"), 6).alias("slope"),
-            F.round(F.regr_intercept("value", "ts_sec"), 4).alias("intercept"),
-            F.round(F.regr_r2("value", "ts_sec"), 6).alias("r2"),
+            F.sum("xd").alias("sx"),
+            F.sum("yd").alias("sy"),
+            F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+            F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
+            F.sum(F.col("yd") * F.col("yd")).alias("syy"),
         )
         .filter(F.col("n") >= 2)
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    syyd = F.col("syy").cast("double")
+    num = nd * sxyd - sxd * syd
+    denx = nd * sxxd - sxd * sxd
+    deny = nd * syyd - syd * syd
+    slope = (num / denx) * 1e6  # per-µs slope → per-second
+    intercept = (syd - (num / denx) * sxd) / nd
+    r2 = num * num / (denx * deny)
+    return m.select(
+        "user_id",
+        "n",
+        (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("slope"),
+        (F.floor(intercept * 1e4 + F.lit(0.5)) / 1e4).alias("intercept"),
+        (F.floor(r2 * 1e6 + F.lit(0.5)) / 1e6).alias("r2"),
     )

@@ -325,7 +325,16 @@ def dedup_events_throttle(spark, sf_dir):
     older — the batch twin of ``stream_dedup_within_watermark`` and the
     standard duplicate-burst suppressor for at-least-once event
     streams. One lag window keyed on (user_id, event_type): a single
-    shuffle, no self-join."""
+    shuffle, no self-join.
+
+    SEMANTICS (deliberate): the gate compares against the previous RAW
+    event, not the last KEPT one — a steady sub-5-minute stream is
+    suppressed INDEFINITELY after its first event (every event sees a
+    recent predecessor). That is the right shape for "collapse retry
+    bursts"; for rate-limiting semantics (emit at most one event per 5
+    minutes while activity continues) see
+    :func:`dedup_events_throttle_lastkept`, which gates on the last
+    kept event and is inherently a stateful scan."""
     e = t(spark, sf_dir, "events")
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
@@ -333,4 +342,67 @@ def dedup_events_throttle(spark, sf_dir):
         e.withColumn("gap_us", gap)
         .filter(F.col("gap_us").isNull() | (F.col("gap_us") > 300_000_000))
         .select("user_id", "event_type", "event_id")
+    )
+
+
+@query(
+    "dedup_events_throttle_lastkept",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ), walk AS (
+      SELECT user_id, event_type, event_id, tus, rn,
+             tus AS last_kept, TRUE AS kept
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_type, e.event_id, e.tus, e.rn,
+             CASE WHEN e.tus - w.last_kept > 300000000
+                  THEN e.tus ELSE w.last_kept END,
+             e.tus - w.last_kept > 300000000
+      FROM ev e JOIN walk w
+        ON e.user_id = w.user_id AND e.event_type = w.event_type
+       AND e.rn = w.rn + 1
+    )
+    SELECT user_id, event_type, event_id FROM walk WHERE kept
+    """,
+)
+def dedup_events_throttle_lastkept(spark, sf_dir):
+    """Rate-limit throttle gating on the last KEPT event: emit an
+    event iff it is >5 minutes after the previously EMITTED event of
+    its (user, type) — at most ~one event per window while activity
+    continues, the conventional rate-limiter semantics (contrast
+    :func:`dedup_events_throttle`, which gates on the raw predecessor
+    and suppresses steady streams indefinitely).
+
+    The kept-set is a GREEDY sequential scan — each decision depends
+    on the previous decision, so no finite window/lag composition
+    expresses it. This is the documented Pandas-UDF escape hatch
+    (SURVEY §2B "UDF escape hatch"): ``applyInPandas`` per (user,
+    type) group, Arrow-batched, linear in group size; groups are
+    bounded (one user-type's events), so no skew pathology. The
+    streaming twin (`streaming/stateful.py::throttled_events`) holds
+    the same one-long state per key. Oracle: recursive CTE walking
+    rn+1 per group — engine-exact, integer-microsecond arithmetic."""
+    import pandas as pd
+
+    e = t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("tus")
+    )
+
+    def _walk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["tus", "event_id"])
+        kept = []
+        last = None
+        for tus, eid in zip(pdf["tus"].to_numpy(), pdf["event_id"].to_numpy()):
+            if last is None or tus - last > 300_000_000:
+                kept.append(eid)
+                last = tus
+        out = pdf[pdf["event_id"].isin(kept)]
+        return out[["user_id", "event_type", "event_id"]]
+
+    return e.groupBy("user_id", "event_type").applyInPandas(
+        _walk, schema="user_id long, event_type string, event_id long"
     )

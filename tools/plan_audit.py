@@ -54,14 +54,26 @@ EXPECTED_SCALAR_BNLJ = {
 EXPECTED_NLJ.add("decontam_exact_substring")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
 
+# Driver-action carve-out (documented, not flagged here): the ONLY
+# iterative collect() in the engine is connected_components'
+# per-iteration convergence scalar (graph.py) — a fixed-point loop
+# must observe convergence on the driver, and the payload is one
+# aggregated row. pagerank (fixed iteration count) runs with zero
+# driver scalars; anything else pulling rows per iteration is a bug.
+
 
 def audit(name: str, df) -> list[str]:
-    # Materialize via collect() — it executes THIS DataFrame's own
-    # QueryExecution, so AQE finalizes in place (isFinalPlan=true) and
-    # the string shows real join strategies + codegen stages. (A noop
-    # write builds a separate QueryExecution: the df's own plan then
-    # prints pre-execution, with zero codegen markers — measured.)
-    df.collect()
+    # Materialize by draining toLocalIterator — it executes THIS
+    # DataFrame's own QueryExecution, so AQE finalizes in place
+    # (isFinalPlan=true) and the string shows real join strategies +
+    # codegen stages. (A noop write builds a separate QueryExecution:
+    # the df's own plan then prints pre-execution, with zero codegen
+    # markers — measured.) Unlike collect(), the drain holds at most
+    # one partition driver-side — full-table-output queries (LOCF,
+    # tokenization) would otherwise pull entire result sets into the
+    # driver at larger audit scale factors.
+    for _ in df.toLocalIterator():
+        pass
     plan = df._jdf.queryExecution().executedPlan().toString()
     # A finalized AdaptiveSparkPlan prints the final plan AND an
     # "== Initial Plan ==" echo; keep only the final section or every

@@ -81,7 +81,15 @@ def tile_tables(spark, base: str, out: str, k: int) -> None:
         src = spark.read.parquet(f"{base}/{name}.parquet")
         keys = TILE_KEYS.get(name)
         if not keys:
-            shutil.copy(f"{base}/{name}.parquet", f"{out}/{name}.parquet")
+            # Untiled tables copy through as-is; a Spark-written base
+            # (including scale_smoke's own output) is a DIRECTORY of
+            # part files, not a single parquet file.
+            src_path = f"{base}/{name}.parquet"
+            dst_path = f"{out}/{name}.parquet"
+            if os.path.isdir(src_path):
+                shutil.copytree(src_path, dst_path, dirs_exist_ok=True)
+            else:
+                shutil.copy(src_path, dst_path)
             continue
         strides = {c: (src.agg(F.max(c)).first()[0] or 0) + 1 for c in keys}
         tiles = []
