@@ -106,24 +106,40 @@ def _caliper_csv(n_rows: int) -> str:
     return csv_path
 
 
-def _file_create_ceiling(n_files: int = 5000, payload_bytes: int = 600) -> float:
+def _file_create_ceiling(
+    n_files: int = 5000, payload_bytes: int = 600
+) -> tuple[float, float]:
     """Measured files/s of a raw serial writer on this filesystem —
     the metadata ceiling that bounds ANY engine on a file-per-group
     layout (open+write+close per file; no Spark involved). The
     1M-row reference layout emits 5,000 files, so its wall-clock floor
-    is ``5000 / ceiling`` seconds regardless of plan quality."""
+    is ``5000 / ceiling`` seconds regardless of plan quality.
+
+    TWO consecutive bursts are measured because this host THROTTLES
+    metadata ops token-bucket style: identical serial bursts decay
+    monotonically (measured 3123/s → 1108/s over five 5000-file
+    bursts, no Spark involved) — the first number is the fresh-bucket
+    ceiling, the second the steady-state refill rate. Deep bucket
+    exhaustion under Spark's concurrent writers is what produces the
+    sporadic 30-60× single-trial stalls on the file-per-group sink
+    (r3: 24.8 s; r4 smoke: 65 s) — a HOST artifact, not an engine
+    property, which is why the file-sink entries report median next
+    to min."""
     import shutil
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="files_ceiling_")
+    rates = []
     payload = b"x" * payload_bytes
-    t0 = time.perf_counter()
-    for i in range(n_files):
-        with open(f"{d}/f{i}.json", "wb") as f:
-            f.write(payload)
-    wall = time.perf_counter() - t0
-    shutil.rmtree(d, ignore_errors=True)
-    return round(n_files / wall, 1)
+    for _ in range(2):
+        d = tempfile.mkdtemp(prefix="files_ceiling_")
+        t0 = time.perf_counter()
+        for i in range(n_files):
+            with open(f"{d}/f{i}.json", "wb") as f:
+                f.write(payload)
+        wall = time.perf_counter() - t0
+        shutil.rmtree(d, ignore_errors=True)
+        rates.append(round(n_files / wall, 1))
+    return rates[0], rates[1]
 
 
 def _caliper_throughput(
@@ -166,9 +182,26 @@ def _caliper_throughput(
 
 def _caliper_trials(
     spark, n_rows: int, layout: str, csv_path: str, trials: int, label: str
-) -> tuple[float, float, list[float]]:
+) -> tuple[float, float, list[float], float]:
     """Best-of-N e2e runs; each trial writes a FRESH target directory so
-    trial 2+ doesn't pay overwrite-deletion of trial 1's files."""
+    trial 2+ doesn't pay overwrite-deletion of trial 1's files.
+
+    Between trials the previous target is removed (outside the timed
+    window) so repeated runs don't accumulate 5000-file trees. Trial
+    spread on the file-per-group layout is a HOST artifact, pinned by
+    measurement (see ``_file_create_ceiling``): the sandbox throttles
+    filesystem metadata ops token-bucket style — identical raw serial
+    bursts with no Spark involved decay 3123/s → 1108/s, and deep
+    bucket exhaustion under 20+ concurrent task writers yields
+    sporadic 30-60× single-trial stalls (r3: [1.96, 24.85, 3.65] s;
+    an r4 probe reproduced a 65 s outlier right after an os.sync
+    between trials, ruling out dirty-page writeback as the cause).
+    Min is the engine-capability number; median is reported alongside
+    as the throttle-pessimistic read."""
+    import shutil
+    import statistics
+
+    workdir = os.path.dirname(csv_path)
     walls: list[float] = []
     rps_best = 0.0
     for i in range(trials):
@@ -177,12 +210,15 @@ def _caliper_trials(
         )
         walls.append(wall)
         rps_best = max(rps_best, rps)
+        shutil.rmtree(f"{workdir}/out_{layout}_t{i}", ignore_errors=True)
     best = min(walls)
+    med = round(statistics.median(walls), 3)
     print(
-        f"# {label}: trials {walls} -> min {best:.2f}s = {rps_best} rows/s",
+        f"# {label}: trials {walls} -> min {best:.2f}s "
+        f"(median {med:.2f}s) = {rps_best} rows/s",
         file=sys.stderr,
     )
-    return best, rps_best, walls
+    return best, rps_best, walls, med
 
 
 def main() -> int:
@@ -221,16 +257,17 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    ceiling_fps = _file_create_ceiling()
+    ceiling_fps, ceiling_steady_fps = _file_create_ceiling()
     print(
-        f"# raw serial file-create ceiling: {ceiling_fps} files/s -> "
-        f"{5000 / ceiling_fps:.1f}s floor for the 5000-file reference layout "
-        f"(bounds ANY engine on a file-per-group sink)",
+        f"# raw serial file-create ceiling: {ceiling_fps} files/s fresh, "
+        f"{ceiling_steady_fps} files/s steady-state (host throttles metadata "
+        f"ops; bounds ANY engine on a file-per-group sink — 5000-file floor "
+        f"{5000 / ceiling_fps:.1f}-{5000 / ceiling_steady_fps:.1f}s)",
         file=sys.stderr,
     )
 
     csv_100k = _caliper_csv(CALIPER_ROWS)
-    caliper_wall, caliper_rps, walls_100k = _caliper_trials(
+    caliper_wall, caliper_rps, walls_100k, med_100k = _caliper_trials(
         spark, CALIPER_ROWS, "reference", csv_100k, trials_n,
         "caliper_items_100k_e2e (reference single-core baseline: 154k rows/s)",
     )
@@ -241,12 +278,12 @@ def main() -> int:
     # wall) so the round-over-round `value` stays comparable; rows/s is
     # their meaningful axis. reference layout = file-per-attempt parity;
     # bulk = the engine's scale layout (see sinks.write_grouped_json).
-    big_wall, big_rps, walls_1m = _caliper_trials(
+    big_wall, big_rps, walls_1m, med_1m = _caliper_trials(
         spark, CALIPER_ROWS_BIG, "reference", big_csv, trials_n,
         "caliper_items_1m_e2e (reference layout, 5000 durable files)",
     )
     trial_times["caliper_items_1m_e2e"] = walls_1m
-    bulk_wall, bulk_rps, walls_bulk = _caliper_trials(
+    bulk_wall, bulk_rps, walls_bulk, med_bulk = _caliper_trials(
         spark, CALIPER_ROWS_BIG, "bulk", big_csv, trials_n,
         "caliper_items_1m_bulk_e2e (JSON-lines scale layout)",
     )
@@ -299,14 +336,18 @@ def main() -> int:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "caliper_items_rows_per_sec": caliper_rps,
+                "caliper_items_100k_median_sec": med_100k,
                 "caliper_items_1m_e2e_sec": big_wall,
+                "caliper_items_1m_median_sec": med_1m,
                 "caliper_items_1m_rows_per_sec": big_rps,
                 "caliper_items_1m_bulk_e2e_sec": bulk_wall,
+                "caliper_items_1m_bulk_median_sec": med_bulk,
                 "caliper_items_1m_bulk_rows_per_sec": bulk_rps,
                 "q1_on_relaid_input_sec": q1_relaid,
                 "trials": trials_n,
                 "trial_times": trial_times,
                 "file_create_ceiling_files_per_sec": ceiling_fps,
+                "file_create_steady_state_files_per_sec": ceiling_steady_fps,
             }
         )
     )
