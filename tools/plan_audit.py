@@ -49,6 +49,7 @@ EXPECTED_SCALAR_BNLJ = {
     "window_ntile",  # N-total scalar for bucket arithmetic
     "doc_length_pctl_filter",  # corpus-P90 threshold scalar
     "mix_temperature_sampling",  # broadcast 1-row (n_total, w_total)
+    "q22_global_sales_opportunity",  # broadcast 1-row avg-balance threshold
 }
 # Deliberate broadcast containment join (tiny snippet table).
 EXPECTED_NLJ.add("decontam_exact_substring")
