@@ -428,3 +428,25 @@ def curriculum_quality_order(spark, sf_dir):
     return scored.select(
         "doc_id", "phase", F.row_number().over(w).alias("seq")
     )
+
+
+@query(
+    "sample_bernoulli_hash",
+    oracle="""
+    SELECT doc_id, source FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 100 < 10
+    """,
+)
+def sample_bernoulli_hash(spark, sf_dir):
+    """Deterministic Bernoulli sampling (p=0.10) by content-free key
+    hash: a row is in the sample iff an md5-derived integer of its id
+    falls under the rate — reproducible across engines, runs, and
+    partitionings (df.sample() is none of those), composable with the
+    hash-split operator (same keyed-hash family, disjoint salts), and
+    a pure pushdown-friendly filter: no shuffle, no state, no RNG
+    seed to ship. The standard down-sampling primitive for corpus
+    recipes and eval carve-outs."""
+    d = t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+    return d.filter(h.cast("long") % 100 < 10).select("doc_id", "source")

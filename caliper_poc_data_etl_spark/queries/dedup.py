@@ -695,3 +695,119 @@ def dedup_ngram_containment(spark, sf_dir):
             "doc_a", "doc_b", F.round(containment, 4).alias("containment")
         )
     )
+
+
+@query(
+    "text_dedup_prefix_key",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id,
+             substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                    1, 32) AS pkey
+      FROM documents
+    )
+    SELECT pkey,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper
+    FROM k GROUP BY pkey HAVING COUNT(*) > 1
+    """,
+)
+def text_dedup_prefix_key(spark, sf_dir):
+    """Prefix-key blocking: normalized 32-char prefix as the blocking
+    key, groups with >1 member are near-dup candidate blocks (keeper =
+    min doc_id, the engine's standard deterministic-survivor rule).
+    The cheapest tier of the dedup ladder — one hash agg, no
+    signatures — used as a pre-filter ahead of MinHash/edit-distance
+    verification (see fn_string_distance_pack for the verify
+    primitive). Whitespace normalization matches the exact-dedup
+    normalizer: lower + trim + collapse runs to single spaces."""
+    d = t(spark, sf_dir, "documents")
+    pkey = F.substring(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 1, 32
+    )
+    return (
+        d.groupBy(pkey.alias("pkey"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def _emb_lsh_candidate_oracle() -> str:
+    from caliper_poc_data_etl_spark.queries.similarity import _hyperplanes
+
+    planes = " + ".join(
+        "(CASE WHEN list_dot_product(qv, "
+        f"[{', '.join(str(v) for v in hp)}]) > 0 "
+        f"THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i, hp in enumerate(_hyperplanes())
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1000))
+               AS qv
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, {planes} AS bucket FROM base
+    ), probes AS (
+      SELECT vec_id,
+             unnest([bucket] || list_transform(range(0, 8),
+                    i -> xor(bucket, CAST(1 << i AS BIGINT)))) AS probe
+      FROM b
+    )
+    SELECT DISTINCT p.vec_id AS vec_a, h.vec_id AS vec_b
+    FROM probes p JOIN b h ON p.probe = h.bucket AND p.vec_id < h.vec_id
+    """
+
+
+@query(
+    "dedup_embedding_lsh_candidate_parity",
+    oracle=_emb_lsh_candidate_oracle(),
+)
+def dedup_embedding_lsh_candidate_parity(spark, sf_dir):
+    """Multi-probe LSH CANDIDATE-PAIR generation made engine-exact and
+    hash-match graded — the parity twin for ``dedup_embedding_lsh``.
+    The bucket hash itself is proven by ``sim_lsh_bucket_parity``;
+    this twin proves the next mechanism up the stack: the 1-bit-flip
+    probe expansion and the probe==home collision join produce the
+    identical candidate set cross-engine (integer-quantized vectors,
+    same hyperplane family, same bit packing). The production path
+    adds only the float cosine verification on top, which the
+    subset-of-exact pytest covers."""
+    from caliper_poc_data_etl_spark.queries.similarity import (
+        _dot,
+        _hyperplanes,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("double")
+    )
+    base = e.select("vec_id", qv.alias("qv"))
+    bucket = None
+    for i, hp in enumerate(_hyperplanes()):
+        hp_arr = F.array(*[F.lit(v) for v in hp])
+        bit = F.shiftleft(
+            F.when(_dot(F.col("qv"), hp_arr) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            i,
+        ).cast("long")
+        bucket = bit if bucket is None else bucket + bit
+    b = base.select("vec_id", bucket.alias("bucket"))
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(8)],
+    )
+    p = b.select(
+        F.col("vec_id").alias("vec_a"), F.explode(probes).alias("probe")
+    )
+    h = b.select(F.col("vec_id").alias("vec_b"), F.col("bucket").alias("home"))
+    return (
+        p.join(h, (F.col("probe") == F.col("home")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )

@@ -235,3 +235,156 @@ def fn_conditional_pack(spark, sf_dir):
             "is_urgent"
         ),
     )
+
+
+@query(
+    "agg_bit_aggregate_pack",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_or(event_id) AS BIGINT) AS id_bits_or,
+           CAST(bit_and(event_id) AS BIGINT) AS id_bits_and,
+           CAST(bit_xor(event_id) AS BIGINT) AS id_bits_xor,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bit_aggregate_pack(spark, sf_dir):
+    """Bitwise aggregates (OR/AND/XOR fold over a key column) — the
+    primitives behind bitmap presence masks and parity checksums.
+    Commutative + associative, so map-side partials combine exactly
+    regardless of partitioning (the same order-independence argument
+    as integer SUM, but for bit algebra)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.bit_or("event_id").alias("id_bits_or"),
+            F.bit_and("event_id").alias("id_bits_and"),
+            F.bit_xor("event_id").alias("id_bits_xor"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@query(
+    "fn_hash_pack",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           sha256(text) AS sha256_hex,
+           md5(CAST(doc_id AS VARCHAR) || ':' || lang) AS keyed_md5
+    FROM documents
+    """,
+)
+def fn_hash_pack(spark, sf_dir):
+    """Cryptographic hash surface (md5 / sha256 / keyed concat) — the
+    engine-agnostic fingerprint functions every dedup and shard-split
+    operator builds on (xxhash64 is faster but engine-specific; these
+    are the portable tier, proven byte-identical cross-engine here).
+    Row-local, codegen'd, zero shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.col("lang"))).alias(
+            "keyed_md5"
+        ),
+    )
+
+
+@query(
+    "fn_format_pack",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%05d|%s', o_orderkey % 100000, o_orderstatus) AS tagged,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS padded,
+           translate(o_orderpriority, '-', ' ') AS spaced,
+           repeat(o_orderstatus, 3) AS tripled,
+           reverse(o_orderpriority) AS reversed
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def fn_format_pack(spark, sf_dir):
+    """String formatting pack (printf-style format, pad, translate,
+    repeat, reverse) — report/key-building scalar surface. Integer and
+    string operands only: float printf formatting is locale/rounding
+    territory and stays out of the parity contract."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.format_string(
+            "%05d|%s", F.col("o_orderkey") % 100000, F.col("o_orderstatus")
+        ).alias("tagged"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("padded"),
+        F.translate("o_orderpriority", "-", " ").alias("spaced"),
+        F.repeat("o_orderstatus", 3).alias("tripled"),
+        F.reverse("o_orderpriority").alias("reversed"),
+    )
+
+
+@query(
+    "fn_datetime_extra_pack",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3mo,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+             AS quarter_start
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def fn_datetime_extra_pack(spark, sf_dir):
+    """Calendar scalar pack (month-end, quarter, day-of-year, ISO
+    week, month arithmetic with end-of-month clamping, quarter
+    truncation) — the date dimension surface beyond fn_date_pack.
+    add_months and DuckDB's +INTERVAL MONTH share the same clamp
+    convention (Jan 31 + 1 month = Feb 29), proven by the hash
+    match."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3mo"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+    )
+
+
+@query(
+    "fn_string_distance_pack",
+    oracle="""
+    SELECT doc_id,
+           CAST(levenshtein(substr(lower(trim(text)), 1, 16),
+                            substr(lower(trim(text)), 17, 16)) AS INT)
+             AS lev_halves,
+           CAST(levenshtein(lang, 'en') AS INT) AS lev_lang,
+           CAST(length(text) AS BIGINT) AS len
+    FROM documents
+    """,
+)
+def fn_string_distance_pack(spark, sf_dir):
+    """Edit-distance scalar surface (levenshtein) — the verification
+    primitive fuzzy-matching pipelines apply AFTER a blocking stage
+    (never as an n² scan; see text_dedup_prefix_key for the blocking
+    side). Exercised row-locally here: distance between a document's
+    first two 16-char windows plus a constant-target distance —
+    integer-exact cross-engine."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.levenshtein(F.substring(norm, 1, 16), F.substring(norm, 17, 16)).alias(
+            "lev_halves"
+        ),
+        F.levenshtein(F.col("lang"), F.lit("en")).alias("lev_lang"),
+        F.length("text").alias("len"),
+    )

@@ -524,3 +524,61 @@ def sim_label_centroid_stats(spark, sf_dir):
         )
         .filter(F.col("n_pairs") > 0)
     )
+
+
+def _ivf_assign_parity_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> ROUND(CAST(x AS DOUBLE) * 1000))
+               AS qv
+      FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cell, qv AS cv FROM q WHERE vec_id < {N_CELLS}
+    ), scored AS (
+      SELECT q.vec_id, cent.cell,
+             list_dot_product(q.qv, cent.cv)
+               / sqrt(list_dot_product(cent.cv, cent.cv)) AS score
+      FROM q, cent
+    )
+    SELECT vec_id, cell AS assigned_cell
+    FROM (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY score DESC, cell) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
+@query("sim_ivf_assign_parity", oracle=_ivf_assign_parity_oracle())
+def sim_ivf_assign_parity(spark, sf_dir):
+    """IVF coarse-quantizer cell ASSIGNMENT made engine-exact and
+    hash-match graded — the parity twin for ``sim_ivf_topk`` (which
+    stays rows-only: float32 dots are engine-specific). Embeddings
+    quantize to integers (round(x·1000), tie-free for float32 inputs)
+    so every dot product is exact; the argmax score divides by the
+    centroid norm only (the query norm is a per-row constant that
+    cannot change its own argmax), computed identically on both
+    engines, with a cell-id tiebreak making the winner total-ordered.
+    Centroids are the N_CELLS lowest vec_ids — same convention as the
+    production path."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("double")
+    )
+    q = e.select("vec_id", qv.alias("qv"))
+    cent = q.filter(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
+    )
+    score = _dot(F.col("qv"), F.col("cv")) / F.sqrt(
+        _dot(F.col("cv"), F.col("cv"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
+    return (
+        q.join(F.broadcast(cent))
+        .select("vec_id", "cell", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cell").alias("assigned_cell"))
+    )

@@ -328,3 +328,115 @@ def text_ngram_shingles(spark, sf_dir):
         .filter(F.size(toks) >= 3)
         .select("doc_id", F.size(F.array_distinct(shingles)).alias("n_distinct_shingles"))
     )
+
+
+_STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that with "
+    "as for on at by from not"
+).split()
+
+
+@query(
+    "text_stopword_density",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE tok IN
+             ({", ".join("'" + w + "'" for w in _STOPWORDS)})) AS BIGINT)
+             AS n_stop,
+           FLOOR(COUNT(*) FILTER (WHERE tok IN
+             ({", ".join("'" + w + "'" for w in _STOPWORDS)})) * 1.0
+             / COUNT(*) * 1e6 + 0.5) / 1e6 AS stop_ratio
+    FROM toks GROUP BY doc_id
+    """,
+)
+def text_stopword_density(spark, sf_dir):
+    """Stopword density per document — one of the classic quality
+    signals (near-zero density ⇒ keyword spam / boilerplate lists;
+    near-one ⇒ degenerate text). The stopword set is a tiny literal
+    IN-list compiled into the row predicate (at vocab scale it would
+    broadcast) — tokenize → conditional count, one hash agg on
+    doc_id."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    is_stop = F.col("tok").isin(_STOPWORDS)
+    g = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(is_stop.cast("long")).alias("n_stop"),
+    )
+    return g.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        (
+            F.floor(F.col("n_stop") * 1.0 / F.col("n_tokens") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("stop_ratio"),
+    )
+
+
+HASH_VEC_BUCKETS = 256
+
+
+@query(
+    "text_hashing_vectorizer",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::BIGINT % {HASH_VEC_BUCKETS}
+               AS bucket,
+             COUNT(*) AS c
+      FROM toks GROUP BY doc_id, bucket
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS nnz,
+           CAST(SUM(c * c) AS BIGINT) AS sq_norm,
+           FLOOR(sqrt(CAST(SUM(c * c) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS l2
+    FROM b GROUP BY doc_id
+    """,
+)
+def text_hashing_vectorizer(spark, sf_dir):
+    """Feature hashing (the hashing-trick vectorizer): tokens hash
+    into {HASH_VEC_BUCKETS} buckets via an ENGINE-AGNOSTIC md5-prefix
+    hash, per-document bucket counts form the sparse vector; graded
+    outputs are the vector's nnz, exact integer squared norm, and l2
+    norm — scalar projections of the full vector (the driver contract
+    is scalar-only), with the bucket assignment itself proven by the
+    hash match. Two hash aggs, both keyed on doc_id — the second
+    reuses the first's partitioning. At 100 TB this replaces a vocab
+    build entirely: no dictionary state, memory O(buckets)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        % HASH_VEC_BUCKETS
+    )
+    b = toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("c")
+    )
+    return b.groupBy("doc_id").agg(
+        F.count("*").alias("nnz"),
+        F.sum(F.col("c") * F.col("c")).alias("sq_norm"),
+        (
+            F.floor(
+                F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("l2"),
+    )

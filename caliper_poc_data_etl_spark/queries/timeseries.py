@@ -406,3 +406,223 @@ def dedup_events_throttle_lastkept(spark, sf_dir):
     return e.groupBy("user_id", "event_type").applyInPandas(
         _walk, schema="user_id long, event_type string, event_id long"
     )
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), rn AS (
+      SELECT user_id, d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    ), isl AS (
+      SELECT user_id, d - CAST(rn AS INT) AS anchor, COUNT(*) AS len
+      FROM rn GROUP BY user_id, d - CAST(rn AS INT)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS max_streak,
+           CAST(SUM(len) AS BIGINT) AS active_days
+    FROM isl GROUP BY user_id
+    """,
+)
+def window_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: consecutive-active-day streaks per user via
+    the rn-difference trick (a run of consecutive days maps to one
+    shared anchor ``day - row_number``), then two hash aggs. The whole
+    chain — distinct, window, both aggs — keys on user_id, so one
+    shuffle's partitioning serves every stage. The canonical
+    sessionize-without-timestamps pattern (billing periods, streak
+    badges, SLA windows)."""
+    e = t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = (
+        days.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id", F.date_sub(F.col("d"), F.col("rn")).alias("anchor"))
+        .agg(F.count("*").alias("len"))
+    )
+    return isl.groupBy("user_id").agg(
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("max_streak"),
+        F.sum("len").alias("active_days"),
+    )
+
+
+@query(
+    "ts_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             date_trunc('week', CAST(ts AS DATE)) AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS wk0 FROM activity GROUP BY user_id
+    )
+    SELECT strftime(c.wk0, '%Y-%m-%d') AS cohort_week,
+           CAST(FLOOR(datediff('day', c.wk0, a.wk) / 7.0) AS INT)
+             AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+)
+def ts_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: each user joins the cohort of their
+    first active ISO week; cell (cohort_week, offset) counts users
+    still active offset weeks later — the standard retention triangle.
+    activity/cohort/join/agg all key on user_id or the tiny
+    (cohort, offset) space; offsets are exact multiples of 7 days so
+    the division is exact integer-valued arithmetic on both engines.
+    Monday-start date_trunc('week') agrees between Spark and DuckDB."""
+    e = t(spark, sf_dir, "events")
+    activity = e.select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("wk")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("wk").alias("wk0"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("wk0", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff("wk", "wk0") / 7.0).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+@query(
+    "ts_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    )
+    SELECT prev AS from_type, event_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+    """,
+)
+def ts_event_transitions(spark, sf_dir):
+    """First-order event-transition counts (the Markov matrix of user
+    behavior): lag the per-user ordered event stream, count (from, to)
+    pairs. One window shuffle on user_id, then a hash agg into the
+    |types|² matrix — the input to next-action models and funnel
+    anomaly detection."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    )
+    return (
+        seq.filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "ts_inter_event_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) - epoch_us(
+               LAG(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id)) AS DOUBLE) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           FLOOR(quantile_cont(gap_us, 0.5) / 1e6 * 1e3 + 0.5) / 1e3
+             AS p50_sec,
+           FLOOR(quantile_cont(gap_us, 0.9) / 1e6 * 1e3 + 0.5) / 1e3
+             AS p90_sec,
+           FLOOR(quantile_cont(gap_us, 0.99) / 1e6 * 1e3 + 0.5) / 1e3
+             AS p99_sec
+    FROM gaps WHERE gap_us IS NOT NULL GROUP BY event_type
+    """,
+)
+def ts_inter_event_gap_stats(spark, sf_dir):
+    """Inter-arrival-time quantiles per event type (p50/p90/p99 of the
+    gap between consecutive same-user same-type events) — the arrival-
+    process profile behind rate limiting and session-gap tuning. Gaps
+    are exact integer microseconds; Spark's percentile() and DuckDB's
+    quantile_cont interpolate identically on them (the
+    doc_length_pctl_filter precedent)."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .cast("double")
+        .alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    r3 = lambda c: F.floor(c / 1e6 * 1e3 + F.lit(0.5)) / 1e3  # noqa: E731
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        r3(F.expr("percentile(gap_us, 0.5)")).alias("p50_sec"),
+        r3(F.expr("percentile(gap_us, 0.9)")).alias("p90_sec"),
+        r3(F.expr("percentile(gap_us, 0.99)")).alias("p99_sec"),
+    )
+
+
+@query(
+    "anomaly_mad_events",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, ROUND(d.value, 4) AS value,
+           FLOOR((d.med + 3 * 1.4826 * m2.mad) * 1e4 + 0.5) / 1e4
+             AS hi_fence
+    FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+    WHERE d.value > d.med + 3 * 1.4826 * m2.mad
+       OR d.value < d.med - 3 * 1.4826 * m2.mad
+    """,
+)
+def anomaly_mad_events(spark, sf_dir):
+    """Median-absolute-deviation outliers per event type (median ±
+    3·1.4826·MAD) — the third robustness tier next to z-score (moment-
+    based) and IQR (quartile-based): MAD's 50% breakdown point
+    survives even half the data being garbage. Two percentile passes
+    (median, then median of absolute deviations) with the per-type
+    fences broadcast back over the scan; exact interpolated
+    percentiles match quantile_cont cross-engine."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    fence = 3 * 1.4826 * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(
+            (F.col("value") > F.col("med") + fence)
+            | (F.col("value") < F.col("med") - fence)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            (F.floor((F.col("med") + fence) * 1e4 + F.lit(0.5)) / 1e4).alias(
+                "hi_fence"
+            ),
+        )
+    )

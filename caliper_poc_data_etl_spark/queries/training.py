@@ -765,3 +765,169 @@ def decontam_exact_substring(spark, sf_dir):
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH mv AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS v
+      FROM events GROUP BY user_id
+    ), mp AS (
+      SELECT e.user_id, MIN(e.ts) AS p
+      FROM events e JOIN mv ON e.user_id = mv.user_id
+      WHERE e.event_type = 'purchase' AND mv.v IS NOT NULL AND e.ts >= mv.v
+      GROUP BY e.user_id
+    ), d AS (
+      SELECT mp.user_id,
+             CAST(epoch_us(mp.p) - epoch_us(mv.v) AS DOUBLE) AS dt_us
+      FROM mp JOIN mv ON mp.user_id = mv.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           FLOOR(quantile_cont(dt_us, 0.5) / 1e6 * 1e3 + 0.5) / 1e3
+             AS p50_sec,
+           FLOOR(quantile_cont(dt_us, 0.9) / 1e6 * 1e3 + 0.5) / 1e3
+             AS p90_sec,
+           FLOOR(SUM(dt_us) / COUNT(*) / 1e6 * 1e3 + 0.5) / 1e3
+             AS mean_sec
+    FROM d
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution (first view → first purchase at or
+    after it): median/p90/mean seconds across converting users — the
+    latency companion to funnel_conversion's counts. Both stage
+    aggregations and the join key on user_id (one partitioning reused
+    end-to-end); deltas are exact integer microseconds, so the mean's
+    double SUM is order-independent (integer-valued, far below 2^53)
+    and the percentile interpolation is engine-exact."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    mv = (
+        e.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"))
+        .filter(F.col("v").isNotNull())
+    )
+    mp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(mv, "user_id")
+        .filter(F.col("ts") >= F.col("v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p"))
+    )
+    d = mp.join(mv, "user_id").select(
+        (F.unix_micros("p") - F.unix_micros("v")).cast("double").alias("dt_us")
+    )
+    r3 = lambda c: F.floor(c / 1e6 * 1e3 + F.lit(0.5)) / 1e3  # noqa: E731
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        r3(F.expr("percentile(dt_us, 0.5)")).alias("p50_sec"),
+        r3(F.expr("percentile(dt_us, 0.9)")).alias("p90_sec"),
+        r3(F.sum("dt_us") / F.count("*")).alias("mean_sec"),
+    )
+
+
+_GRAPH_EDGES_SQL = """
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    links AS (
+      SELECT doc_id AS src, (doc_id * 7 + 1) % n.n_docs AS dst
+      FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 13 + 2) % n.n_docs FROM documents, n
+      UNION ALL
+      SELECT doc_id, (doc_id * 29 + 3) % n.n_docs FROM documents, n
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM links WHERE src <> dst)
+"""
+
+
+def _graph_edges(spark, sf_dir):
+    """The synthetic affine link graph shared with graph_pagerank
+    (training.py::graph_pagerank) — every doc links to three
+    affine-indexed docs; n_docs rides as a broadcast 1-row aggregate,
+    not a driver count."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    n_df = d.agg(F.count("*").alias("n_docs"))
+    base = d.crossJoin(F.broadcast(n_df))
+    links = None
+    for mult, add in ((7, 1), (13, 2), (29, 3)):
+        part = base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * mult + add) % F.col("n_docs")).alias("dst"),
+        )
+        links = part if links is None else links.union(part)
+    return d, links.filter(F.col("src") != F.col("dst")).distinct()
+
+
+@query(
+    "graph_degree_stats",
+    oracle=_GRAPH_EDGES_SQL
+    + """
+    SELECT d.doc_id,
+           CAST(COALESCE(o.odeg, 0) AS BIGINT) AS out_deg,
+           CAST(COALESCE(i.ideg, 0) AS BIGINT) AS in_deg
+    FROM documents d
+    LEFT JOIN (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src) o
+      ON o.src = d.doc_id
+    LEFT JOIN (SELECT dst, COUNT(*) AS ideg FROM edges GROUP BY dst) i
+      ON i.dst = d.doc_id
+    """,
+)
+def graph_degree_stats(spark, sf_dir):
+    """Per-node in/out degree over the link graph — the first graph
+    profile run before any propagation algorithm (degree skew decides
+    salting and orientation strategies). Two hash aggs on the edge
+    endpoints, left-joined back to the node table so isolated nodes
+    keep explicit zeros."""
+    d, edges = _graph_edges(spark, sf_dir)
+    odeg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count("*").alias("out_deg")
+    )
+    ideg = edges.groupBy(F.col("dst").alias("doc_id")).agg(
+        F.count("*").alias("in_deg")
+    )
+    return (
+        d.join(odeg, "doc_id", "left")
+        .join(ideg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        )
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=_GRAPH_EDGES_SQL
+    + """
+    , und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM edges
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM und e1
+    JOIN und e2 ON e2.a = e1.b
+    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Exact triangle count via the oriented (compact-forward) join:
+    undirected edges orient low→high, then (a,b)⋈(b,c)⋈(a,c) counts
+    each triangle exactly once — two equi-join shuffles on node ids,
+    never an all-pairs product. At 100 TB the orientation key becomes
+    (degree, id) instead of raw id so high-degree hubs sit on the
+    probe side (documented refinement; the join shape is identical).
+    Triangle density is the standard community-structure signal for
+    link-graph curation."""
+    _, edges = _graph_edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    return (
+        e1.join(e2, "y")
+        .join(e3, ["x", "z"])
+        .agg(F.count("*").alias("n_triangles"))
+    )

@@ -318,3 +318,35 @@ def window_session_stats(spark, sf_dir):
         ).alias("duration_sec"),
         F.round(F.sum("value"), 2).alias("session_value"),
     )
+
+
+@query(
+    "window_percent_rank",
+    oracle="""
+    SELECT event_id, event_type,
+           FLOOR(percent_rank() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) * 1e6 + 0.5)
+             / 1e6 AS pr,
+           CAST(dense_rank() OVER (PARTITION BY event_type ORDER BY value)
+                AS BIGINT) AS dr
+    FROM events
+    """,
+)
+def window_percent_rank(spark, sf_dir):
+    """Relative-position ranking pack: percent_rank with a unique
+    (value, event_id) tiebreak — (rank-1)/(n-1), exact integer
+    arithmetic divided identically on both engines — plus dense_rank
+    over value alone (ties share a rank). Two window specs over the
+    SAME partition key, so Catalyst plans one Exchange feeding two
+    Window operators — ordering differences don't re-shuffle."""
+    e = t(spark, sf_dir, "events")
+    w_pr = W.partitionBy("event_type").orderBy("value", "event_id")
+    w_dr = W.partitionBy("event_type").orderBy("value")
+    return e.select(
+        "event_id",
+        "event_type",
+        (F.floor(F.percent_rank().over(w_pr) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "pr"
+        ),
+        F.dense_rank().over(w_dr).cast("long").alias("dr"),
+    )

@@ -37,6 +37,7 @@ EXPECTED_NLJ = {
     "sim_cosine_topk",  # broadcast NLJ on purpose: tiny query side
     "knn_label_vote",  # same broadcast-query shape as sim_cosine_topk
     "sim_ivf_topk",  # corpus × broadcast 16-centroid table (coarse quantizer)
+    "sim_ivf_assign_parity",  # same corpus × broadcast-centroid shape
     "sim_label_centroid_stats",  # |labels|² broadcast self-join of per-label sums
 }
 
@@ -50,6 +51,8 @@ EXPECTED_SCALAR_BNLJ = {
     "doc_length_pctl_filter",  # corpus-P90 threshold scalar
     "mix_temperature_sampling",  # broadcast 1-row (n_total, w_total)
     "q22_global_sales_opportunity",  # broadcast 1-row avg-balance threshold
+    "graph_degree_stats",  # broadcast 1-row n_docs for the affine link graph
+    "graph_triangle_count",  # same broadcast 1-row n_docs
 }
 # Deliberate broadcast containment join (tiny snippet table).
 EXPECTED_NLJ.add("decontam_exact_substring")
