@@ -1855,3 +1855,82 @@ def q22_global_sales_opportunity(spark, sf_dir):
         F.count("*").alias("numcust"),
         F.round(F.sum("bal"), 2).cast("double").alias("totacctbal"),
     )
+
+
+@query(
+    "agg_grouping_id_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_grouping_id_rollup(spark, sf_dir):
+    """ROLLUP with explicit GROUPING() level identification — the
+    missing piece next to agg_rollup: consumers of a rollup cube need
+    to tell a real NULL key from a subtotal row, and grouping bits are
+    the standard discriminator. COALESCE placeholders keep the graded
+    output NULL-free (level is carried by gid)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            (
+                F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority")
+            ).cast("long").alias("gid"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n",
+        )
+    )
+
+
+@query(
+    "setop_all_variants",
+    oracle="""
+    SELECT 'intersect_all' AS op, o_orderstatus, o_orderpriority FROM (
+      SELECT o_orderstatus, o_orderpriority FROM orders
+      WHERE o_orderkey % 2 = 0
+      INTERSECT ALL
+      SELECT o_orderstatus, o_orderpriority FROM orders
+      WHERE o_orderkey % 3 = 0
+    )
+    UNION ALL
+    SELECT 'except_all' AS op, o_orderstatus, o_orderpriority FROM (
+      SELECT o_orderstatus, o_orderpriority FROM orders
+      WHERE o_orderkey % 2 = 0
+      EXCEPT ALL
+      SELECT o_orderstatus, o_orderpriority FROM orders
+      WHERE o_orderkey % 3 = 0
+    )
+    """,
+)
+def setop_all_variants(spark, sf_dir):
+    """Bag-semantics set operations (INTERSECT ALL / EXCEPT ALL) —
+    multiplicity-preserving variants completing the set-op family
+    (plain INTERSECT/EXCEPT are already covered). Spark plans both as
+    aggregate count-min arithmetic over a single shuffle per side, not
+    a join per duplicate — the same way the SQL standard defines the
+    bag semantics."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderstatus", "o_orderpriority"
+    )
+    inter = a.intersectAll(b).select(
+        F.lit("intersect_all").alias("op"), "o_orderstatus", "o_orderpriority"
+    )
+    exc = a.exceptAll(b).select(
+        F.lit("except_all").alias("op"), "o_orderstatus", "o_orderpriority"
+    )
+    return inter.unionByName(exc)

@@ -350,3 +350,38 @@ def window_percent_rank(spark, sf_dir):
         ),
         F.dense_rank().over(w_dr).cast("long").alias("dr"),
     )
+
+
+@query(
+    "window_nth_value",
+    oracle="""
+    SELECT event_id, user_id,
+           nth_value(value, 2) OVER w AS second_value,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id) OVER w AS last_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_nth_value(spark, sf_dir):
+    """Positional window values (nth/first/last over the FULL frame):
+    every event carries its user's second-ever value and first/last
+    event ids — the "attach session landmarks to every row" shape.
+    The unbounded-following frame forces full-partition
+    materialization per key; one shuffle on user_id, bounded by the
+    largest user's history (the documented skew knob)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.nth_value("value", 2).over(w).alias("second_value"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+    )

@@ -123,7 +123,15 @@ def main() -> int:
 
     names = [n for n in QUERIES_TO_RUN if n in QUERIES]
     if only:
-        names = [n for n in names if any(f in n for f in only)]
+        # Explicit filters select from the FULL registry, not just the
+        # headline subset — the point of a filter is to smoke a
+        # specific (often newly added) query. Streaming replays need a
+        # running query and stay out.
+        names = [
+            n
+            for n in QUERIES
+            if any(f in n for f in only) and not n.startswith("stream_")
+        ]
     results = {}
     for name in names:
         # sf0.1 reference time (min of 2), then tiled time (min of 2).
