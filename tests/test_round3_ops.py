@@ -357,9 +357,12 @@ class TestQueuedOps:
         inv = {v: k for k, v in vocab.items()}
         for doc_id, toks in toks_by_doc.items():
             r = out[doc_id]
-            assert len(r["token_ids"]) == len(toks)
+            # token_ids is comma-joined (string, not array — the graded
+            # output must be hashable by the driver's canonicalizer).
+            ids = [int(x) for x in r["token_ids"].split(",")]
+            assert len(ids) == len(toks)
             n_unk = 0
-            for tok, tid in zip(toks, r["token_ids"]):
+            for tok, tid in zip(toks, ids):
                 if tid == 0:
                     n_unk += 1
                     assert tok not in vocab

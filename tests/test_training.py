@@ -123,7 +123,9 @@ def test_inverted_index_postings_sorted_and_bounded(spark, sf_dir):
     out = inverted_index_postings(spark, sf_dir).collect()
     assert out
     for r in out:
-        p = r["top_postings"]
+        # top_postings is comma-joined (string, not array — graded
+        # outputs stay scalar-typed for the driver's canonicalizer).
+        p = [int(x) for x in r["top_postings"].split(",")]
         assert len(p) <= 10
         assert p == sorted(p)
         assert r["n_docs"] >= len(p) or r["n_docs"] <= 10
