@@ -234,3 +234,55 @@ def resize_pixels(media: DataFrame, factor: int = 4) -> DataFrame:
             yield pdf
 
     return media.mapInPandas(batches, media.schema)
+
+
+AHASH_BITS = 60  # 60 bits (not 64): value stays positive in signed
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def ahash_60bit(media: DataFrame) -> DataFrame:
+    """Average-hash perceptual fingerprint over the payload's first
+    ``AHASH_BITS`` bytes: bit i is set when byte i exceeds the mean of
+    those bytes (integer form: ``byte_i * 60 > sum``). This is the
+    classic aHash construction with "pixels" = leading payload bytes —
+    swap the ``frombuffer`` line for a real decode+resize (PIL/ffmpeg)
+    and the hash, banding, and Hamming-verify stages downstream are
+    unchanged. 60 bits, not 64, so the value is positive in BOTH
+    engines' signed BIGINT — no two's-complement edge cases in the
+    XOR/popcount math.
+
+    Arrow-batched mapInPandas; payloads shorter than AHASH_BITS bytes
+    are dropped (a real decoder rejects truncated media the same way).
+    """
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes) -> int | None:
+            if len(b) < AHASH_BITS:
+                return None
+            px = np.frombuffer(bytes(b[:AHASH_BITS]), dtype=np.uint8).astype(
+                np.int64
+            )
+            bits = px * AHASH_BITS > int(px.sum())
+            h = 0
+            for bit in bits:
+                h = (h << 1) | int(bit)
+            return h
+
+        for pdf in it:
+            out = pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ahash": pdf["payload"].map(one),
+                }
+            )
+            yield out[out["ahash"].notna()].astype({"ahash": "int64"})
+
+    return media.mapInPandas(batches, AHASH_SCHEMA)

@@ -214,9 +214,23 @@ _DEFERRED = [
 
 # Round-5 queue: implemented queries that do not fit the current
 # 50-entry graded window — they rotate INTO the front next round
-# (with the then-green r4 entries moving to _DEFERRED). Empty at the
-# start of round 4: the whole r3 queue is in the graded window.
-_NEXT: list[str] = []
+# (with the then-green r4 entries moving to _DEFERRED). Each entry
+# lands here WITH semantic pytest evidence (tests/test_round5_ops.py)
+# and a local check_oracle green before it is queued.
+_NEXT: list[str] = [
+    "ts_resample_linear_interp",
+    "ts_ewma_smoothing",
+    "window_running_distinct",
+    "agg_countmin_heavy_hitters",
+    "sql_recursive_cte_bfs",
+    "text_perplexity_proxy",
+    "text_boilerplate_shingle_ratio",
+    "dedup_minhash_jaccard_estimate",
+    "graph_common_neighbors",
+    "fn_url_pack",
+    "stream_topk_per_window_replay",
+    "mm_ahash_hamming_neardup",
+]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]
 if _missing:

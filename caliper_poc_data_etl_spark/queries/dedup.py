@@ -811,3 +811,122 @@ def dedup_embedding_lsh_candidate_parity(spark, sf_dir):
         .select("vec_a", "vec_b")
         .distinct()
     )
+
+
+def _minhash_est_oracle() -> str:
+    perms = ",\n             ".join(
+        f"list_min(list_transform(harr, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for a, b in _minhash_coeffs()
+    )
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shset
+      FROM tk WHERE len(tk) >= 3
+    ),
+    h AS (
+      SELECT doc_id,
+             list_transform(shset,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MERSENNE_P})
+               AS harr
+      FROM sh
+    ),
+    sigs AS (SELECT doc_id, [{perms}] AS sig FROM h),
+    ex AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shset, b.shset)) * 1.0 /
+               (len(a.shset) + len(b.shset)
+                - len(list_intersect(a.shset, b.shset))) AS exact_j
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shset, b.shset)) * 1.0 /
+              (len(a.shset) + len(b.shset)
+               - len(list_intersect(a.shset, b.shset))) >= 0.5
+    )
+    SELECT ex.doc_a, ex.doc_b, ROUND(ex.exact_j, 4) AS exact_j,
+           ROUND(len(list_filter(range(1, {MINHASH_K} + 1),
+                   i -> sa.sig[i] = sb.sig[i])) * 1.0 / {MINHASH_K}, 4)
+             AS est_j
+    FROM ex
+    JOIN sigs sa ON sa.doc_id = ex.doc_a
+    JOIN sigs sb ON sb.doc_id = ex.doc_b
+    """
+
+
+@query("dedup_minhash_jaccard_estimate", oracle=_minhash_est_oracle())
+def dedup_minhash_jaccard_estimate(spark, sf_dir):
+    """MinHash ESTIMATOR accuracy, hash-exact across engines: for
+    every document pair with true shingle Jaccard ≥ 0.5, report the
+    exact Jaccard next to the MinHash estimate (the fraction of the 32
+    md5-family signature components that agree) — the measurement that
+    justifies trusting ``dedup_minhash_lsh``'s sketch at 100 TB, made
+    into a graded operator. The companion pytest asserts the estimate
+    tracks truth within the K=32 binomial error bound.
+
+    The pair source is the shingle equi-join (cost: Σ per-shingle
+    df², never n²); signatures ride in from the per-doc map-side
+    pipeline and the estimate is a zip_with/filter over the two
+    32-vectors. The oracle recomputes the identical md5-based
+    signatures in SQL, so est_j — not just exact_j — hash-matches."""
+    sets = _doc_shingle_sets(t(spark, sf_dir, "documents"))
+    sigs = sets.select(
+        "doc_id",
+        F.transform(
+            "shset",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % MERSENNE_P,
+        ).alias("harr"),
+    )
+    harr = F.col("harr")
+    mins = [
+        F.array_min(F.transform(harr, lambda h: (a * h + b) % MERSENNE_P))
+        for a, b in _minhash_coeffs()
+    ]
+    sigs = sigs.select("doc_id", F.array(*mins).alias("sig"))
+    sh = sets.select(
+        "doc_id", F.size("shset").alias("n"), F.explode("shset").alias("shingle")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("n_a"),
+            F.col("b.n").alias("n_b"),
+        )
+        .agg(F.count("*").alias("i"))
+    )
+    jacc = F.col("i") / (F.col("n_a") + F.col("n_b") - F.col("i"))
+    pairs = inter.filter(jacc >= 0.5).select(
+        "doc_a", "doc_b", F.round(jacc, 4).alias("exact_j")
+    )
+    est = F.round(
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(MINHASH_K),
+        4,
+    )
+    return (
+        pairs.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .select("doc_a", "doc_b", "exact_j", est.alias("est_j"))
+    )

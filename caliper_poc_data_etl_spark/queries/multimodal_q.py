@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from caliper_poc_data_etl_spark.multimodal import (
+    AHASH_BITS,
+    ahash_60bit,
     documents_as_media,
     fake_decode_pixel_features,
     payload_stats,
@@ -139,3 +141,122 @@ def mm_pixel_features(spark, sf_dir):
     """Deterministic fake image decode (bytes→pixels) via mapInPandas;
     value-checked in tests against a local numpy computation."""
     return fake_decode_pixel_features(documents_as_media(spark, sf_dir))
+
+
+_AHASH_BANDS = 4
+_AHASH_BAND_BITS = 15  # 4 × 15 = 60 bits
+_AHASH_MAX_HAMMING = 8
+
+
+# The banding mirrors as a UNION ALL over the fixed band count —
+# plain portable SQL.
+def _ahash_oracle() -> str:
+    bands = "\n      UNION ALL\n".join(
+        f"""      SELECT media_id, ahash, {j} AS band_idx,
+             (ahash >> {(_AHASH_BANDS - 1 - j) * _AHASH_BAND_BITS}) & 32767
+               AS band_val FROM hashed"""
+        for j in range(_AHASH_BANDS)
+    )
+    return f"""
+    WITH bytes AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS hx
+      FROM documents WHERE octet_length(encode(text)) >= {AHASH_BITS}
+    ), px AS (
+      SELECT media_id,
+             list_transform(range(1, {AHASH_BITS} + 1),
+               i -> ('0x' || substr(hx, (i - 1) * 2 + 1, 2))::BIGINT) AS b
+      FROM bytes
+    ), hashed AS (
+      SELECT media_id,
+             CAST(list_sum(list_transform(range(1, {AHASH_BITS} + 1),
+               i -> CASE WHEN b[i] * {AHASH_BITS} > list_sum(b)
+                    THEN (1::BIGINT << ({AHASH_BITS} - i)) ELSE 0 END))
+               AS BIGINT) AS ahash
+      FROM px
+    ), bands AS (
+{bands}
+    ), cand AS (
+      SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+             a.ahash AS ha, b.ahash AS hb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.media_id < b.media_id
+    ), near AS (
+      SELECT ma, mb FROM cand
+      WHERE bit_count(xor(ha, hb)) <= {_AHASH_MAX_HAMMING}
+    ), partner_counts AS (
+      SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_near FROM (
+        SELECT ma AS media_id FROM near
+        UNION ALL SELECT mb FROM near
+      ) GROUP BY media_id
+    )
+    SELECT h.media_id, h.ahash, COALESCE(p.n_near, 0) AS n_near
+    FROM hashed h LEFT JOIN partner_counts p USING (media_id)
+    """
+
+
+@query("mm_ahash_hamming_neardup", oracle=_ahash_oracle())
+def mm_ahash_hamming_neardup(spark, sf_dir):
+    """Perceptual-hash near-duplicate detection over binary media:
+    aHash fingerprints (Arrow-batched numpy over the payload —
+    :func:`multimodal.ahash_60bit`), LSH-style band blocking (4×15-bit
+    bands; Hamming-≤8 pairs must agree exactly on ≥1 band, pigeonhole
+    over 60/4 > 8/… guarantees recall for distance ≤ 3 and
+    probabilistically above), then exact Hamming verification with
+    ``bit_count(xor)`` on candidates only. Output: each media's hash
+    and its near-duplicate partner count.
+
+    This is the image-dedup pipeline shape (pHash/aHash → banded
+    blocking → Hamming verify) with the decode stubbed to raw bytes;
+    the hash stage is REAL mapInPandas plumbing and the oracle
+    recomputes the identical fingerprint byte-for-byte in SQL, so the
+    whole operator hash-matches cross-engine."""
+    media = documents_as_media(spark, sf_dir).filter(
+        F.length("payload") >= AHASH_BITS
+    )
+    hashed = ahash_60bit(media)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band_idx"),
+            (
+                F.shiftright(
+                    F.col("ahash"), (_AHASH_BANDS - 1 - j) * _AHASH_BAND_BITS
+                ).bitwiseAND(F.lit(32767))
+            ).alias("band_val"),
+        )
+        for j in range(_AHASH_BANDS)
+    ]
+    bands = hashed.select(
+        "media_id", "ahash", F.explode(F.array(*band_structs)).alias("b")
+    ).select("media_id", "ahash", "b.band_idx", "b.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("ma"),
+            F.col("b.media_id").alias("mb"),
+            F.col("a.ahash").alias("ha"),
+            F.col("b.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    near = cand.filter(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= _AHASH_MAX_HAMMING
+    )
+    partners = (
+        near.select(F.col("ma").alias("media_id"))
+        .unionAll(near.select(F.col("mb").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count("*").alias("n_near"))
+    )
+    return hashed.join(partners, "media_id", "left").select(
+        "media_id",
+        "ahash",
+        F.coalesce("n_near", F.lit(0).cast("long")).alias("n_near"),
+    )

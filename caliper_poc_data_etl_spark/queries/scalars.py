@@ -388,3 +388,52 @@ def fn_string_distance_pack(spark, sf_dir):
         F.levenshtein(F.col("lang"), F.lit("en")).alias("lev_lang"),
         F.length("text").alias("len"),
     )
+
+
+@query(
+    "fn_url_pack",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://ex-' || source || '.example.com/docs/' || doc_id
+               || '?lang=' || lang || '&n=' || n_chars AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           CAST(regexp_extract(url, '[?&]n=([^&]*)', 1) AS BIGINT) AS n_param
+    FROM u
+    """,
+)
+def fn_url_pack(spark, sf_dir):
+    """URL parsing pack over synthesized per-document URLs: host,
+    path, and query-parameter extraction — the web-corpus metadata
+    columns (domain for source mixing, path for crawl dedup, params
+    for tracker-param removal) every web-scale pipeline derives first.
+    The Spark side uses the NATIVE ``parse_url`` expression (JVM
+    codegen, java.net.URI semantics); the oracle mirrors with
+    regexes, pinned equivalent for this URL shape."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://ex-"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("n"))
+        .cast("long")
+        .alias("n_param"),
+    )

@@ -218,3 +218,50 @@ def stream_throttle_replay(spark, sf_dir):
 
     events = read_event_stream(spark, sf_dir)
     return replay_to_df(throttled_events(events), mode="append")
+
+
+_TOPK_ORACLE = """
+    WITH counts AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS w0, event_type,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT w0, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY w0
+                                ORDER BY n DESC, event_type) AS rk
+      FROM counts
+    )
+    SELECT strftime(w0, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, CAST(n AS BIGINT) AS n, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+"""
+
+
+@query("stream_topk_per_window_replay", oracle=_TOPK_ORACLE)
+def stream_topk_per_window_replay(spark, sf_dir):
+    """Streaming top-K: the 3 most frequent event types per tumbling
+    hour, over a live ``readStream``. Rank functions are unsupported
+    inside a streaming aggregation (no window functions on update
+    state), so this uses THE production shape: the stream maintains
+    the windowed counts (incremental, watermark-bounded state) and the
+    rank is a batch window over the replayed aggregate — exactly what
+    a foreachBatch sink does per micro-batch at scale. Deterministic
+    tiebreak (count desc, type asc) keeps the top-3 stable under
+    re-ordering of arrivals."""
+    from pyspark.sql.window import Window as W
+
+    from caliper_poc_data_etl_spark.streaming import (
+        read_event_stream,
+        replay_to_df,
+        tumbling_counts,
+    )
+
+    events = read_event_stream(spark, sf_dir)
+    counts = replay_to_df(tumbling_counts(events), mode="complete")
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    )
+    return (
+        counts.select("window_start", "event_type", "n", rk.alias("rk"))
+        .filter(F.col("rk") <= 3)
+    )

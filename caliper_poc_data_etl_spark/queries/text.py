@@ -440,3 +440,158 @@ def text_hashing_vectorizer(spark, sf_dir):
             / 1e6
         ).alias("l2"),
     )
+
+
+_PPL_FLOOR_LOGP = -13.815511  # ROUND(LN(1e-6), 6) — unseen-bigram backoff
+
+
+@query(
+    "text_perplexity_proxy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id, tk[u.i] AS w1, tk[u.i + 1] AS w2
+      FROM toks, unnest(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2
+    ), big_counts AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY w1, w2
+    ), uni_counts AS (
+      SELECT w1, SUM(c12) AS c1 FROM big_counts GROUP BY w1
+    ), scored AS (
+      SELECT b.doc_id,
+             CAST(ROUND(LN(bc.c12 * 1.0 / uc.c1), 6) AS DECIMAL(18,6)) AS logp
+      FROM bigrams b
+      JOIN big_counts bc USING (w1, w2)
+      JOIN uni_counts uc USING (w1)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(ROUND(SUM(logp) / COUNT(*), 4) AS DOUBLE) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_perplexity_proxy(spark, sf_dir):
+    """Per-document LM quality score: mean log-probability of the
+    document's bigrams under the corpus's own bigram model — the
+    CCNet/Gopher-style "perplexity filter" signal that separates
+    fluent text from gibberish, computed without any external model.
+    (Every bigram here appears in the corpus model by construction, so
+    the 1e-6 backoff floor never fires on this data; the constant
+    documents the convention for scoring NEW text against a frozen
+    model.)
+
+    Scale shape: the bigram LM is ONE aggregation over the corpus
+    (c12), its denominator derives from c12 itself (no second corpus
+    pass), and scoring re-joins the doc bigram stream on (w1,w2) —
+    stop-word-headed bigrams are the skew case AQE's skew join splits.
+    Cross-engine determinism: each bigram's log-prob is a pure
+    function of two integer counts, rounded to 6 dp BEFORE the
+    per-doc mean accumulates in DECIMAL(18,6)."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    toks = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
+    tkc = F.col("tk")
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tkc) - 1),
+                lambda i: F.struct(
+                    F.element_at(tkc, i).alias("w1"),
+                    F.element_at(tkc, i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = big_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    logp = F.round(F.log(F.col("c12") / F.col("c1")), 6).cast("decimal(18,6)")
+    return (
+        bigrams.join(big_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        .select("doc_id", logp.alias("logp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("logp") / F.count("*"), 4)
+            .cast("double")
+            .alias("avg_logp"),
+        )
+    )
+
+
+_BOILER_NGRAM = 8
+_BOILER_DF = 5
+
+
+@query(
+    "text_boilerplate_shingle_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(tk[u.i : u.i + {_BOILER_NGRAM} - 1], ' ') AS sh
+      FROM toks, unnest(range(1, len(tk) - {_BOILER_NGRAM} + 2)) AS u(i)
+      WHERE len(tk) >= {_BOILER_NGRAM}
+    ), df AS (
+      SELECT sh, COUNT(*) AS n_docs FROM shingles GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (WHERE df.n_docs >= {_BOILER_DF}) AS BIGINT)
+             AS n_boiler,
+           CAST(ROUND(COUNT(*) FILTER (WHERE df.n_docs >= {_BOILER_DF})
+                 * 1.0 / COUNT(*), 4) AS DOUBLE) AS boiler_ratio
+    FROM shingles s JOIN df USING (sh)
+    GROUP BY s.doc_id
+    """,
+)
+def text_boilerplate_shingle_ratio(spark, sf_dir):
+    """Boilerplate contamination score: the fraction of each doc's
+    distinct 8-gram shingles that recur in ≥5 documents — the
+    RefinedWeb/C4-style repeated-passage signal (headers, footers,
+    licence blocks) that line-level dedup catches in web corpora,
+    expressed over shingles since this corpus has no line structure.
+    Docs with high ratios are boilerplate-dominated and get dropped or
+    trimmed before training.
+
+    Scale shape: per-doc shingling is map-side; ONE aggregation
+    builds the shingle document-frequency table; the scoring re-join
+    shuffles on the shingle hash. The DISTINCT inside the shingle CTE
+    bounds a doc's contribution to any shingle at 1, so a single
+    pathological doc cannot inflate df."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    tkc = F.col("tk")
+    shingles = (
+        d.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= _BOILER_NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tkc) - _BOILER_NGRAM + 1),
+                    lambda i: F.array_join(
+                        F.slice(tkc, i, _BOILER_NGRAM), " "
+                    ),
+                )
+            ).alias("sh"),
+        )
+        .distinct()
+    )
+    df = shingles.groupBy("sh").agg(F.count("*").alias("n_docs"))
+    boiler = (F.col("n_docs") >= _BOILER_DF).cast("long")
+    return (
+        shingles.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(boiler).alias("n_boiler"),
+            F.round(F.sum(boiler) / F.count("*"), 4)
+            .cast("double")
+            .alias("boiler_ratio"),
+        )
+    )

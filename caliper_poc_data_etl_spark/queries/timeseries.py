@@ -626,3 +626,191 @@ def anomaly_mad_events(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "ts_resample_linear_interp",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) / COUNT(*), 4)
+                  AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+    ), grid AS (
+      SELECT span.user_id,
+             unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM span
+    ), joined AS (
+      SELECT grid.user_id, grid.day, daily.v
+      FROM grid LEFT JOIN daily USING (user_id, day)
+    ), bounded AS (
+      SELECT user_id, day, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER
+          (PARTITION BY user_id ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM joined
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           (v IS NOT NULL) AS observed,
+           FLOOR((CASE
+             WHEN v IS NOT NULL THEN v
+             ELSE pv + (nv - pv) * (day - pd) * 1.0 / (nd - pd)
+           END) * 1e4 + 0.5) / 1e4 AS value_interp
+    FROM bounded
+    """,
+)
+def ts_resample_linear_interp(spark, sf_dir):
+    """Daily resample with LINEAR interpolation: densify each user's
+    series to a full calendar grid, then fill missing days on the
+    straight line between the surrounding observations (the step up
+    from LOCF, ``window_locf_fill``) — the standard irregular→regular
+    conditioning pass before any fixed-step sequence model.
+
+    Scale shape: grid generation is ``sequence()``+``explode`` per
+    user (no global calendar dim, no crossJoin); the prev/next anchors
+    are two ignore-nulls running windows over the SAME user-partitioned
+    sort, so the whole fill costs one shuffle on user_id. Interior
+    days always have both anchors (the grid is bounded by each user's
+    first/last observation), so no edge NULLs survive.
+
+    Cross-engine determinism: the daily mean accumulates in
+    DECIMAL(18,4) on both sides; the interpolation itself is a single
+    IEEE multiply-divide chain on identical inputs, bit-identical
+    across engines."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")) / F.count("*"), 4
+        )
+        .cast("double")
+        .alias("v")
+    )
+    grid = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    asc = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    desc = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    vday = F.when(F.col("v").isNotNull(), F.col("day"))
+    b = j.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(asc).alias("pv"),
+        F.last(vday, ignorenulls=True).over(asc).alias("pd"),
+        F.first("v", ignorenulls=True).over(desc).alias("nv"),
+        F.first(vday, ignorenulls=True).over(desc).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        F.col("day"), F.col("pd")
+    ) / F.datediff(F.col("nd"), F.col("pd"))
+    # Floor-rounding convention (anomaly_mad_events precedent): the
+    # interpolated value lands EXACTLY on .xxxx5 whenever the gap
+    # divides the 4-dp delta evenly (a 2-day gap ties every time), and
+    # ROUND's tie rule differs across engines; floor(x·1e4 + 0.5) is
+    # the same IEEE op chain on both sides.
+    val = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp)
+    return b.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("v").isNotNull().alias("observed"),
+        (F.floor(val * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias(
+            "value_interp"
+        ),
+    )
+
+
+EWMA_LOOKBACK = 32  # a=1/2 EWMA: 0.5^32 ≈ 2e-10 — earlier terms are noise
+
+
+@query(
+    "ts_ewma_smoothing",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rfrom_end
+      FROM events
+    ), kept AS (
+      SELECT user_id, value, rfrom_end,
+             COUNT(*) OVER (PARTITION BY user_id) AS m
+      FROM ordered WHERE rfrom_end <= {EWMA_LOOKBACK}
+    ), terms AS (
+      SELECT user_id, m,
+        CAST(ROUND(value * (CASE WHEN rfrom_end = m
+                 THEN 1.0 / CAST(1::BIGINT << (m - 1) AS DOUBLE)
+                 ELSE 1.0 / CAST(1::BIGINT << rfrom_end AS DOUBLE) END), 12)
+             AS DECIMAL(28,12)) AS term
+      FROM kept
+    )
+    SELECT user_id, CAST(MAX(m) AS BIGINT) AS n_terms,
+           CAST(ROUND(SUM(term), 6) AS DOUBLE) AS ewma
+    FROM terms GROUP BY user_id
+    """,
+)
+def ts_ewma_smoothing(spark, sf_dir):
+    """Per-user exponentially-weighted moving average (α=1/2) of event
+    values — the classic smoother behind rate limiting, trend
+    detection, and metric dashboards. Recursive form
+    ``s_i = α·x_i + (1-α)·s_{i-1}`` is re-expressed CLOSED-FORM as a
+    weighted sum (weight ``0.5^k`` for the k-th most recent event,
+    ``0.5^(m-1)`` for the oldest kept), so the whole thing is one hash
+    aggregation — no sequential fold, no UDF, no per-user iteration.
+    The lookback truncates at 32 events: with α=1/2 the
+    dropped tail weighs < 2⁻³². 
+
+    Cross-engine determinism: α=1/2 makes every weight an exact dyadic
+    (computed as ``1 / (1 << k)`` — no ``pow()``, whose last-ulp
+    behavior differs between libm and the JVM); each term rounds to
+    12 dp and the sum accumulates in DECIMAL(28,12)."""
+    e = t(spark, sf_dir, "events")
+    wdesc = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    kept = (
+        e.select("user_id", "value", F.row_number().over(wdesc).alias("rfrom_end"))
+        .filter(F.col("rfrom_end") <= EWMA_LOOKBACK)
+        .withColumn("m", F.count("*").over(W.partitionBy("user_id")))
+    )
+    kept = kept.withColumn(
+        "k",
+        F.when(F.col("rfrom_end") == F.col("m"), F.col("m") - 1).otherwise(
+            F.col("rfrom_end")
+        ),
+    )
+    weight = F.expr("1.0 / cast(shiftleft(cast(1 as bigint), k) as double)")
+    term = F.round(F.col("value") * weight, 12).cast("decimal(28,12)")
+    return (
+        kept.select("user_id", "m", term.alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.max("m").cast("long").alias("n_terms"),
+            F.round(F.sum("term"), 6).cast("double").alias("ewma"),
+        )
+    )

@@ -931,3 +931,253 @@ def graph_triangle_count(spark, sf_dir):
         .join(e3, ["x", "z"])
         .agg(F.count("*").alias("n_triangles"))
     )
+
+
+_CMS_ROWS = 4
+_CMS_WIDTH = 64
+
+
+def _cms_oracle() -> str:
+    return f"""
+    WITH cells AS (
+      SELECT r.i AS hrow,
+             ('0x' || substr(md5(r.i || ':' || user_id), 1, 15))::BIGINT
+               % {_CMS_WIDTH} AS cell,
+             user_id
+      FROM events, unnest(range(0, {_CMS_ROWS})) AS r(i)
+    ),
+    sketch AS (
+      SELECT hrow, cell, COUNT(*) AS c FROM cells GROUP BY hrow, cell
+    ),
+    keys AS (
+      SELECT DISTINCT r.i AS hrow,
+             ('0x' || substr(md5(r.i || ':' || user_id), 1, 15))::BIGINT
+               % {_CMS_WIDTH} AS cell,
+             user_id
+      FROM events, unnest(range(0, {_CMS_ROWS})) AS r(i)
+    ),
+    est AS (
+      SELECT k.user_id, MIN(s.c) AS est_count
+      FROM keys k JOIN sketch s USING (hrow, cell)
+      GROUP BY k.user_id
+    ),
+    truth AS (SELECT user_id, COUNT(*) AS true_count FROM events GROUP BY 1)
+    SELECT e.user_id, CAST(e.est_count AS BIGINT) AS est_count,
+           CAST(t.true_count AS BIGINT) AS true_count,
+           CAST(e.est_count - t.true_count AS BIGINT) AS overcount
+    FROM est e JOIN truth t USING (user_id)
+    ORDER BY est_count DESC, user_id LIMIT 25
+    """
+
+
+@query("agg_countmin_heavy_hitters", oracle=_cms_oracle())
+def agg_countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min-sketch heavy hitters: estimate per-key frequencies
+    from a fixed 4×64 counter sketch (4
+    engine-agnostic md5 hash rows; estimate = min over rows of the
+    hashed cell's count) and report the top 25 keys by estimate next
+    to their true counts. The sketch never exceeds d×w counters no
+    matter the key cardinality — THE bounded-memory frequency
+    structure for 100 TB streams, here built as a plain groupBy so the
+    whole construction stays inside Tungsten.
+
+    Plan: events explode ×4 into (row, cell) — map-side —
+    then ONE aggregation builds the sketch (≤ 4×64
+    rows, broadcast to the estimate join); the per-key estimate joins
+    each distinct key's cells against the broadcast sketch. The CMS
+    guarantee est ≥ true is pinned in pytest; the md5 hash family
+    makes every cell index — and therefore every collision —
+    engine-exact, so the whole sketch hash-matches the oracle."""
+    e = t(spark, sf_dir, "events").select("user_id")
+    cells = e.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hrow"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat(
+                                            F.lit(str(i)),
+                                            F.lit(":"),
+                                            F.col("user_id").cast("string"),
+                                        )
+                                    ),
+                                    1,
+                                    15,
+                                ),
+                                16,
+                                10,
+                            ).cast("long")
+                            % _CMS_WIDTH
+                        ).alias("cell"),
+                    )
+                    for i in range(_CMS_ROWS)
+                ]
+            )
+        ).alias("rc"),
+    ).select("user_id", "rc.hrow", "rc.cell")
+    sketch = cells.groupBy("hrow", "cell").agg(F.count("*").alias("c"))
+    keys = cells.distinct()
+    est = (
+        keys.join(F.broadcast(sketch), ["hrow", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    truth = e.groupBy("user_id").agg(F.count("*").alias("true_count"))
+    return (
+        est.join(truth, "user_id")
+        .select(
+            "user_id",
+            F.col("est_count").cast("long").alias("est_count"),
+            F.col("true_count").cast("long").alias("true_count"),
+            (F.col("est_count") - F.col("true_count"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(25)
+    )
+
+
+_BFS_SOURCE = 7
+_BFS_MAX_DEPTH = 6
+
+_BFS_EDGES_SQL = """
+      SELECT DISTINCT src, dst FROM (
+        SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (doc_id * 29 + 3) % nn.n FROM documents, nn
+      ) WHERE src <> dst
+"""
+
+
+@query(
+    "sql_recursive_cte_bfs",
+    oracle=f"""
+    WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS MATERIALIZED ({_BFS_EDGES_SQL}),
+    walk(node, dist) AS (
+      SELECT CAST(7 AS BIGINT), 0
+      UNION ALL
+      SELECT e.dst, w.dist + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.dist < 6
+    ),
+    mind AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node
+    FROM mind GROUP BY dist
+    """,
+)
+def sql_recursive_cte_bfs(spark, sf_dir):
+    """Recursive CTE (``WITH RECURSIVE``, Spark 4.x) breadth-first
+    reachability over the synthetic link graph: all nodes within
+    6 hops of doc 7, reported as
+    nodes-per-shortest-distance. The recursion is authored as SQL TEXT
+    on BOTH engines — the iterative-closure surface (org charts, BOM
+    explosions, graph reachability) expressed declaratively instead of
+    a driver loop; Catalyst unrolls the recursion with a per-step
+    UNION the same way :func:`graph.pagerank` chains its iterations.
+
+    The depth guard bounds the walk (out-degree 3 → ≤ 3^6
+    path rows before the MIN collapse) — recursion over an unbounded
+    cyclic graph without the guard would diverge on both engines."""
+    docs = t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_bfs_documents")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE nn AS (
+          SELECT COUNT(*) AS n FROM _bfs_documents
+        ),
+        edges AS ({_BFS_EDGES_SQL.replace("documents", "_bfs_documents")}),
+        walk(node, dist) AS (
+          SELECT CAST(7 AS BIGINT), 0
+          UNION ALL
+          SELECT e.dst, w.dist + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.dist < 6
+        ),
+        mind AS (SELECT node, MIN(dist) AS dist FROM walk GROUP BY node)
+        SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               MIN(node) AS min_node, MAX(node) AS max_node
+        FROM mind GROUP BY dist
+        """
+    )
+
+
+@query(
+    "graph_common_neighbors",
+    oracle=f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS MATERIALIZED ({_BFS_EDGES_SQL}),
+    cn AS (
+      SELECT a.src AS node_a, b.src AS node_b, COUNT(*) AS n_common
+      FROM edges a JOIN edges b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY 1, 2
+    ),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)
+    SELECT cn.node_a, cn.node_b, CAST(cn.n_common AS BIGINT) AS n_common,
+           CAST(ROUND(cn.n_common * 1.0
+             / (da.deg + db.deg - cn.n_common), 4) AS DOUBLE) AS jaccard
+    FROM cn
+    JOIN deg da ON da.src = cn.node_a
+    JOIN deg db ON db.src = cn.node_b
+    WHERE cn.n_common >= 2
+    """,
+)
+def graph_common_neighbors(spark, sf_dir):
+    """Common-neighbors link prediction over the synthetic link graph:
+    node pairs sharing ≥2 out-neighbors, scored by neighborhood
+    Jaccard — the classic "you may also like" / related-documents
+    primitive, and the third graph operator next to PageRank and
+    triangle counting.
+
+    Plan: ONE self-equi-join of the edge list on dst (cost: Σ
+    in-degree² — the graph analog of the shingle join, never n²),
+    then two broadcast-sized degree joins. At 100 TB the in-degree
+    skew (celebrity nodes) is the hazard; AQE skew-join splits those
+    dst partitions."""
+    _, edges = _graph_edges(spark, sf_dir)
+    a = edges.alias("a")
+    b = edges.alias("b")
+    cn = (
+        a.join(
+            b,
+            (F.col("a.dst") == F.col("b.dst"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("node_a"), F.col("b.src").alias("node_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+        .filter(F.col("n_common") >= 2)
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    return (
+        cn.join(
+            F.broadcast(deg.select(F.col("src").alias("node_a"), F.col("deg").alias("da"))),
+            "node_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("node_b"), F.col("deg").alias("db"))),
+            "node_b",
+        )
+        .select(
+            "node_a",
+            "node_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                4,
+            )
+            .cast("double")
+            .alias("jaccard"),
+        )
+    )

@@ -385,3 +385,54 @@ def window_nth_value(spark, sf_dir):
         F.first("event_id").over(w).alias("first_event"),
         F.last("event_id").over(w).alias("last_event"),
     )
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+           event_type,
+           CAST(SUM(is_first) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_types_so_far
+    FROM flagged
+    """,
+)
+def window_running_distinct(spark, sf_dir):
+    """Running COUNT(DISTINCT event_type) per user — a frame no engine
+    supports natively (``COUNT(DISTINCT) OVER (... ROWS ...)`` is
+    rejected by both Spark and DuckDB), re-expressed exactly with the
+    first-occurrence-flag trick: rank each (user, type) by time, flag
+    rank 1, and running-SUM the flag over the user's timeline. Two
+    window passes over the SAME user-hash shuffle (Catalyst chains
+    them without a second exchange since the partition key prefix
+    matches), zero state beyond the frame."""
+    e = t(spark, sf_dir, "events")
+    wt = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    run = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    flagged = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.row_number().over(wt) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "event_type",
+        F.sum("is_first").over(run).cast("long").alias("n_types_so_far"),
+    )
