@@ -142,6 +142,40 @@ def _file_create_ceiling(
     return rates[0], rates[1]
 
 
+def _host_calibration() -> tuple[float, float]:
+    """Two Spark-free anchors that make cross-round bench numbers
+    comparable on a host whose performance varies between rounds (the
+    file-create ceiling already showed a 4.5× metadata-op swing
+    between r3 and r4 on IDENTICAL code):
+
+    - cpu_gflops: double-precision matmul throughput (numpy/BLAS) —
+      normalizes the compute-bound queries;
+    - proc_spawns_per_sec: fork+exec round-trips — normalizes
+      everything that launches Python workers (pandas UDF stages) or
+      pays per-file metadata costs, both of which ride the same host
+      scheduler/metadata throttle.
+    """
+    import subprocess
+
+    import numpy as np
+
+    n = 768
+    a = np.random.default_rng(7).standard_normal((n, n))
+    a @ a  # warm BLAS
+    t0 = time.perf_counter()
+    reps = 6
+    for _ in range(reps):
+        a @ a
+    gflops = round(reps * 2 * n**3 / (time.perf_counter() - t0) / 1e9, 1)
+
+    t0 = time.perf_counter()
+    spawns = 30
+    for _ in range(spawns):
+        subprocess.run(["/bin/true"], check=True)
+    spawn_rate = round(spawns / (time.perf_counter() - t0), 1)
+    return gflops, spawn_rate
+
+
 def _caliper_throughput(
     spark,
     n_rows: int,
@@ -258,6 +292,13 @@ def main() -> int:
         )
 
     ceiling_fps, ceiling_steady_fps = _file_create_ceiling()
+    cpu_gflops, spawn_rate = _host_calibration()
+    print(
+        f"# host calibration: {cpu_gflops} GFLOP/s matmul, "
+        f"{spawn_rate} proc-spawns/s (Spark-free anchors for cross-round "
+        f"normalization)",
+        file=sys.stderr,
+    )
     print(
         f"# raw serial file-create ceiling: {ceiling_fps} files/s fresh, "
         f"{ceiling_steady_fps} files/s steady-state (host throttles metadata "
@@ -348,6 +389,8 @@ def main() -> int:
                 "trial_times": trial_times,
                 "file_create_ceiling_files_per_sec": ceiling_fps,
                 "file_create_steady_state_files_per_sec": ceiling_steady_fps,
+                "host_cpu_gflops": cpu_gflops,
+                "host_proc_spawns_per_sec": spawn_rate,
             }
         )
     )
