@@ -230,6 +230,10 @@ _NEXT: list[str] = [
     "fn_url_pack",
     "stream_topk_per_window_replay",
     "mm_ahash_hamming_neardup",
+    "sim_pq_code_parity",
+    "scan_schema_evolution",
+    "join_asof_tolerance",
+    "agg_moments_pack",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -617,3 +617,78 @@ def text_tokenize_vocab_ids(spark, sf_dir):
             F.sum(F.col("tok_id").isNull().cast("long")).alias("n_unk"),
         )
     )
+
+
+@query(
+    "agg_moments_pack",
+    oracle="""
+    WITH sums AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s2,
+             CAST(SUM(CAST(ROUND(value * value * value, 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) AS s3,
+             CAST(SUM(CAST(ROUND(value * value * value * value, 6)
+                  AS DECIMAL(38,6))) AS DOUBLE) AS s4
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(s1 / n, 6) AS mean,
+           ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS std_pop,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n)
+                  + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(sqrt(s2 / n - (s1 / n) * (s1 / n)), 3), 6) AS skew_pop,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6)
+             AS kurt_excess
+    FROM sums
+    """,
+)
+def agg_moments_pack(spark, sf_dir):
+    """Higher statistical moments per group — mean, population std,
+    skewness, excess kurtosis — computed from raw POWER SUMS (Σx, Σx²,
+    Σx³, Σx⁴), the single-pass algebraic form that distributes with
+    map-side partials. The engines' built-in skewness/kurtosis
+    disagree on bias correction (Spark emits population g₁/g₂, DuckDB
+    sample-corrected G₁/g₂-style), so the pack derives the moments
+    explicitly — which is also the only shape that lets the
+    accumulation run in exact DECIMAL: each per-row power is an
+    engine-identical double rounded to 6 dp BEFORE the decimal sum, so
+    no summation-order divergence survives; the closing moment algebra
+    is one identical IEEE expression chain per side."""
+    e = t(spark, sf_dir, "events")
+    v = F.col("value")
+
+    def psum(expr, prec):
+        return F.sum(F.round(expr, 6).cast(f"decimal({prec},6)")).cast("double")
+
+    sums = e.groupBy("event_type").agg(
+        F.count("*").alias("n_raw"),
+        psum(v, 28).alias("s1"),
+        psum(v * v, 38).alias("s2"),
+        psum(v * v * v, 38).alias("s3"),
+        psum(v * v * v * v, 38).alias("s4"),
+    )
+    n = F.col("n_raw").cast("double")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3 * m * (F.col("s2") / n) + 2 * m * m * m
+    m4 = (
+        F.col("s4") / n
+        - 4 * m * (F.col("s3") / n)
+        + 6 * m * m * (F.col("s2") / n)
+        - 3 * m * m * m * m
+    )
+    return sums.select(
+        "event_type",
+        F.col("n_raw").cast("long").alias("n"),
+        F.round(m, 6).alias("mean"),
+        F.round(F.sqrt(m2), 6).alias("std_pop"),
+        F.round(m3 / F.pow(F.sqrt(m2), 3), 6).alias("skew_pop"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurt_excess"),
+    )

@@ -1934,3 +1934,80 @@ def setop_all_variants(spark, sf_dir):
         F.lit("except_all").alias("op"), "o_orderstatus", "o_orderpriority"
     )
     return inter.unionByName(exc)
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH stream AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), matched AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, event_type, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prior_click_ts
+      FROM stream
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           CASE WHEN prior_click_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(prior_click_ts) <= 3600000000
+                THEN strftime(prior_click_ts, '%Y-%m-%d %H:%M:%S.%f')
+           END AS prior_click_ts,
+           (prior_click_ts IS NOT NULL
+            AND epoch_us(ts) - epoch_us(prior_click_ts) <= 3600000000)
+             AS within_tolerance
+    FROM matched WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join WITH TOLERANCE (the pandas ``merge_asof(...,
+    tolerance=...)`` contract): each purchase matches the user's
+    nearest prior click ONLY if it happened within the last hour —
+    stale matches are rejected, not silently joined. Attribution
+    windows, sensor alignment, and trade/quote matching all need the
+    bound; without it an as-of join happily pairs a purchase with a
+    click from last month.
+
+    Same single-shuffle window formulation as ``join_asof``
+    (relational.py::join_asof — one user-partitioned sort, running
+    IGNORE NULLS last; never the quadratic per-pair form); the
+    tolerance is one integer timestamp comparison applied AFTER the
+    window, so the plan cost is identical to the unbounded form."""
+    e = t(spark, sf_dir, "events")
+    stream = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    within = F.col("prior_click_ts_raw").isNotNull() & (
+        F.unix_micros("ts") - F.unix_micros("prior_click_ts_raw")
+        <= 3_600_000_000
+    )
+    return (
+        stream.withColumn(
+            "prior_click_ts_raw",
+            F.last(
+                F.when(F.col("event_type") == "click", F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.when(
+                within, F.date_format("prior_click_ts_raw", fmt)
+            ).alias("prior_click_ts"),
+            within.alias("within_tolerance"),
+        )
+    )

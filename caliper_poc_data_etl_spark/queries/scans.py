@@ -100,3 +100,50 @@ def scan_csv_malformed_policy(spark, sf_dir):
         F.count("a").alias("good_rows"),
         F.count("_corrupt_record").alias("bad_rows"),
     )
+
+
+@query(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(o_totalprice, 2) AS totalprice,
+           CAST(NULL AS BIGINT) AS priority_len
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey,
+           CAST(NULL AS DOUBLE),
+           CAST(length(o_orderpriority) AS BIGINT)
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    """Schema-evolution scan: two parquet batches written with
+    DIFFERENT schemas (an early batch with ``totalprice``, a later
+    batch that dropped it and added ``priority_len``) read back as ONE
+    dataset with ``mergeSchema`` — each row surfaces the union schema
+    with NULLs for the columns its batch lacks. This is the
+    long-lived-dataset reality (columns appear and retire over years
+    of a 100 TB table's life); the oracle mirrors the union-by-name
+    semantics directly over the source table.
+
+    The staged batches land at a STABLE per-session path
+    (applicationId-keyed, overwritten in place — the
+    join_bucketed_colocated convention, no temp-dir leak). Footer
+    merging is a metadata operation; the data files are scanned once,
+    in parallel, with pruning intact."""
+    import tempfile
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base = f"{tempfile.gettempdir()}/graft_evo_{app}"
+    o = t(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
+    ).write.mode("overwrite").parquet(f"{base}/batch=1")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.length("o_orderpriority").cast("long").alias("priority_len"),
+    ).write.mode("overwrite").parquet(f"{base}/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/batch=1", f"{base}/batch=2"
+    )
+    return merged.select("o_orderkey", "totalprice", "priority_len")

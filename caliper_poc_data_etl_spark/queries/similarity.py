@@ -582,3 +582,107 @@ def sim_ivf_assign_parity(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("vec_id", F.col("cell").alias("assigned_cell"))
     )
+
+
+PQ_SUBSPACES = 8          # 64-dim → 8 × 8-dim subvectors
+PQ_SUBDIM = DIM // PQ_SUBSPACES
+PQ_CODEBOOK = 16          # 16 centroids per subspace → 4-bit codes
+
+
+def _pq_code_parity_oracle() -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)
+               * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ), subs AS (
+      SELECT vec_id, s.i AS sub,
+             qv[s.i * {PQ_SUBDIM} + 1 : (s.i + 1) * {PQ_SUBDIM}] AS sv
+      FROM q, unnest(range(0, {PQ_SUBSPACES})) AS s(i)
+    ), cent AS (
+      SELECT vec_id AS cell, sub, sv AS cv FROM subs
+      WHERE vec_id < {PQ_CODEBOOK}
+    ), dists AS (
+      SELECT subs.vec_id, subs.sub, cent.cell,
+             list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+               j -> (subs.sv[j] - cent.cv[j]) * (subs.sv[j] - cent.cv[j])))
+               AS d2
+      FROM subs JOIN cent USING (sub)
+    ), assigned AS (
+      SELECT vec_id, sub, cell, d2 FROM (
+        SELECT vec_id, sub, cell, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d2, cell) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+           CAST(SUM(cell * (1::BIGINT << (sub * 4))) AS BIGINT) AS pq_code,
+           CAST(SUM(d2) AS BIGINT) AS recon_err_sq
+    FROM assigned GROUP BY vec_id
+    """
+
+
+@query("sim_pq_code_parity", oracle=_pq_code_parity_oracle())
+def sim_pq_code_parity(spark, sf_dir):
+    """Product-quantization codes, engine-exact: quantize each
+    embedding to integers (×1000, the sketch-parity family
+    convention), split into 8 subvectors, assign each to the nearest
+    of 16 per-subspace centroids (the 16 lowest-vec_id vectors — same
+    deterministic codebook convention as ``sim_ivf_assign_parity``),
+    and pack the eight 4-bit codes into one BIGINT plus the total
+    squared reconstruction error. PQ is the memory side of large-scale
+    ANN (a 64-dim float vector compresses to 4 bytes here); with IVF
+    cells, LSH buckets, SimHash and MinHash already parity-proven,
+    this completes the ANN sketch family.
+
+    Everything is INTEGER arithmetic — subtraction, squares, sums,
+    argmin with (d2, cell) tie-break, bit-packing — so the oracle
+    match is exact with no rounding convention at all.
+
+    Plan: centroids are {{16 cells × 8 subspaces}} rows, BROADCAST;
+    the corpus explodes ×8 subvectors map-side, joins the broadcast
+    codebook, and one groupBy(vec_id, sub) argmin + one groupBy(vec_id)
+    pack finish it — corpus never shuffles by value, only by id."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000).cast("long"),
+        ).alias("qv"),
+    )
+    subs = q.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("qv", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.sub", "x.sv")
+    cent = subs.filter(F.col("vec_id") < PQ_CODEBOOK).select(
+        F.col("vec_id").alias("cell"), "sub", F.col("sv").alias("cv")
+    )
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dists = subs.join(F.broadcast(cent), "sub").withColumn("d2", d2)
+    rn = F.row_number().over(
+        W.partitionBy("vec_id", "sub").orderBy("d2", "cell")
+    )
+    assigned = dists.withColumn("rn", rn).filter(F.col("rn") == 1)
+    return assigned.groupBy("vec_id").agg(
+        F.sum(F.col("cell") * F.expr("shiftleft(cast(1 as bigint), sub * 4)"))
+        .cast("long")
+        .alias("pq_code"),
+        F.sum("d2").cast("long").alias("recon_err_sq"),
+    )

@@ -326,3 +326,85 @@ class TestAhash:
             for r in _rows("mm_ahash_hamming_neardup", spark, d)
         }
         assert out[0]["n_near"] >= 1 and out[1]["n_near"] >= 1
+
+
+class TestPqCodes:
+    def test_centroids_self_encode_and_nibbles_in_range(self, spark, sf_dir):
+        out = {r["vec_id"]: r for r in _rows("sim_pq_code_parity", spark, sf_dir)}
+        n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+        assert len(out) == n_vecs
+        for vid, r in out.items():
+            assert r["recon_err_sq"] >= 0
+            code = r["pq_code"]
+            for s in range(8):
+                assert 0 <= (code >> (s * 4)) & 0xF < 16
+        # a codebook vector reconstructs itself exactly
+        for vid in range(16):
+            assert out[vid]["recon_err_sq"] == 0
+            code = out[vid]["pq_code"]
+            assert all(((code >> (s * 4)) & 0xF) == vid for s in range(8))
+
+
+class TestSchemaEvolution:
+    def test_union_schema_with_batch_nulls(self, spark, sf_dir):
+        out = _rows("scan_schema_evolution", spark, sf_dir)
+        n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+        assert len(out) == n_orders
+        for r in out:
+            if r["o_orderkey"] % 2 == 0:
+                assert r["totalprice"] is not None
+                assert r["priority_len"] is None
+            else:
+                assert r["totalprice"] is None
+                assert r["priority_len"] is not None
+
+
+class TestAsofTolerance:
+    def test_tolerance_restricts_unbounded_asof(self, spark, sf_dir):
+        tol = {r["event_id"]: r for r in _rows("join_asof_tolerance", spark, sf_dir)}
+        import datetime as dt
+
+        unbounded = {
+            r["event_id"]: r for r in _rows("join_asof", spark, sf_dir)
+        }
+        assert set(tol) == set(unbounded)
+        fmt = "%Y-%m-%d %H:%M:%S.%f"
+        for eid, r in tol.items():
+            u = unbounded[eid]
+            if r["within_tolerance"]:
+                assert r["prior_click_ts"] == u["prior_click_ts"]
+                gap = dt.datetime.strptime(
+                    r["purchase_ts"], fmt
+                ) - dt.datetime.strptime(r["prior_click_ts"], fmt)
+                assert gap <= dt.timedelta(hours=1)
+            else:
+                assert r["prior_click_ts"] is None
+                if u["prior_click_ts"] is not None:
+                    gap = dt.datetime.strptime(
+                        u["purchase_ts"], fmt
+                    ) - dt.datetime.strptime(u["prior_click_ts"], fmt)
+                    assert gap > dt.timedelta(hours=1)
+
+
+class TestMomentsPack:
+    def test_matches_numpy_population_moments(self, spark, sf_dir):
+        import numpy as np
+
+        out = {r["event_type"]: r for r in _rows("agg_moments_pack", spark, sf_dir)}
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        from collections import defaultdict
+
+        vals = defaultdict(list)
+        for r in e:
+            vals[r["event_type"]].append(r["value"])
+        for et, xs in vals.items():
+            a = np.asarray(xs)
+            r = out[et]
+            assert r["n"] == len(xs)
+            assert r["mean"] == pytest.approx(a.mean(), abs=1e-4)
+            assert r["std_pop"] == pytest.approx(a.std(), abs=1e-4)
+            m2 = ((a - a.mean()) ** 2).mean()
+            m3 = ((a - a.mean()) ** 3).mean()
+            m4 = ((a - a.mean()) ** 4).mean()
+            assert r["skew_pop"] == pytest.approx(m3 / m2**1.5, abs=1e-3)
+            assert r["kurt_excess"] == pytest.approx(m4 / m2**2 - 3, abs=1e-3)

@@ -53,6 +53,7 @@ EXPECTED_SCALAR_BNLJ = {
     "q22_global_sales_opportunity",  # broadcast 1-row avg-balance threshold
     "graph_degree_stats",  # broadcast 1-row n_docs for the affine link graph
     "graph_triangle_count",  # same broadcast 1-row n_docs
+    "graph_common_neighbors",  # same broadcast 1-row n_docs (shared _graph_edges)
 }
 # Deliberate broadcast containment join (tiny snippet table).
 EXPECTED_NLJ.add("decontam_exact_substring")
