@@ -234,6 +234,12 @@ _NEXT: list[str] = [
     "scan_schema_evolution",
     "join_asof_tolerance",
     "agg_moments_pack",
+    "dedup_keep_longest",
+    "join_point_in_time_scd2",
+    "agg_gini_concentration",
+    "ts_cusum_changepoint",
+    "window_longest_streak",
+    "sample_time_holdout",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -450,3 +450,46 @@ def sample_bernoulli_hash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
     return d.filter(h.cast("long") % 100 < 10).select("doc_id", "source")
+
+
+@query(
+    "sample_time_holdout",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_id, user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS r_end,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN r_end <= CAST(CEIL(n / 5.0) AS BIGINT)
+                THEN 'eval' ELSE 'train' END AS split
+    FROM ranked
+    """,
+)
+def sample_time_holdout(spark, sf_dir):
+    """Temporal train/eval split: each user's most recent ⌈20%⌉ of
+    events become the held-out evaluation slice, the rest train — the
+    leakage-safe split for anything sequential (a random split lets
+    the model train on the future it will be evaluated on). Per-user,
+    so every user appears in both slices; deterministic (ts,
+    event_id) ordering makes the split reproducible run over run —
+    the property that matters when the 100 TB corpus is re-split
+    after every ingest.
+
+    One window pass over the user-partitioned sort; compare
+    ``sample_hash_split`` (the i.i.d. hash split) — the engine
+    declares both split disciplines."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    ranked = e.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).alias("r_end"),
+        F.count("*").over(W.partitionBy("user_id")).alias("n"),
+    )
+    split = F.when(
+        F.col("r_end") <= F.ceil(F.col("n") / 5.0).cast("long"), "eval"
+    ).otherwise("train")
+    return ranked.select("event_id", "user_id", split.alias("split"))

@@ -930,3 +930,82 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
         )
         .select("doc_a", "doc_b", "exact_j", est.alias("est_j"))
     )
+
+
+@query(
+    "dedup_keep_longest",
+    oracle=f"""
+    WITH pairs AS ({_NGRAM_ORACLE}),
+    losers AS (
+      SELECT DISTINCT CASE
+        WHEN da.n_chars < db.n_chars THEN p.doc_a
+        WHEN da.n_chars > db.n_chars THEN p.doc_b
+        ELSE GREATEST(p.doc_a, p.doc_b)
+      END AS doc_id
+      FROM pairs p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+    ),
+    partner_counts AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_partners FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(pc.n_dup_partners, 0) AS n_dup_partners,
+           (l.doc_id IS NULL) AS kept
+    FROM documents d
+    LEFT JOIN partner_counts pc USING (doc_id)
+    LEFT JOIN losers l USING (doc_id)
+    """,
+)
+def dedup_keep_longest(spark, sf_dir):
+    """Survivor selection for near-dup pairs — the curation half that
+    turns pair DETECTION into corpus EDITS: in every Jaccard ≥ 0.8
+    pair the shorter document is dominated (ties break to the lower
+    doc_id), and a document dominated by ANY partner is dropped.
+    "Keep the longest copy" is the stock web-pipeline heuristic
+    (longer extraction ≈ less boilerplate truncation).
+
+    Pairwise domination, deliberately NOT transitive-closure
+    clustering: the cluster form (``dedup_cluster_cc`` +
+    per-cluster argmax) needs the iterative CC fixed point, while the
+    domination rule is two broadcast-sized joins on top of the same
+    pair stream — at 100 TB the pair list is the small side by
+    orders of magnitude. Both rules are real curation policies; the
+    engine declares both."""
+    d = t(spark, sf_dir, "documents")
+    pairs = dedup_ngram_jaccard(spark, sf_dir)
+    len_a = d.select(F.col("doc_id").alias("doc_a"), F.col("n_chars").alias("len_a"))
+    len_b = d.select(F.col("doc_id").alias("doc_b"), F.col("n_chars").alias("len_b"))
+    loser = (
+        F.when(F.col("len_a") < F.col("len_b"), F.col("doc_a"))
+        .when(F.col("len_a") > F.col("len_b"), F.col("doc_b"))
+        .otherwise(F.greatest("doc_a", "doc_b"))
+    )
+    losers = (
+        pairs.join(len_a, "doc_a")
+        .join(len_b, "doc_b")
+        .select(loser.alias("doc_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    partners = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_partners"))
+    )
+    return (
+        d.select("doc_id")
+        .join(partners, "doc_id", "left")
+        .join(losers, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_partners", F.lit(0).cast("long")).alias(
+                "n_dup_partners"
+            ),
+            F.col("dropped").isNull().alias("kept"),
+        )
+    )

@@ -692,3 +692,64 @@ def agg_moments_pack(spark, sf_dir):
         F.round(m3 / F.pow(F.sqrt(m2), 3), 6).alias("skew_pop"),
         F.round(m4 / (m2 * m2) - 3, 6).alias("kurt_excess"),
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH totals AS (
+      SELECT c.c_mktsegment AS segment, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT segment, x,
+             ROW_NUMBER() OVER (PARTITION BY segment
+                                ORDER BY x, o_custkey) AS i,
+             COUNT(*) OVER (PARTITION BY segment) AS n,
+             SUM(x) OVER (PARTITION BY segment) AS sx
+      FROM totals
+    )
+    SELECT segment, CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(ROUND(MAX(sx), 2) AS DOUBLE) AS total_value,
+           ROUND(CAST(SUM((2 * i - n - 1) * x) AS DOUBLE)
+                 / CAST(MAX(n) * MAX(sx) AS DOUBLE), 6) AS gini
+    FROM ranked GROUP BY segment
+    """,
+)
+def agg_gini_concentration(spark, sf_dir):
+    """Revenue-concentration Gini coefficient per market segment: how
+    unequally order value distributes across customers (0 = uniform,
+    →1 = one whale). Computed with the exact sorted-rank identity
+    G = Σ(2i−n−1)·x₍ᵢ₎ / (n·Σx) — one window rank + one aggregation,
+    no pairwise |xᵢ−xⱼ| cross product (the textbook definition is
+    O(n²); the rank identity is the distributed form).
+
+    Everything left of the final division is exact: per-customer
+    totals accumulate in DECIMAL, ranks and counts are integers, and
+    the (2i−n−1)·x products sum in decimal — the single double
+    division at the end is engine-identical."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    totals = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x"))
+    )
+    wseg = W.partitionBy("segment")
+    ranked = totals.select(
+        "segment",
+        "x",
+        F.row_number().over(wseg.orderBy("x", "o_custkey")).alias("i"),
+        F.count("*").over(wseg).alias("n"),
+        F.sum("x").over(wseg).alias("sx"),
+    )
+    return ranked.groupBy("segment").agg(
+        F.max("n").cast("long").alias("n_customers"),
+        F.round(F.max("sx"), 2).cast("double").alias("total_value"),
+        F.round(
+            F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("x")).cast("double")
+            / (F.max("n") * F.max("sx")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

@@ -2011,3 +2011,70 @@ def join_asof_tolerance(spark, sf_dir):
             within.alias("within_tolerance"),
         )
     )
+
+
+@query(
+    "join_point_in_time_scd2",
+    oracle="""
+    WITH stream AS (
+      SELECT event_id, user_id, ts, event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value / 25) AS BIGINT) END AS tier_raw
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           last_value(tier_raw IGNORE NULLS)
+             OVER (PARTITION BY user_id
+                   ORDER BY ts, event_type, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS tier_at_click
+    FROM stream QUALIFY event_type = 'click'
+    """,
+)
+def join_point_in_time_scd2(spark, sf_dir):
+    """Point-in-time dimension join: each click is enriched with the
+    user's tier AS OF the click instant, where the tier history is an
+    SCD2-style versioned attribute (every purchase opens a new version
+    valid until the next purchase; tier = value/25 bucket). The
+    data-warehouse temporal join — "which version of the dimension row
+    was current when this fact happened" — and the consumer of the
+    interval tables ``scd2_event_intervals`` builds.
+
+    Plan: NOT an interval range-join (which re-pairs every fact with
+    every candidate version before filtering). The version stream and
+    the fact stream UNION into one per-user timeline and a running
+    IGNORE NULLS last() carries the current version forward — one
+    shuffle on user_id, linear in facts+versions, the same
+    engineering as ``join_asof``. Clicks before any purchase surface
+    NULL (no version yet), exactly like a fact predating its
+    dimension row."""
+    e = t(spark, sf_dir, "events")
+    stream = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") / 25).cast("long"),
+        ).alias("tier_raw"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        stream.withColumn(
+            "tier_at_click", F.last("tier_raw", ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("click_ts"),
+            "tier_at_click",
+        )
+    )

@@ -814,3 +814,133 @@ def ts_ewma_smoothing(spark, sf_dir):
             F.round(F.sum("term"), 6).cast("double").alias("ewma"),
         )
     )
+
+
+@query(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS v
+      FROM events GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, day, v,
+             ROW_NUMBER() OVER w AS i,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(v) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c,
+             SUM(v) OVER (PARTITION BY event_type) AS total
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ), scored AS (
+      SELECT event_type, day,
+             ABS(CAST(n * c - i * total AS DOUBLE)) AS dev,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(CAST(n * c - i * total AS DOUBLE)) DESC, day)
+               AS rk
+      FROM cum
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS change_day,
+           ROUND(dev, 2) AS max_abs_dev
+    FROM scored WHERE rk = 1
+    """,
+)
+def ts_cusum_changepoint(spark, sf_dir):
+    """CUSUM change-point detection per event type: the day where the
+    cumulative daily total deviates most from the constant-rate line —
+    argmax |n·C_i − i·T| (the CUSUM statistic cross-multiplied so
+    everything left of the final ABS is exact integer×DECIMAL
+    arithmetic; the naive form C_i − i·(T/n) would put an
+    order-sensitive double inside the running scan). Level shifts in
+    event volume — deploy regressions, traffic breaks, data-feed
+    outages — land exactly at the argmax.
+
+    One daily aggregation + three windows over the same
+    event_type-partitioned sort; linear, single shuffle, no O(n²)
+    split-scan."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round("value", 2).cast("decimal(18,2)")).alias("v"))
+    wt = W.partitionBy("event_type")
+    word = wt.orderBy("day")
+    cum = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(word).alias("i"),
+        F.count("*").over(wt).alias("n"),
+        F.sum("v")
+        .over(word.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("c"),
+        F.sum("v").over(wt).alias("total"),
+    )
+    dev = F.abs(
+        (F.col("n") * F.col("c") - F.col("i") * F.col("total")).cast("double")
+    )
+    rk = F.row_number().over(wt.orderBy(F.desc("dev"), "day"))
+    return (
+        cum.withColumn("dev", dev)
+        .withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("change_day"),
+            F.round("dev", 2).alias("max_abs_dev"),
+        )
+    )
+
+
+@query(
+    "window_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grouped AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS grp
+      FROM days
+    ), streaks AS (
+      SELECT user_id, COUNT(*) AS len, MIN(day) AS streak_start
+      FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(MAX(len) AS BIGINT) AS longest_streak,
+           strftime(MIN(streak_start) FILTER (
+             WHERE len = (SELECT MAX(s2.len) FROM streaks s2
+                          WHERE s2.user_id = streaks.user_id)), '%Y-%m-%d')
+             AS streak_start
+    FROM streaks GROUP BY user_id
+    """,
+)
+def window_longest_streak(spark, sf_dir):
+    """Longest run of CONSECUTIVE active days per user (and when it
+    began) — the engagement-streak metric. Classic gaps-and-islands:
+    day − row_number collapses each consecutive run to a constant
+    group key, so the whole computation is two hash aggregations and
+    one window over the same user-partitioned sort; earliest streak
+    wins ties."""
+    e = t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    grp = F.date_sub(
+        F.col("day"),
+        F.row_number().over(W.partitionBy("user_id").orderBy("day")),
+    )
+    streaks = (
+        days.withColumn("grp", grp)
+        .groupBy("user_id", "grp")
+        .agg(F.count("*").alias("len"), F.min("day").alias("streak_start"))
+    )
+    best = F.max("len").over(W.partitionBy("user_id"))
+    return (
+        streaks.withColumn("best", best)
+        .filter(F.col("len") == F.col("best"))
+        .groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.date_format(F.min("streak_start"), "yyyy-MM-dd").alias(
+                "streak_start"
+            ),
+        )
+    )

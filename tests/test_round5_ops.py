@@ -408,3 +408,151 @@ class TestMomentsPack:
             m4 = ((a - a.mean()) ** 4).mean()
             assert r["skew_pop"] == pytest.approx(m3 / m2**1.5, abs=1e-3)
             assert r["kurt_excess"] == pytest.approx(m4 / m2**2 - 3, abs=1e-3)
+
+
+class TestKeepLongest:
+    def test_domination_consistency(self, spark, sf_dir):
+        out = {r["doc_id"]: r for r in _rows("dedup_keep_longest", spark, sf_dir)}
+        pairs = _rows("dedup_ngram_jaccard", spark, sf_dir)
+        lens = {
+            r["doc_id"]: r["n_chars"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        }
+        assert len(out) == len(lens)
+        dropped = set()
+        for p in pairs:
+            a, b = p["doc_a"], p["doc_b"]
+            if lens[a] < lens[b] or (lens[a] == lens[b] and a > b):
+                dropped.add(a)
+            else:
+                dropped.add(b)
+        for doc_id, r in out.items():
+            assert r["kept"] == (doc_id not in dropped)
+            if r["n_dup_partners"] == 0:
+                assert r["kept"]
+
+
+class TestPointInTime:
+    def test_tier_matches_last_purchase_before_click(self, spark, sf_dir):
+        out = {r["event_id"]: r for r in _rows("join_point_in_time_scd2", spark, sf_dir)}
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        from collections import defaultdict
+
+        stream = defaultdict(list)
+        for r in e:
+            if r["event_type"] in ("click", "purchase"):
+                stream[r["user_id"]].append(r)
+        for u, rows in stream.items():
+            rows.sort(key=lambda r: (r["ts"], r["event_type"], r["event_id"]))
+            tier = None
+            for r in rows:
+                if r["event_type"] == "purchase":
+                    tier = int(r["value"] // 25)
+                else:
+                    assert out[r["event_id"]]["tier_at_click"] == tier
+
+
+class TestGini:
+    def test_bounds_and_whale_sensitivity(self, spark, sf_dir):
+        out = _rows("agg_gini_concentration", spark, sf_dir)
+        assert out
+        for r in out:
+            assert 0.0 <= r["gini"] < 1.0
+            assert r["n_customers"] > 0
+        # local recomputation for one segment
+        rows = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .join(
+                spark.read.parquet(f"{sf_dir}/customer.parquet"),
+                F.col("o_custkey") == F.col("c_custkey"),
+            )
+            .groupBy("c_mktsegment", "o_custkey")
+            .agg(F.sum("o_totalprice").alias("x"))
+            .collect()
+        )
+        from collections import defaultdict
+
+        seg = defaultdict(list)
+        for r in rows:
+            seg[r["c_mktsegment"]].append(r["x"])
+        got = {r["segment"]: r["gini"] for r in out}
+        for s, xs in seg.items():
+            xs.sort()
+            n = len(xs)
+            tot = sum(xs)
+            g = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (
+                n * tot
+            )
+            assert got[s] == pytest.approx(g, abs=1e-4)
+
+
+class TestCusum:
+    def test_changepoint_is_argmax_of_reference_cusum(self, spark, sf_dir):
+        out = {r["event_type"]: r for r in _rows("ts_cusum_changepoint", spark, sf_dir)}
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        from collections import defaultdict
+
+        daily = defaultdict(lambda: defaultdict(float))
+        for r in e:
+            daily[r["event_type"]][r["ts"].date()] += round(r["value"], 2)
+        for et, dd in daily.items():
+            days = sorted(dd)
+            n = len(days)
+            total = sum(dd.values())
+            best, best_day = -1.0, None
+            c = 0.0
+            for i, d in enumerate(days, start=1):
+                c += dd[d]
+                dev = abs(n * c - i * total)
+                if dev > best + 1e-6:
+                    best, best_day = dev, d
+            assert out[et]["change_day"] == best_day.isoformat()
+            assert out[et]["max_abs_dev"] == pytest.approx(best, rel=1e-6)
+
+
+class TestLongestStreak:
+    def test_streaks_match_reference_scan(self, spark, sf_dir):
+        out = {r["user_id"]: r for r in _rows("window_longest_streak", spark, sf_dir)}
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        from collections import defaultdict
+
+        days = defaultdict(set)
+        for r in e:
+            days[r["user_id"]].add(r["ts"].date())
+        import datetime as dt
+
+        for u, ds in days.items():
+            sd = sorted(ds)
+            best, best_start = 1, sd[0]
+            run, run_start = 1, sd[0]
+            for prev, cur in zip(sd, sd[1:]):
+                if cur - prev == dt.timedelta(days=1):
+                    run += 1
+                else:
+                    run, run_start = 1, cur
+                if run > best:
+                    best, best_start = run, run_start
+            assert out[u]["longest_streak"] == best
+            assert out[u]["streak_start"] == best_start.isoformat()
+
+
+class TestTimeHoldout:
+    def test_split_sizes_and_ordering(self, spark, sf_dir):
+        out = _rows("sample_time_holdout", spark, sf_dir)
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        split = {r["event_id"]: r["split"] for r in out}
+        from collections import defaultdict
+
+        by_user = defaultdict(list)
+        for r in e:
+            by_user[r["user_id"]].append(r)
+        import math as _math
+
+        for u, rows in by_user.items():
+            rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+            n = len(rows)
+            n_eval = _math.ceil(n / 5)
+            tail = rows[-n_eval:]
+            head = rows[:-n_eval]
+            assert all(split[r["event_id"]] == "eval" for r in tail)
+            assert all(split[r["event_id"]] == "train" for r in head)
