@@ -240,6 +240,8 @@ _NEXT: list[str] = [
     "ts_cusum_changepoint",
     "window_longest_streak",
     "sample_time_holdout",
+    "scan_text_source",
+    "scan_xml_source",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

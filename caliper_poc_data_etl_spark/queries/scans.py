@@ -147,3 +147,70 @@ def scan_schema_evolution(spark, sf_dir):
         f"{base}/batch=1", f"{base}/batch=2"
     )
     return merged.select("o_orderkey", "totalprice", "priority_len")
+
+
+@query(
+    "scan_text_source",
+    oracle="""
+    SELECT doc_id, length(text) AS line_len,
+           string_split_regex(text, '\\s+')[1] AS first_token
+    FROM documents
+    """,
+)
+def scan_text_source(spark, sf_dir):
+    """Raw-text-file ingestion (``spark.read.text``): documents staged
+    as tab-framed text lines (one record per line — the log-file /
+    WET-extract shape), read back as unparsed ``value`` strings and
+    re-framed with a split. This is S2 record framing against the
+    TEXT source, completing the format matrix (CSV, JSON, ORC,
+    parquet, text, XML). Line-oriented text splits by newline at any
+    scale; the frame parse is one projection, no shuffle."""
+    import tempfile
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base = f"{tempfile.gettempdir()}/graft_text_{app}"
+    d = t(spark, sf_dir, "documents")
+    d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "text").alias("value")
+    ).write.mode("overwrite").text(base)
+    lines = spark.read.text(base)
+    parts = F.split(F.col("value"), "\t", 2)
+    return lines.select(
+        parts.getItem(0).cast("long").alias("doc_id"),
+        F.length(parts.getItem(1)).alias("line_len"),
+        F.split(parts.getItem(1), "\\s+").getItem(0).alias("first_token"),
+    )
+
+
+@query(
+    "scan_xml_source",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, ROUND(o_totalprice, 2) AS totalprice
+    FROM orders WHERE o_orderkey % 10 = 0
+    """,
+)
+def scan_xml_source(spark, sf_dir):
+    """XML ingestion via Spark 4's NATIVE xml data source: an orders
+    subset staged as ``<order>`` row elements, read back with
+    ``rowTag`` framing and a typed schema. XML is the format of
+    record for the enterprise feeds (SEC filings, PubMed, legacy ERP
+    exports) that still seed many corpora; rowTag framing splits
+    records without parsing the whole document, so the read
+    parallelizes like any line-oriented source."""
+    import tempfile
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base = f"{tempfile.gettempdir()}/graft_xml_{app}"
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    o.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("totalprice")
+    ).write.mode("overwrite").format("xml").option("rootTag", "orders").option(
+        "rowTag", "order"
+    ).save(base)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey long, o_orderstatus string, totalprice double")
+        .load(base)
+        .select("o_orderkey", "o_orderstatus", "totalprice")
+    )

@@ -556,3 +556,29 @@ class TestTimeHoldout:
             head = rows[:-n_eval]
             assert all(split[r["event_id"]] == "eval" for r in tail)
             assert all(split[r["event_id"]] == "train" for r in head)
+
+
+class TestFormatScans:
+    def test_text_roundtrip_preserves_every_doc(self, spark, sf_dir):
+        out = {r["doc_id"]: r for r in _rows("scan_text_source", spark, sf_dir)}
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        assert len(out) == len(docs)
+        for d in docs:
+            r = out[d["doc_id"]]
+            assert r["line_len"] == len(d["text"])
+            assert r["first_token"] == d["text"].split()[0]
+
+    def test_xml_roundtrip_typed_values(self, spark, sf_dir):
+        out = {r["o_orderkey"]: r for r in _rows("scan_xml_source", spark, sf_dir)}
+        orders = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .filter(F.col("o_orderkey") % 10 == 0)
+            .collect()
+        )
+        assert len(out) == len(orders)
+        for o in orders:
+            r = out[o["o_orderkey"]]
+            assert r["o_orderstatus"] == o["o_orderstatus"]
+            assert r["totalprice"] == pytest.approx(
+                round(o["o_totalprice"], 2), abs=1e-9
+            )
