@@ -242,6 +242,7 @@ _NEXT: list[str] = [
     "sample_time_holdout",
     "scan_text_source",
     "scan_xml_source",
+    "agg_bloom_filter_membership",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1181,3 +1181,125 @@ def graph_common_neighbors(spark, sf_dir):
             .alias("jaccard"),
         )
     )
+
+
+_BLOOM_BITS = 1 << 16   # m = 65536-bit filter
+_BLOOM_K = 7            # hash functions
+
+
+def _bloom_oracle() -> str:
+    probes = ", ".join(
+        f"('0x' || substr(md5({i} || ':' || o_custkey), 1, 15))::BIGINT"
+        f" % {_BLOOM_BITS}"
+        for i in range(_BLOOM_K)
+    )
+    member = ", ".join(
+        f"('0x' || substr(md5({i} || ':' || c_custkey), 1, 15))::BIGINT"
+        f" % {_BLOOM_BITS}"
+        for i in range(_BLOOM_K)
+    )
+    return f"""
+    WITH building AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    bits AS (
+      SELECT DISTINCT u.b FROM building,
+        unnest([{member}]) AS u(b)
+    ),
+    probe_keys AS (SELECT DISTINCT o_custkey FROM orders),
+    probe_bits AS (
+      SELECT o_custkey, u.b, ROW_NUMBER() OVER () AS rn FROM probe_keys,
+        unnest([{probes}]) AS u(b)
+    ),
+    verdicts AS (
+      SELECT p.o_custkey,
+             (COUNT(*) FILTER (WHERE bits.b IS NOT NULL) = {_BLOOM_K})
+               AS bloom_positive
+      FROM probe_bits p LEFT JOIN bits ON bits.b = p.b
+      GROUP BY p.o_custkey
+    )
+    SELECT v.o_custkey,
+           v.bloom_positive,
+           (b.c_custkey IS NOT NULL) AS actually_present,
+           (v.bloom_positive AND b.c_custkey IS NULL) AS false_positive
+    FROM verdicts v LEFT JOIN building b ON b.c_custkey = v.o_custkey
+    """
+
+
+@query("agg_bloom_filter_membership", oracle=_bloom_oracle())
+def agg_bloom_filter_membership(spark, sf_dir):
+    """Bloom-filter membership, engine-exact: build a 65,536-bit / 7-
+    hash filter over the BUILDING-segment customer keys (the bit SET
+    as one distinct-aggregation — a real bitset at scale, the set of
+    set-bit positions here so the oracle can recompute it), probe
+    every ordering customer, and report the bloom verdict next to
+    ground truth with false positives flagged. The md5 hash family
+    makes every bit position — and therefore every FP — identical
+    across engines, so the filter's exact behavior is hash-match
+    graded, not just its error rate.
+
+    This is THE shuffle-pruning primitive at 100 TB: ship the
+    kilobyte-scale filter to the fact table's scan instead of
+    shuffling the fact table to a join — rows whose key fails the
+    bloom never enter the exchange, and the FP fraction (graded here)
+    is exactly the wasted traffic. Spark's own runtime row-group
+    bloom pruning follows the same math; this operator declares it as
+    queryable surface.
+
+    Plan: filter build is one map-side explode (×7) + distinct on a
+    dimension subset (broadcast-sized); probes explode ×7, join the
+    broadcast bit set, and one groupBy checks all-7-bits-set."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+
+    def positions(col):
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(str(i)), F.lit(":"), col.cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _BLOOM_BITS
+                for i in range(_BLOOM_K)
+            ]
+        )
+
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    bits = (
+        building.select(F.explode(positions(F.col("c_custkey"))).alias("b"))
+        .distinct()
+        .withColumn("set_bit", F.lit(True))
+    )
+    probe_keys = o.select("o_custkey").distinct()
+    probe_bits = probe_keys.select(
+        "o_custkey", F.explode(positions(F.col("o_custkey"))).alias("b")
+    )
+    verdicts = (
+        probe_bits.join(F.broadcast(bits), "b", "left")
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("set_bit").isNotNull().cast("int")) == _BLOOM_K).alias(
+                "bloom_positive"
+            )
+        )
+    )
+    truth = building.withColumn("present", F.lit(True)).select(
+        F.col("c_custkey").alias("o_custkey"), "present"
+    )
+    return verdicts.join(F.broadcast(truth), "o_custkey", "left").select(
+        "o_custkey",
+        "bloom_positive",
+        F.col("present").isNotNull().alias("actually_present"),
+        (F.col("bloom_positive") & F.col("present").isNull()).alias(
+            "false_positive"
+        ),
+    )

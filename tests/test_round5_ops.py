@@ -582,3 +582,25 @@ class TestFormatScans:
             assert r["totalprice"] == pytest.approx(
                 round(o["o_totalprice"], 2), abs=1e-9
             )
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_fp_rate_sane(self, spark, sf_dir):
+        out = _rows("agg_bloom_filter_membership", spark, sf_dir)
+        assert out
+        n_fp = 0
+        n_neg = 0
+        for r in out:
+            if r["actually_present"]:
+                # THE bloom guarantee: members always pass
+                assert r["bloom_positive"]
+                assert not r["false_positive"]
+            else:
+                n_neg += 1
+                if r["bloom_positive"]:
+                    assert r["false_positive"]
+                    n_fp += 1
+        # m=65536, k=7, n ≤ a few hundred keys → theoretical FP rate
+        # ~(1-exp(-kn/m))^k ≪ 1%; allow a loose 5% ceiling
+        if n_neg:
+            assert n_fp / n_neg < 0.05
