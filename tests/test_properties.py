@@ -250,3 +250,120 @@ def test_chunking_matches_python_reference(spark, text):
         for i in range((len(text) + CHUNK_STRIDE - 1) // CHUNK_STRIDE)
     ]
     assert sorted(got) == want
+
+
+# --------------------------------------------------------------- round-5 ops
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False).map(
+            lambda x: round(x, 2)
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+def test_ewma_closed_form_matches_sequential_fold(spark, vals):
+    """The closed-form weighted-sum EWMA (ts_ewma_smoothing) must equal
+    the recursive fold s_i = x_i/2 + s_{i-1}/2 over the kept tail for
+    ANY value sequence."""
+    import datetime as dt
+    import tempfile
+
+    from caliper_poc_data_etl_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    d = tempfile.mkdtemp(prefix="ewma_prop_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = QUERIES["ts_ewma_smoothing"].spark(spark, d).collect()
+    assert len(out) == 1
+    kept = vals[-32:]
+    s = kept[0]
+    for x in kept[1:]:
+        s = 0.5 * x + 0.5 * s
+    assert out[0]["n_terms"] == len(kept)
+    assert abs(out[0]["ewma"] - s) < 1e-4
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=300)
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_countmin_never_undercounts_any_distribution(spark, keys):
+    """CMS est ≥ true must hold for EVERY key under arbitrary key
+    skew (the one-sided error guarantee is distribution-free)."""
+    import datetime as dt
+    import tempfile
+    from collections import Counter
+
+    from caliper_poc_data_etl_spark.queries import QUERIES
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), k, "click", 1.0, "{}")
+        for i, k in enumerate(keys)
+    ]
+    d = tempfile.mkdtemp(prefix="cms_prop_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = QUERIES["agg_countmin_heavy_hitters"].spark(spark, d).collect()
+    truth = Counter(keys)
+    for r in out:
+        assert r["est_count"] >= truth[r["user_id"]]
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False).map(
+            lambda x: round(x, 2)
+        ),
+        min_size=5,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+def test_moments_pack_matches_numpy_any_distribution(spark, vals):
+    import datetime as dt
+    import tempfile
+
+    import numpy as np
+
+    from caliper_poc_data_etl_spark.queries import QUERIES
+
+    a = np.asarray(vals)
+    if a.std() < 1e-3:
+        return  # degenerate: skew/kurt undefined-ish; bounds tested elsewhere
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=i), 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    d = tempfile.mkdtemp(prefix="mom_prop_")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = QUERIES["agg_moments_pack"].spark(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    m2 = ((a - a.mean()) ** 2).mean()
+    m3 = ((a - a.mean()) ** 3).mean()
+    m4 = ((a - a.mean()) ** 4).mean()
+    assert abs(r["mean"] - a.mean()) < 1e-4
+    assert abs(r["std_pop"] - a.std()) < 1e-4
+    assert abs(r["skew_pop"] - m3 / m2**1.5) < 1e-3
+    assert abs(r["kurt_excess"] - (m4 / m2**2 - 3)) < 1e-3
