@@ -243,6 +243,8 @@ _NEXT: list[str] = [
     "scan_text_source",
     "scan_xml_source",
     "agg_bloom_filter_membership",
+    "stream_foreachbatch_upsert",
+    "ts_event_sequence_pattern",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

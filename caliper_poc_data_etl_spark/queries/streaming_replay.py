@@ -265,3 +265,113 @@ def stream_topk_per_window_replay(spark, sf_dir):
         counts.select("window_start", "event_type", "n", rk.alias("rk"))
         .filter(F.col("rk") <= 3)
     )
+
+
+_UPSERT_ORACLE = """
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           event_type AS last_event_type,
+           ROUND(value, 2) AS last_value
+    FROM (
+      SELECT user_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@query("stream_foreachbatch_upsert", oracle=_UPSERT_ORACLE)
+def stream_foreachbatch_upsert(spark, sf_dir):
+    """Streaming CDC sink via ``foreachBatch``: the event stream
+    drives per-micro-batch MERGE logic into a keyed state table
+    (latest row per key wins, terminal ``error`` tombstones delete) —
+    THE production sink shape when the target is a keyed store
+    (Delta/JDBC/KV) rather than an append log. Each batch reduces to
+    its per-key latest, merges against the accumulated state with a
+    full-outer resolve, and rewrites the state table; the final state
+    after an availableNow replay must equal the batch
+    ``upsert_latest_state`` — which is exactly what the oracle
+    grades.
+
+    State lives in a parquet table at a per-session path (the
+    app-keyed staging convention); at scale the rewrite becomes a
+    MERGE INTO against a transactional table, with identical batch
+    logic. Batch boundaries don't affect the result: latest-wins
+    merge is associative across any arrival slicing, which is what
+    makes this sink exactly-once-equivalent under retries."""
+    import tempfile
+
+    from pyspark.sql.window import Window as W
+
+    from caliper_poc_data_etl_spark.streaming import read_event_stream
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base_dir = f"{tempfile.gettempdir()}/graft_upsert_{app}"
+    state_dir = f"{base_dir}/state"
+    import shutil
+
+    # Clear state AND checkpoint together: a surviving checkpoint with
+    # a cleared state table would mark the source files already
+    # processed and the replay would produce nothing.
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    def merge_batch(batch_df, batch_id):
+        w = W.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "ts", "event_id", "event_type", "value")
+        )
+        try:
+            state = batch_df.sparkSession.read.parquet(state_dir)
+        except Exception:
+            state = None
+        if state is not None:
+            s = state.select(
+                F.col("user_id"),
+                F.col("ts").alias("s_ts"),
+                F.col("event_id").alias("s_event_id"),
+                F.col("event_type").alias("s_event_type"),
+                F.col("value").alias("s_value"),
+            )
+            merged = latest.join(s, "user_id", "full_outer")
+            newer = F.col("ts").isNotNull() & (
+                F.col("s_ts").isNull()
+                | (F.col("ts") > F.col("s_ts"))
+                | ((F.col("ts") == F.col("s_ts")) & (F.col("event_id") > F.col("s_event_id")))
+            )
+            resolved = merged.select(
+                "user_id",
+                F.when(newer, F.col("ts")).otherwise(F.col("s_ts")).alias("ts"),
+                F.when(newer, F.col("event_id")).otherwise(F.col("s_event_id")).alias("event_id"),
+                F.when(newer, F.col("event_type")).otherwise(F.col("s_event_type")).alias("event_type"),
+                F.when(newer, F.col("value")).otherwise(F.col("s_value")).alias("value"),
+            )
+        else:
+            resolved = latest
+        # rewrite to a temp dir then swap — the parquet source cannot
+        # overwrite a table it is reading in the same job
+        tmp = f"{state_dir}_next"
+        resolved.write.mode("overwrite").parquet(tmp)
+        final = batch_df.sparkSession.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(state_dir)
+
+    events = read_event_stream(spark, sf_dir)
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    state = spark.read.parquet(state_dir)
+    return state.filter(F.col("event_type") != "error").select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )

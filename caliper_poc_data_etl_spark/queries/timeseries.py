@@ -944,3 +944,61 @@ def window_longest_streak(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "ts_event_sequence_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3,
+             LEAD(ts, 2) OVER w AS ts3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_patterns,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_match_start
+    FROM seq
+    WHERE event_type = 'view' AND e2 = 'click' AND e3 = 'purchase'
+      AND epoch_us(ts3) - epoch_us(ts) <= 86400000000
+    GROUP BY user_id
+    """,
+)
+def ts_event_sequence_pattern(spark, sf_dir):
+    """Sequence-pattern matching (the MATCH_RECOGNIZE / CEP shape):
+    count, per user, the strictly CONSECUTIVE view→click→purchase
+    triples completing within 24 hours — no other event may interleave
+    (that's what distinguishes pattern matching from the funnel ops,
+    which only need ordered existence). Expressed as a lead-chain over
+    the per-user timeline: one window, three comparisons, no joins —
+    the pattern automaton flattened into the frame. At 100 TB this is
+    one shuffle on user_id; an n-step pattern costs n-1 leads over the
+    SAME sort, not n scans."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.lead("ts", 2).over(w).alias("ts3"),
+    )
+    hit = (
+        (F.col("event_type") == "view")
+        & (F.col("e2") == "click")
+        & (F.col("e3") == "purchase")
+        & (F.unix_micros("ts3") - F.unix_micros("ts") <= 86_400_000_000)
+    )
+    return (
+        seq.filter(hit)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_patterns"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "first_match_start"
+            ),
+        )
+    )

@@ -604,3 +604,53 @@ class TestBloomFilter:
         # ~(1-exp(-kn/m))^k ≪ 1%; allow a loose 5% ceiling
         if n_neg:
             assert n_fp / n_neg < 0.05
+
+
+class TestForeachBatchUpsert:
+    def test_final_state_equals_batch_upsert(self, spark, sf_dir):
+        stream_state = {
+            r["user_id"]: r
+            for r in _rows("stream_foreachbatch_upsert", spark, sf_dir)
+        }
+        batch_state = {
+            r["user_id"]: r for r in _rows("upsert_latest_state", spark, sf_dir)
+        }
+        assert stream_state.keys() == batch_state.keys()
+        for u, r in stream_state.items():
+            b = batch_state[u]
+            assert (r["last_ts"], r["last_event_type"], r["last_value"]) == (
+                b["last_ts"],
+                b["last_event_type"],
+                b["last_value"],
+            )
+
+
+class TestSequencePattern:
+    def test_matches_are_strictly_consecutive_and_bounded(self, spark, sf_dir):
+        out = {r["user_id"]: r for r in _rows("ts_event_sequence_pattern", spark, sf_dir)}
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        from collections import defaultdict
+        import datetime as dt
+
+        timeline = defaultdict(list)
+        for r in e:
+            timeline[r["user_id"]].append(r)
+        expect = {}
+        for u, rows in timeline.items():
+            rows.sort(key=lambda r: (r["ts"], r["event_id"]))
+            hits = [
+                rows[i]["ts"]
+                for i in range(len(rows) - 2)
+                if rows[i]["event_type"] == "view"
+                and rows[i + 1]["event_type"] == "click"
+                and rows[i + 2]["event_type"] == "purchase"
+                and rows[i + 2]["ts"] - rows[i]["ts"] <= dt.timedelta(hours=24)
+            ]
+            if hits:
+                expect[u] = (len(hits), min(hits))
+        assert set(out) == set(expect)
+        for u, (n, first) in expect.items():
+            assert out[u]["n_patterns"] == n
+            assert out[u]["first_match_start"] == first.strftime(
+                "%Y-%m-%d %H:%M:%S.%f"
+            )
