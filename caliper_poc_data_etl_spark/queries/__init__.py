@@ -217,6 +217,12 @@ _DEFERRED = [
 # (with the then-green r4 entries moving to _DEFERRED). Each entry
 # lands here WITH semantic pytest evidence (tests/test_round5_ops.py)
 # and a local check_oracle green before it is queued.
+#
+# Round-5 rotation recipe (for the next builder): after confirming
+# CORRECTNESS_r04 greens, append the green r4-window names to
+# _DEFERRED (keep any red ones in front for regrade), then move this
+# whole list out of _NEXT — 27 entries + regrades leaves ~20 slots
+# for round-5 additions.
 _NEXT: list[str] = [
     "ts_resample_linear_interp",
     "ts_ewma_smoothing",
