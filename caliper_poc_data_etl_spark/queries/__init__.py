@@ -251,6 +251,8 @@ _NEXT: list[str] = [
     "agg_bloom_filter_membership",
     "stream_foreachbatch_upsert",
     "ts_event_sequence_pattern",
+    "agg_percentile_disc_pack",
+    "fn_regex_all_pack",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

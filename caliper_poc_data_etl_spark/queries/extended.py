@@ -753,3 +753,78 @@ def agg_gini_concentration(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "agg_percentile_disc_pack",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_disc(value, 0.25), 2) AS p25_disc,
+           ROUND(quantile_disc(value, 0.5), 2) AS p50_disc,
+           ROUND(quantile_disc(value, 0.9), 2) AS p90_disc,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50_cont,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_percentile_disc_pack(spark, sf_dir):
+    """DISCRETE vs CONTINUOUS percentile semantics, declared side by
+    side: percentile_disc returns an ACTUAL data value (the smallest
+    value at-or-above the rank — exact across engines by
+    construction, no interpolation to diverge), percentile_cont
+    interpolates between the two straddling values (one IEEE
+    midpoint). The distinction matters downstream: disc for
+    categorical-ish thresholds (a real latency that occurred), cont
+    for smooth fences. Both engines implement the ANSI WITHIN GROUP
+    semantics; the pack pins that they agree on every group."""
+    e = t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("_pctl_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               ROUND(percentile_disc(0.25) WITHIN GROUP (ORDER BY value), 2)
+                 AS p25_disc,
+               ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 2)
+                 AS p50_disc,
+               ROUND(percentile_disc(0.9) WITHIN GROUP (ORDER BY value), 2)
+                 AS p90_disc,
+               ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 4)
+                 AS p50_cont,
+               COUNT(*) AS n
+        FROM _pctl_events GROUP BY event_type
+        """
+    )
+
+
+@query(
+    "fn_regex_all_pack",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[a-z]*a[a-z]*')) AS INT)
+             AS n_a_words,
+           array_to_string(regexp_extract_all(text, '[a-z]*a[a-z]*')[1:5], ',')
+             AS first_a_words,
+           regexp_replace(text, '[aeiou]', '_', 'g') LIKE '%sp_rk%'
+             AS mentions_spark_devoweled,
+           regexp_matches(text, '\\b(scan|hash)\\b') AS has_scan_or_hash
+    FROM documents
+    """,
+)
+def fn_regex_all_pack(spark, sf_dir):
+    """Global-regex scalar pack: regexp_extract_all (every match, not
+    just the first — the tokenizer/NER-gazetteer workhorse),
+    global regexp_replace, and boolean rlike — the remaining regex
+    surface beyond ``text_regex_extract``'s first-match form. All
+    JVM-side codegen; the match list is emitted count + first-5
+    joined (scalar columns, driver-canonicalizer rule)."""
+    d = t(spark, sf_dir, "documents")
+    allm = F.expr("regexp_extract_all(text, '[a-z]*a[a-z]*', 0)")
+    return d.select(
+        "doc_id",
+        F.size(allm).alias("n_a_words"),
+        F.array_join(F.slice(allm, 1, 5), ",").alias("first_a_words"),
+        F.regexp_replace("text", "[aeiou]", "_")
+        .like("%sp_rk%")
+        .alias("mentions_spark_devoweled"),
+        F.col("text").rlike("\\b(scan|hash)\\b").alias("has_scan_or_hash"),
+    )

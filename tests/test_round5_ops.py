@@ -654,3 +654,36 @@ class TestSequencePattern:
             assert out[u]["first_match_start"] == first.strftime(
                 "%Y-%m-%d %H:%M:%S.%f"
             )
+
+
+class TestPercentileDisc:
+    def test_disc_values_occur_in_data(self, spark, sf_dir):
+        out = _rows("agg_percentile_disc_pack", spark, sf_dir)
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        from collections import defaultdict
+
+        vals = defaultdict(set)
+        for r in e:
+            vals[r["event_type"]].add(round(r["value"], 2))
+        for r in out:
+            vs = vals[r["event_type"]]
+            # THE disc property: results are actual data values
+            for c in ("p25_disc", "p50_disc", "p90_disc"):
+                assert r[c] in vs
+            assert r["p25_disc"] <= r["p50_disc"] <= r["p90_disc"]
+
+
+class TestRegexAll:
+    def test_counts_match_python_re(self, spark, sf_dir):
+        import re as _re
+
+        out = {r["doc_id"]: r for r in _rows("fn_regex_all_pack", spark, sf_dir)}
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        for d in docs:
+            r = out[d["doc_id"]]
+            matches = _re.findall(r"[a-z]*a[a-z]*", d["text"])
+            assert r["n_a_words"] == len(matches)
+            assert r["first_a_words"] == ",".join(matches[:5])
+            assert r["has_scan_or_hash"] == bool(
+                _re.search(r"\b(scan|hash)\b", d["text"])
+            )
