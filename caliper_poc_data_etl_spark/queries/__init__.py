@@ -253,6 +253,8 @@ _NEXT: list[str] = [
     "ts_event_sequence_pattern",
     "agg_percentile_disc_pack",
     "fn_regex_all_pack",
+    "dq_constraint_check",
+    "agg_incremental_merge",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

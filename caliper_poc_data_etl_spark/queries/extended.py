@@ -828,3 +828,54 @@ def fn_regex_all_pack(spark, sf_dir):
         .alias("mentions_spark_devoweled"),
         F.col("text").rlike("\\b(scan|hash)\\b").alias("has_scan_or_hash"),
     )
+
+
+@query(
+    "agg_incremental_merge",
+    oracle="""
+    WITH partials AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS s,
+             COUNT(*) AS c,
+             MIN(value) AS lo, MAX(value) AS hi
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(ROUND(SUM(s), 2) AS DOUBLE) AS total,
+           CAST(ROUND(SUM(s) / SUM(c), 4) AS DOUBLE) AS mean,
+           ROUND(MIN(lo), 2) AS min_value,
+           ROUND(MAX(hi), 2) AS max_value,
+           CAST(COUNT(*) AS BIGINT) AS n_partials
+    FROM partials GROUP BY event_type
+    """,
+)
+def agg_incremental_merge(spark, sf_dir):
+    """Incremental re-aggregation: per-day PARTIAL aggregates (the
+    materialized state an incremental pipeline persists per ingested
+    partition) merged into corpus totals WITHOUT rescanning raw rows —
+    sum-of-sums, sum-of-counts, min-of-mins, and mean recomputed as
+    merged-sum/merged-count (NEVER avg-of-avgs, the classic
+    non-algebraic merge bug; the pytest twin pins that the wrong
+    formula actually differs on this data). This declares Spark's own
+    partial-aggregation algebra as user-visible surface: what the
+    engine does inside every Exchange, a pipeline can do across DAYS,
+    folding one new partition into yesterday's state in O(partials)
+    instead of O(history)."""
+    e = t(spark, sf_dir, "events")
+    partials = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.sum(F.round("value", 2).cast("decimal(18,2)")).alias("s"),
+        F.count("*").alias("c"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.round(F.sum("s"), 2).cast("double").alias("total"),
+        F.round(F.sum("s") / F.sum("c"), 4).cast("double").alias("mean"),
+        F.round(F.min("lo"), 2).alias("min_value"),
+        F.round(F.max("hi"), 2).alias("max_value"),
+        F.count("*").cast("long").alias("n_partials"),
+    )

@@ -1303,3 +1303,102 @@ def agg_bloom_filter_membership(spark, sf_dir):
             "false_positive"
         ),
     )
+
+
+@query(
+    "dq_constraint_check",
+    oracle="""
+    WITH m AS (
+      SELECT
+        (SELECT COUNT(*) FROM orders)                                  AS n_orders,
+        (SELECT COUNT(o_custkey) FROM orders)                          AS n_custkey,
+        (SELECT COUNT(DISTINCT o_orderkey) FROM orders)                AS n_distinct_key,
+        (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)          AS n_nonpos_price,
+        (SELECT COUNT(*) FROM orders o
+          WHERE o.o_custkey IS NOT NULL
+            AND NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))          AS n_orphans,
+        (SELECT COUNT(*) FROM orders
+          WHERE o_orderstatus NOT IN ('F', 'O', 'P'))                  AS n_bad_status
+    )
+    SELECT 'completeness_custkey' AS constraint, 
+           ROUND(n_custkey * 1.0 / n_orders, 6) AS metric,
+           CAST(n_orders - n_custkey AS BIGINT) AS violations,
+           n_custkey = n_orders AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness_orderkey',
+           ROUND(n_distinct_key * 1.0 / n_orders, 6),
+           CAST(n_orders - n_distinct_key AS BIGINT),
+           n_distinct_key = n_orders FROM m
+    UNION ALL
+    SELECT 'range_totalprice_positive',
+           ROUND(1.0 - n_nonpos_price * 1.0 / n_orders, 6),
+           CAST(n_nonpos_price AS BIGINT),
+           n_nonpos_price = 0 FROM m
+    UNION ALL
+    SELECT 'referential_custkey',
+           ROUND(1.0 - n_orphans * 1.0 / n_orders, 6),
+           CAST(n_orphans AS BIGINT),
+           n_orphans = 0 FROM m
+    UNION ALL
+    SELECT 'domain_orderstatus',
+           ROUND(1.0 - n_bad_status * 1.0 / n_orders, 6),
+           CAST(n_bad_status AS BIGINT),
+           n_bad_status = 0 FROM m
+    """,
+)
+def dq_constraint_check(spark, sf_dir):
+    """Declarative data-quality constraint suite (the Deequ/
+    expectations shape): completeness, key uniqueness, value range,
+    referential integrity, and domain membership, each emitted as one
+    (constraint, metric, violations, passed) row — the nightly
+    validation gate every 100 TB ingest runs before publishing a
+    partition.
+
+    Plan: the five metrics reduce to counting aggregates over ONE
+    scan of orders (Catalyst collapses the scalar subqueries into
+    shared stages) plus one broadcast anti-join for the referential
+    check — constraint checking costs a single pass, not a pass per
+    rule. S6's malformed-row policy is the ingest-time cousin; this
+    is the post-load gate."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n_orders = F.count("*")
+    agg = o.agg(
+        n_orders.alias("n_orders"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.countDistinct("o_orderkey").alias("n_distinct_key"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_nonpos_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")
+        ).alias("n_bad_status"),
+    )
+    # Null keys are a COMPLETENESS violation, not a referential one —
+    # each dirty row trips exactly its own rule (pinned in pytest).
+    orphans = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count("*").alias("n_orphans"))
+    )
+    m = agg.crossJoin(F.broadcast(orphans))
+
+    def row(name, metric, violations, passed):
+        return m.select(
+            F.lit(name).alias("constraint"),
+            F.round(metric, 6).alias("metric"),
+            violations.cast("long").alias("violations"),
+            passed.alias("passed"),
+        )
+
+    n, nc = F.col("n_orders"), F.col("n_custkey")
+    nd, np_ = F.col("n_distinct_key"), F.col("n_nonpos_price")
+    no, nb = F.col("n_orphans"), F.col("n_bad_status")
+    return (
+        row("completeness_custkey", nc / n, n - nc, nc == n)
+        .unionAll(row("uniqueness_orderkey", nd / n, n - nd, nd == n))
+        .unionAll(
+            row("range_totalprice_positive", 1 - np_ / n, np_, np_ == 0)
+        )
+        .unionAll(row("referential_custkey", 1 - no / n, no, no == 0))
+        .unionAll(row("domain_orderstatus", 1 - nb / n, nb, nb == 0))
+    )

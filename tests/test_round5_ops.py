@@ -687,3 +687,93 @@ class TestRegexAll:
             assert r["has_scan_or_hash"] == bool(
                 _re.search(r"\b(scan|hash)\b", d["text"])
             )
+
+
+class TestDqConstraints:
+    def test_all_constraints_pass_on_clean_fixture(self, spark, sf_dir):
+        out = {r["constraint"]: r for r in _rows("dq_constraint_check", spark, sf_dir)}
+        assert set(out) == {
+            "completeness_custkey",
+            "uniqueness_orderkey",
+            "range_totalprice_positive",
+            "referential_custkey",
+            "domain_orderstatus",
+        }
+        for name, r in out.items():
+            assert r["passed"], name
+            assert r["violations"] == 0
+            assert r["metric"] == pytest.approx(1.0)
+
+    def test_violations_detected_on_dirty_fixture(self, spark):
+        """Planted violations — a null custkey, a duplicate orderkey, a
+        negative price, an orphan custkey, a bad status — must each
+        trip exactly their own constraint."""
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="dq_fix_")
+        spark.createDataFrame(
+            [(1, 10, "F", 100.0), (2, 10, "O", 50.0)],
+            "c_custkey long, c_nationkey long, c_mktsegment string, c_acctbal double",
+        ).selectExpr(
+            "c_custkey", "c_nationkey", "'BUILDING' AS c_mktsegment", "c_acctbal"
+        ).write.mode("overwrite").parquet(f"{d}/customer.parquet")
+        rows = [
+            (1, 1, "F", 10.0),     # clean
+            (2, None, "O", 10.0),  # null custkey
+            (2, 1, "P", 10.0),     # duplicate orderkey
+            (3, 1, "F", -5.0),     # negative price
+            (4, 99, "O", 10.0),    # orphan custkey
+            (5, 2, "X", 10.0),     # bad status
+        ]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double"
+        ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        out = {r["constraint"]: r for r in _rows("dq_constraint_check", spark, d)}
+        assert out["completeness_custkey"]["violations"] == 1
+        assert out["uniqueness_orderkey"]["violations"] == 1
+        assert out["range_totalprice_positive"]["violations"] == 1
+        assert out["referential_custkey"]["violations"] == 1
+        assert out["domain_orderstatus"]["violations"] == 1
+        assert not any(r["passed"] for r in out.values())
+
+
+class TestIncrementalMerge:
+    def test_merge_equals_direct_and_avg_of_avgs_differs(self, spark, sf_dir):
+        out = {r["event_type"]: r for r in _rows("agg_incremental_merge", spark, sf_dir)}
+        direct = {
+            r["event_type"]: r
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum(F.round("value", 2).cast("decimal(18,2)")), 2)
+                .cast("double")
+                .alias("total"),
+                F.round(F.min("value"), 2).alias("min_value"),
+                F.round(F.max("value"), 2).alias("max_value"),
+            )
+            .collect()
+        }
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        from collections import defaultdict
+
+        day_means = defaultdict(list)
+        for r in e:
+            day_means[(r["event_type"], r["ts"].date())].append(r["value"])
+        avg_of_avgs = defaultdict(list)
+        for (et, _), xs in day_means.items():
+            avg_of_avgs[et].append(sum(xs) / len(xs))
+        any_diff = False
+        for et, r in out.items():
+            d = direct[et]
+            assert r["n"] == d["n"]
+            assert r["total"] == pytest.approx(d["total"])
+            assert r["min_value"] == d["min_value"]
+            assert r["max_value"] == d["max_value"]
+            assert r["mean"] == pytest.approx(r["total"] / r["n"], abs=1e-3)
+            wrong = sum(avg_of_avgs[et]) / len(avg_of_avgs[et])
+            if abs(wrong - r["mean"]) > 1e-4:
+                any_diff = True
+        # the non-algebraic merge must actually be wrong somewhere,
+        # otherwise this test proves nothing
+        assert any_diff
