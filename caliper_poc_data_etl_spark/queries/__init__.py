@@ -221,8 +221,14 @@ _DEFERRED = [
 # Round-5 rotation recipe (for the next builder): after confirming
 # CORRECTNESS_r04 greens, append the green r4-window names to
 # _DEFERRED (keep any red ones in front for regrade), then move this
-# whole list out of _NEXT — 27 entries + regrades leaves ~20 slots
-# for round-5 additions.
+# whole list out of _NEXT.
+#
+# MUST-REGRADE in the r5 window (implementations hardened AFTER their
+# green rows, during the r4 sf0.1 robustness sweep — pull them OUT of
+# _DEFERRED into the front): q3_top_revenue, sql_q3_shipping_priority
+# (DECIMAL money sums), unpivot_measures (floor-rounding),
+# sim_pairwise_label_stats (decimal cosine mean). All four verified
+# green at sf0.001/0.01/0.1 locally.
 _NEXT: list[str] = [
     "ts_resample_linear_interp",
     "ts_ewma_smoothing",

@@ -384,7 +384,9 @@ def q1_pricing_summary(spark, sf_dir):
     "q3_top_revenue",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -404,10 +406,19 @@ def q3_top_revenue(spark, sf_dir):
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
+        # DECIMAL money math: the double sum hit a .xx5 rounding tie
+        # at sf0.1 (summation order differs across engines); the
+        # decimal product is exact, so the sum and round are too.
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -704,7 +715,7 @@ def pivot_status_by_priority(spark, sf_dir):
 @query(
     "unpivot_measures",
     oracle="""
-    SELECT o_orderkey, measure, ROUND(value, 2) AS value
+    SELECT o_orderkey, measure, FLOOR(value * 100 + 0.5) / 100 AS value
     FROM (
       SELECT o_orderkey,
              UNPIVOT_ROW.measure, UNPIVOT_ROW.value
@@ -727,7 +738,16 @@ def unpivot_measures(spark, sf_dir):
             (F.col("o_totalprice") / 1000.0).alias("price_k"),
         )
         .unpivot("o_orderkey", ["totalprice", "price_k"], "measure", "value_raw")
-        .select("o_orderkey", "measure", F.round("value_raw", 2).alias("value"))
+        # floor-rounding, not ROUND: price_k = totalprice/1000 lands
+        # exactly on .xx5 and Spark rounds the SHORTEST decimal repr
+        # of the double (77.195 -> 77.2) while DuckDB rounds the
+        # binary value (77.19499... -> 77.19); floor(x*100+0.5) is the
+        # same IEEE chain on both sides.
+        .select(
+            "o_orderkey",
+            "measure",
+            (F.floor(F.col("value_raw") * 100 + F.lit(0.5)) / 100).alias("value"),
+        )
     )
 
 
@@ -974,7 +994,9 @@ def profile_orders_columns(spark, sf_dir):
     "sql_q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority AS orderpriority
     FROM customer c
@@ -999,7 +1021,9 @@ def sql_q3_shipping_priority(spark, sf_dir):
     return spark.sql(
         """
         SELECT l.l_orderkey,
-               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                              * (1 - CAST(l.l_discount AS DECIMAL(4,2)))), 2)
+                    AS DOUBLE) AS revenue,
                date_format(o.o_orderdate, 'yyyy-MM-dd') AS orderdate,
                o.o_orderpriority AS orderpriority
         FROM _sqlq3_customer c

@@ -395,13 +395,19 @@ def embed_quantize_int8(spark, sf_dir):
 @query(
     "sim_pairwise_label_stats",
     oracle="""
-    SELECT a.label AS label_a, b.label AS label_b, COUNT(*) AS n_pairs,
-           ROUND(AVG(CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE)
-                 / (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE))
-                    * sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE)))),
-                 4) AS avg_cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    GROUP BY a.label, b.label
+    WITH pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             CAST(ROUND(
+               CAST(list_dot_product(a.embedding, b.embedding) AS DOUBLE)
+               / (sqrt(CAST(list_dot_product(a.embedding, a.embedding) AS DOUBLE))
+                  * sqrt(CAST(list_dot_product(b.embedding, b.embedding) AS DOUBLE))),
+               6) AS DECIMAL(18,6)) AS cos6
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT label_a, label_b, COUNT(*) AS n_pairs,
+           FLOOR(CAST(SUM(cos6) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4
+             AS avg_cosine
+    FROM pairs GROUP BY label_a, label_b
     """,
 )
 def sim_pairwise_label_stats(spark, sf_dir):
@@ -428,10 +434,21 @@ def sim_pairwise_label_stats(spark, sf_dir):
         F.sqrt(_dot(F.col("emb_a"), F.col("emb_a")))
         * F.sqrt(_dot(F.col("emb_b"), F.col("emb_b")))
     )
+    # Per-pair cosines are bit-identical across engines (same fold
+    # order), but AVERAGING millions of them in double is summation-
+    # order-dependent (caught by the sf0.1 sweep): round each cosine
+    # to 6 dp, sum in DECIMAL, and floor-round the mean.
+    cos6 = F.round(cos, 6).cast("decimal(18,6)")
+    mean = F.sum(cos6).cast("double") / F.count("*")
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .groupBy("label_a", "label_b")
-        .agg(F.count("*").alias("n_pairs"), F.round(F.avg(cos), 4).alias("avg_cosine"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            (F.floor(mean * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias(
+                "avg_cosine"
+            ),
+        )
     )
 
 

@@ -633,8 +633,8 @@ def anomaly_mad_events(spark, sf_dir):
     oracle="""
     WITH daily AS (
       SELECT user_id, CAST(ts AS DATE) AS day,
-             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) / COUNT(*), 4)
-                  AS DOUBLE) AS v
+             FLOOR(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*) * 1e4 + 0.5) / 1e4 AS v
       FROM events GROUP BY 1, 2
     ), span AS (
       SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
@@ -691,12 +691,20 @@ def ts_resample_linear_interp(spark, sf_dir):
     e = t(spark, sf_dir, "events").select(
         "user_id", F.to_date("ts").alias("day"), "value"
     )
+    # The daily mean divides a DECIMAL sum by a count: decimal
+    # division scale/rounding rules differ across engines (caught by
+    # the sf0.1 sweep on an observed row), so cast the exact sum to
+    # double FIRST and floor-round the identical IEEE quotient.
     daily = e.groupBy("user_id", "day").agg(
-        F.round(
-            F.sum(F.col("value").cast("decimal(18,4)")) / F.count("*"), 4
-        )
-        .cast("double")
-        .alias("v")
+        (
+            F.floor(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count("*")
+                * F.lit(1e4)
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("v")
     )
     grid = (
         daily.groupBy("user_id")
