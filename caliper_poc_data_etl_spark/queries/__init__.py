@@ -261,6 +261,7 @@ _NEXT: list[str] = [
     "fn_regex_all_pack",
     "dq_constraint_check",
     "agg_incremental_merge",
+    "fn_higher_order_pack",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

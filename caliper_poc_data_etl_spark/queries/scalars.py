@@ -437,3 +437,66 @@ def fn_url_pack(spark, sf_dir):
         .cast("long")
         .alias("n_param"),
     )
+
+
+@query(
+    "fn_higher_order_pack",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)
+               * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(len(list_filter(q, x -> x > 0)) AS INT) AS n_positive,
+           list_sum(list_transform(q, x -> abs(x)))::BIGINT AS l1_q,
+           CAST(len(q) > 0 AND list_bool_and(list_transform(q,
+             x -> abs(x) <= 1000)) AS BOOLEAN) AS all_small,
+           CAST(list_bool_or(list_transform(q, x -> abs(x) > 500))
+             AS BOOLEAN) AS any_large,
+           list_sum(list_transform(list_zip(q[1:8], q[2:9]),
+             p -> CASE WHEN (p[1] > 0) <> (p[2] > 0)
+                  THEN 1 ELSE 0 END))::BIGINT AS head_sign_flips
+    FROM base
+    """,
+)
+def fn_higher_order_pack(spark, sf_dir):
+    """Higher-order array functions as declared surface — transform,
+    filter, exists, forall, aggregate (fold), zip_with — the lambda
+    toolkit every array-valued column (embeddings, token lists,
+    shingle sets) is processed with, all JVM-side codegen (the whole
+    point: lambdas compile into the plan, they are NOT Python UDFs).
+    Computed over integer-quantized embeddings so every result is
+    engine-exact; the zip_with term counts sign flips between adjacent
+    head components — the paired-lambda shape."""
+    e = t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    base = e.select("vec_id", q.alias("q"))
+    qc = F.col("q")
+    head, tail = F.slice(qc, 1, 8), F.slice(qc, 2, 8)
+    flips = F.aggregate(
+        F.zip_with(
+            head,
+            tail,
+            lambda a, b: ((a > 0) != (b > 0)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return base.select(
+        "vec_id",
+        F.size(F.filter(qc, lambda x: x > 0)).alias("n_positive"),
+        F.aggregate(
+            F.transform(qc, lambda x: F.abs(x)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("l1_q"),
+        ((F.size(qc) > 0) & F.forall(qc, lambda x: F.abs(x) <= 1000)).alias(
+            "all_small"
+        ),
+        F.exists(qc, lambda x: F.abs(x) > 500).alias("any_large"),
+        flips.alias("head_sign_flips"),
+    )
