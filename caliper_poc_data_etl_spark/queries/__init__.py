@@ -262,6 +262,8 @@ _NEXT: list[str] = [
     "dq_constraint_check",
     "agg_incremental_merge",
     "fn_higher_order_pack",
+    "text_bm25_topk",
+    "dq_k_anonymity",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -493,3 +493,54 @@ def sample_time_holdout(spark, sf_dir):
         F.col("r_end") <= F.ceil(F.col("n") / 5.0).cast("long"), "eval"
     ).otherwise("train")
     return ranked.select("event_id", "user_id", split.alias("split"))
+
+
+_KANON_K = 5
+
+
+@query(
+    "dq_k_anonymity",
+    oracle=f"""
+    WITH quasi AS (
+      SELECT user_id % 10 AS user_bucket, event_type,
+             CAST(ts AS DATE) AS day, COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(COUNT(*) FILTER (WHERE n < {_KANON_K}) AS BIGINT)
+             AS n_violating_classes,
+           CAST(SUM(n) FILTER (WHERE n < {_KANON_K}) AS BIGINT)
+             AS n_rows_to_suppress,
+           CAST(MIN(n) AS BIGINT) AS min_class_size,
+           ROUND(COALESCE(SUM(n) FILTER (WHERE n < {_KANON_K}), 0) * 1.0
+                 / SUM(n), 6) AS suppression_rate
+    FROM quasi
+    """,
+)
+def dq_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over a quasi-identifier tuple (user bucket ×
+    event type × day): how many equivalence classes fall below k=5,
+    how many rows would need suppression before release, and the
+    resulting suppression rate — the privacy-governance gate that runs
+    before any dataset leaves the boundary, next to
+    ``text_pii_redact``'s content-level scrubbing. One hash
+    aggregation over the quasi-identifier, one fixed-size rollup —
+    privacy auditing at 100 TB costs a groupBy."""
+    e = t(spark, sf_dir, "events")
+    quasi = e.groupBy(
+        (F.col("user_id") % 10).alias("user_bucket"),
+        "event_type",
+        F.to_date("ts").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    below = F.col("n") < _KANON_K
+    return quasi.agg(
+        F.count("*").cast("long").alias("n_classes"),
+        F.sum(below.cast("long")).alias("n_violating_classes"),
+        F.sum(F.when(below, F.col("n"))).cast("long").alias("n_rows_to_suppress"),
+        F.min("n").cast("long").alias("min_class_size"),
+        F.round(
+            F.coalesce(F.sum(F.when(below, F.col("n"))), F.lit(0))
+            / F.sum("n"),
+            6,
+        ).alias("suppression_rate"),
+    )

@@ -595,3 +595,105 @@ def text_boilerplate_shingle_ratio(spark, sf_dir):
             .alias("boiler_ratio"),
         )
     )
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_QUERY = ("spark", "hash", "window")
+_BM25_TOPK = 20
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS tk
+      FROM documents
+    ), lens AS (
+      SELECT doc_id, len(tk) AS dl FROM toks
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             FLOOR(AVG(dl) * 100 + 0.5) / 100 AS avgdl_q FROM lens
+    ), tf AS (
+      SELECT doc_id, tok, COUNT(*) AS f
+      FROM (SELECT doc_id, unnest(tk) AS tok FROM toks)
+      WHERE tok IN ({terms})
+      GROUP BY doc_id, tok
+    ), df AS (
+      SELECT tok, COUNT(*) AS n_t FROM tf GROUP BY tok
+    ), scored AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ROUND(LN((stats.n_docs - df.n_t + 0.5) / (df.n_t + 0.5) + 1), 6)
+               * (tf.f * ({_BM25_K1} + 1))
+               / (tf.f + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * lens.dl
+                  / stats.avgdl_q)),
+             6) AS DECIMAL(18,6)) AS term_score
+      FROM tf
+      JOIN df USING (tok)
+      JOIN lens USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25,
+           CAST(COUNT(*) AS INT) AS n_query_terms_hit
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+    """
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark, sf_dir):
+    """BM25 retrieval scoring — the standard lexical ranker (tf
+    saturation via k1, doc-length normalization via b) a step above
+    raw TF-IDF (``tfidf_top_terms``): top-20 documents for a fixed
+    3-term query. This is the retrieval half of RAG data prep: score,
+    rank, keep the head.
+
+    Scale shape: corpus stats (N, avgdl) are broadcast 1-row
+    aggregates; term df is a tiny per-term table; only tokens
+    MATCHING the query survive the explode (the IN filter pushes into
+    the token stream), so the scored stream is |query terms| ×
+    matching docs, not the corpus token count. Cross-engine
+    determinism: idf rounds to 6 dp before use (the perplexity
+    convention), avgdl floor-quantizes to 2 dp, per-term scores round
+    to 6 dp and sum in DECIMAL."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    toks = d.select("doc_id", tk.alias("tk"))
+    lens = toks.select("doc_id", F.size("tk").alias("dl"))
+    stats = lens.agg(
+        F.count("*").alias("n_docs"),
+        (F.floor(F.avg("dl") * 100 + F.lit(0.5)) / 100).alias("avgdl_q"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tk").alias("tok"))
+        .filter(F.col("tok").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("f"))
+    )
+    df = tf.groupBy("tok").agg(F.count("*").alias("n_t"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("n_t") + 0.5) / (F.col("n_t") + 0.5) + 1
+        ),
+        6,
+    )
+    norm = F.col("f") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl_q")
+    )
+    term_score = F.round(
+        idf * (F.col("f") * (_BM25_K1 + 1)) / norm, 6
+    ).cast("decimal(18,6)")
+    return (
+        tf.join(F.broadcast(df), "tok")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term_score.alias("term_score"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("term_score").cast("double").alias("bm25"),
+            F.count("*").cast("int").alias("n_query_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )

@@ -777,3 +777,70 @@ class TestIncrementalMerge:
         # the non-algebraic merge must actually be wrong somewhere,
         # otherwise this test proves nothing
         assert any_diff
+
+
+class TestBm25:
+    def test_matches_reference_bm25(self, spark, sf_dir):
+        import math as _math
+        from collections import Counter
+
+        out = _rows("text_bm25_topk", spark, sf_dir)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        toks = {d["doc_id"]: d["text"].strip().lower().split() for d in docs}
+        n_docs = len(toks)
+        avgdl = _math.floor(
+            sum(len(v) for v in toks.values()) / n_docs * 100 + 0.5
+        ) / 100
+        query = ("spark", "hash", "window")
+        df = Counter()
+        for tk in toks.values():
+            for q in set(tk) & set(query):
+                df[q] += 1
+        scores = {}
+        for doc_id, tk in toks.items():
+            c = Counter(tk)
+            s = 0.0
+            hits = 0
+            for q in query:
+                f = c.get(q, 0)
+                if not f:
+                    continue
+                hits += 1
+                idf = round(
+                    _math.log((n_docs - df[q] + 0.5) / (df[q] + 0.5) + 1), 6
+                )
+                s += round(
+                    idf * f * 2.2 / (f + 1.2 * (1 - 0.75 + 0.75 * len(tk) / avgdl)),
+                    6,
+                )
+            if hits:
+                scores[doc_id] = (round(s, 6), hits)
+        expect = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:20]
+        assert [r["doc_id"] for r in out] == [doc_id for doc_id, _ in expect]
+        for r, (doc_id, (s, hits)) in zip(out, expect):
+            assert r["bm25"] == pytest.approx(s, abs=1e-5)
+            assert r["n_query_terms_hit"] == hits
+
+
+class TestKAnonymity:
+    def test_accounting_identity(self, spark, sf_dir):
+        r = _rows("dq_k_anonymity", spark, sf_dir)[0]
+        quasi = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy(
+                (F.col("user_id") % 10).alias("b"),
+                "event_type",
+                F.to_date("ts").alias("day"),
+            )
+            .count()
+            .collect()
+        )
+        sizes = [x["count"] for x in quasi]
+        assert r["n_classes"] == len(sizes)
+        assert r["min_class_size"] == min(sizes)
+        viol = [s for s in sizes if s < 5]
+        assert r["n_violating_classes"] == len(viol)
+        assert (r["n_rows_to_suppress"] or 0) == sum(viol)
+        assert r["suppression_rate"] == pytest.approx(
+            sum(viol) / sum(sizes), abs=1e-6
+        )
