@@ -264,6 +264,8 @@ _NEXT: list[str] = [
     "fn_higher_order_pack",
     "text_bm25_topk",
     "dq_k_anonymity",
+    "ts_seasonal_decompose",
+    "ml_ols_two_feature",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

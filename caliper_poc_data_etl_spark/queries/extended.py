@@ -879,3 +879,88 @@ def agg_incremental_merge(spark, sf_dir):
         F.round(F.max("hi"), 2).alias("max_value"),
         F.count("*").cast("long").alias("n_partials"),
     )
+
+
+@query(
+    "ml_ols_two_feature",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx1,
+             CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx1x1,
+             CAST(SUM(CAST(l_discount AS DECIMAL(8,2))
+                      * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sx2x2,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sx1x2,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx1y,
+             CAST(SUM(CAST(l_discount AS DECIMAL(8,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx2y
+      FROM lineitem
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           FLOOR(((sx1x1 - sx1 * sx1 / n) * (sx2y - sx2 * sy / n)
+                  - (sx1x2 - sx1 * sx2 / n) * (sx1y - sx1 * sy / n))
+                 / ((sx1x1 - sx1 * sx1 / n) * (sx2x2 - sx2 * sx2 / n)
+                    - (sx1x2 - sx1 * sx2 / n) * (sx1x2 - sx1 * sx2 / n))
+                 * 1e4 + 0.5) / 1e4 AS beta_discount,
+           FLOOR(((sx2x2 - sx2 * sx2 / n) * (sx1y - sx1 * sy / n)
+                  - (sx1x2 - sx1 * sx2 / n) * (sx2y - sx2 * sy / n))
+                 / ((sx1x1 - sx1 * sx1 / n) * (sx2x2 - sx2 * sx2 / n)
+                    - (sx1x2 - sx1 * sx2 / n) * (sx1x2 - sx1 * sx2 / n))
+                 * 1e4 + 0.5) / 1e4 AS beta_quantity
+    FROM m
+    """,
+)
+def ml_ols_two_feature(spark, sf_dir):
+    """Two-feature OLS (l_extendedprice ~ l_quantity + l_discount) by
+    the NORMAL EQUATIONS: one aggregation collects the 9 power/cross
+    moments, Cramer's rule solves the 2×2 centered system in closed
+    form — the single-pass distributed regression that needs no
+    gradient loop, no feature matrix materialization, no driver-side
+    data (generalizing ``agg_regr_slope`` from one regressor to the
+    multi-feature shape). ML-prep's workhorse for quick fits and
+    leverage diagnostics at 100 TB: moments are algebraic aggregates,
+    so the whole fit is map-side partials + one reduce.
+
+    Determinism: every moment is a DECIMAL-exact sum of 2-dp inputs
+    cast to double once; the closing Cramer arithmetic is one
+    identical IEEE chain per side, floor-rounded."""
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(8,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+
+    def dsum(expr):
+        return F.sum(expr).cast("double")
+
+    m = li.agg(
+        F.count("*").alias("n_raw"),
+        dsum(q).alias("sx1"),
+        dsum(d).alias("sx2"),
+        dsum(y).alias("sy"),
+        dsum(q * q).alias("sx1x1"),
+        dsum(d * d).alias("sx2x2"),
+        dsum(q * d).alias("sx1x2"),
+        dsum(q * y).alias("sx1y"),
+        dsum(d * y).alias("sx2y"),
+    )
+    n = F.col("n_raw").cast("double")
+    s11 = F.col("sx1x1") - F.col("sx1") * F.col("sx1") / n
+    s22 = F.col("sx2x2") - F.col("sx2") * F.col("sx2") / n
+    s12 = F.col("sx1x2") - F.col("sx1") * F.col("sx2") / n
+    c1 = F.col("sx1y") - F.col("sx1") * F.col("sy") / n
+    c2 = F.col("sx2y") - F.col("sx2") * F.col("sy") / n
+    det = s11 * s22 - s12 * s12
+
+    def fround(x):
+        return F.floor(x * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    return m.select(
+        F.col("n_raw").cast("long").alias("n"),
+        fround((s11 * c2 - s12 * c1) / det).alias("beta_discount"),
+        fround((s22 * c1 - s12 * c2) / det).alias("beta_quantity"),
+    )

@@ -1010,3 +1010,94 @@ def ts_event_sequence_pattern(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "ts_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1
+    ), trended AS (
+      SELECT day, v,
+             CAST(dayofweek(day) + 1 AS INT) AS dow,  -- Spark: 1=Sunday
+             CASE WHEN COUNT(*) OVER w = 7 THEN
+               FLOOR(CAST(SUM(CAST(ROUND(v, 2) AS DECIMAL(18,2))) OVER w
+                     AS DOUBLE) / 7 * 1e4 + 0.5) / 1e4
+             END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), detrended AS (
+      SELECT *, FLOOR((v - trend) * 1e4 + 0.5) / 1e4 AS detr
+      FROM trended WHERE trend IS NOT NULL
+    ), seasonal AS (
+      SELECT dow,
+             FLOOR(CAST(SUM(CAST(detr AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*) * 1e4 + 0.5) / 1e4 AS s
+      FROM detrended GROUP BY dow
+    )
+    SELECT d.day AS day_str, d.dow, ROUND(d.v, 2) AS observed,
+           d.trend, se.s AS seasonal,
+           FLOOR((d.detr - se.s) * 1e4 + 0.5) / 1e4 AS residual
+    FROM detrended d JOIN seasonal se USING (dow)
+    """,
+)
+def ts_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition of the daily total
+    (weekly period): trend = centered 7-day moving average, seasonal =
+    per-day-of-week mean of the detrended series, residual = the rest
+    — observed ≡ trend + seasonal + residual by construction (pinned
+    in pytest). The conditioning step behind anomaly detection on
+    seasonal metrics (is Monday low, or is the METRIC low?).
+
+    Scale shape: one daily rollup, one 7-row window, one 7-group
+    aggregate, one broadcast join back — each stage bounded by days,
+    not events. Determinism: every mean divides a DECIMAL-exact sum
+    cast to double, floor-rounded (the r4 sweep convention); edge days
+    without a full 7-day window are excluded (COUNT(*) OVER = 7), the
+    textbook centered-MA boundary rule."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.round("value", 2).cast("decimal(18,2)"))
+        .cast("double")
+        .alias("v")
+    )
+    w = W.orderBy("day").rowsBetween(-3, 3)
+
+    def fround(x):
+        return F.floor(x * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    trended = daily.select(
+        "day",
+        "v",
+        F.dayofweek("day").cast("int").alias("dow"),
+        F.when(
+            F.count("*").over(w) == 7,
+            fround(
+                F.sum(F.round("v", 2).cast("decimal(18,2)")).over(w)
+                .cast("double")
+                / 7
+            ),
+        ).alias("trend"),
+    )
+    detrended = trended.filter(F.col("trend").isNotNull()).withColumn(
+        "detr", fround(F.col("v") - F.col("trend"))
+    )
+    seasonal = detrended.groupBy("dow").agg(
+        fround(
+            F.sum(F.col("detr").cast("decimal(18,4)")).cast("double")
+            / F.count("*")
+        ).alias("s")
+    )
+    return (
+        detrended.join(F.broadcast(seasonal), "dow")
+        .select(
+            F.col("day").alias("day_str"),
+            "dow",
+            F.round("v", 2).alias("observed"),
+            "trend",
+            F.col("s").alias("seasonal"),
+            fround(F.col("detr") - F.col("s")).alias("residual"),
+        )
+    )

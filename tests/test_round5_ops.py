@@ -844,3 +844,38 @@ class TestKAnonymity:
         assert r["suppression_rate"] == pytest.approx(
             sum(viol) / sum(sizes), abs=1e-6
         )
+
+
+class TestSeasonalDecompose:
+    def test_additive_identity_and_trend_is_centered_ma(self, spark, sf_dir):
+        out = _rows("ts_seasonal_decompose", spark, sf_dir)
+        assert out
+        for r in out:
+            # observed == trend + seasonal + residual (up to the two
+            # 4-dp floor-rounds applied along the way)
+            assert abs(
+                r["observed"] - (r["trend"] + r["seasonal"] + r["residual"])
+            ) < 2e-4
+        # seasonal component must be constant per day-of-week
+        from collections import defaultdict
+
+        per_dow = defaultdict(set)
+        for r in out:
+            per_dow[r["dow"]].add(r["seasonal"])
+        assert all(len(v) == 1 for v in per_dow.values())
+
+
+class TestOls:
+    def test_matches_numpy_lstsq(self, spark, sf_dir):
+        import numpy as np
+
+        r = _rows("ml_ols_two_feature", spark, sf_dir)[0]
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_quantity", "l_discount", "l_extendedprice"
+        ).collect()
+        X = np.array([[1.0, x["l_quantity"], x["l_discount"]] for x in li])
+        y = np.array([x["l_extendedprice"] for x in li])
+        beta = np.linalg.lstsq(X, y, rcond=None)[0]
+        assert r["n"] == len(li)
+        assert r["beta_quantity"] == pytest.approx(beta[1], abs=1e-2)
+        assert r["beta_discount"] == pytest.approx(beta[2], rel=1e-3, abs=1e-2)
