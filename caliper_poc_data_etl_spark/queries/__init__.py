@@ -266,6 +266,7 @@ _NEXT: list[str] = [
     "dq_k_anonymity",
     "ts_seasonal_decompose",
     "ml_ols_two_feature",
+    "embed_top_pc_power_iter",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -879,3 +879,38 @@ class TestOls:
         assert r["n"] == len(li)
         assert r["beta_quantity"] == pytest.approx(beta[1], abs=1e-2)
         assert r["beta_discount"] == pytest.approx(beta[2], rel=1e-3, abs=1e-2)
+
+
+class TestPowerIteration:
+    def test_process_parity_and_rayleigh_growth(self, spark, sf_dir):
+        """The engine's 6 quantized iterations must match a numpy
+        replica of the same integer pipeline (process parity), and the
+        Rayleigh quotient must grow from the uniform start and beat a
+        random direction by a wide margin (the power-iteration
+        guarantee that holds regardless of spectral gap)."""
+        import numpy as np
+
+        out = {r["j"]: r["m"] for r in _rows("embed_top_pc_power_iter", spark, sf_dir)}
+        v_eng = np.array([out[j] for j in range(1, 65)], dtype=float)
+        v_eng /= np.linalg.norm(v_eng)
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        X = np.array(
+            [[round(float(x) * 1000) for x in r["embedding"]] for r in emb]
+        )
+        g = X.T @ X
+        # numpy replica of the quantized pipeline (norm reduction is a
+        # no-op at these magnitudes)
+        v = np.full(64, 1000.0)
+        for _ in range(6):
+            w = X.T @ (X @ v)
+            v = np.floor(1000 * w / np.linalg.norm(w) + 0.5)
+        v_ref = v / np.linalg.norm(v)
+        if v_ref[np.argmax(np.abs(v_ref))] < 0:
+            v_ref = -v_ref
+        assert abs(float(v_eng @ v_ref)) > 0.999
+        # Rayleigh quotient: grows from the start, beats trace/64
+        v0 = np.full(64, 1.0 / 8.0)
+        rq0 = float(v0 @ g @ v0)
+        rq = float(v_eng @ g @ v_eng)
+        assert rq > rq0
+        assert rq > 1.5 * float(np.trace(g)) / 64
