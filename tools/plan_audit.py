@@ -54,6 +54,9 @@ EXPECTED_SCALAR_BNLJ = {
     "graph_degree_stats",  # broadcast 1-row n_docs for the affine link graph
     "graph_triangle_count",  # same broadcast 1-row n_docs
     "graph_common_neighbors",  # same broadcast 1-row n_docs (shared _graph_edges)
+    "dq_constraint_check",  # 1-row metric agg × 1-row anti-join orphan count
+    "text_bm25_topk",  # broadcast 1-row corpus stats (N, avgdl)
+    "embed_top_pc_power_iter",  # per-iteration 1-row divisor/norm/sign scalars
 }
 # Deliberate broadcast containment join (tiny snippet table).
 EXPECTED_NLJ.add("decontam_exact_substring")
