@@ -267,6 +267,8 @@ _NEXT: list[str] = [
     "ts_seasonal_decompose",
     "ml_ols_two_feature",
     "embed_top_pc_power_iter",
+    "er_blocked_name_match",
+    "ts_acf_autocorrelation",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

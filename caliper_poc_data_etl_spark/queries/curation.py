@@ -544,3 +544,99 @@ def dq_k_anonymity(spark, sf_dir):
             6,
         ).alias("suppression_rate"),
     )
+
+
+_ER_MOD = 7        # every 7th customer spawns a dirty variant record
+_ER_BAND = 500     # acctbal blocking band width
+_ER_MAXDIST = 3    # levenshtein acceptance threshold
+
+
+@query(
+    "er_blocked_name_match",
+    oracle=f"""
+    WITH dirty AS (
+      SELECT c_custkey AS dirty_id,
+             'cust ' || CAST(c_custkey AS VARCHAR) || 'x' AS dirty_name,
+             c_nationkey,
+             CAST(FLOOR(c_acctbal / {_ER_BAND}) AS BIGINT) AS bal_band
+      FROM customer WHERE c_custkey % {_ER_MOD} = 0
+    ),
+    canon AS (
+      SELECT c_custkey,
+             'cust ' || CAST(c_custkey AS VARCHAR) AS norm_name,
+             c_nationkey,
+             CAST(FLOOR(c_acctbal / {_ER_BAND}) AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    scored AS (
+      SELECT d.dirty_id, c.c_custkey AS matched_key,
+             levenshtein(d.dirty_name, c.norm_name) AS dist
+      FROM dirty d JOIN canon c
+        ON c.c_nationkey = d.c_nationkey AND c.bal_band = d.bal_band
+      WHERE levenshtein(d.dirty_name, c.norm_name) <= {_ER_MAXDIST}
+    )
+    SELECT dirty_id, matched_key, CAST(dist AS INT) AS dist,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
+                                   ORDER BY dist, matched_key) AS rk
+      FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def er_blocked_name_match(spark, sf_dir):
+    """Record linkage (entity resolution): dirty variant records —
+    derived deterministically from every 7th customer, name corrupted
+    by one trailing character — are matched back to the canonical registry WITHOUT
+    any shared key, by the classic three-stage pipeline: NORMALIZE
+    (lowercase canonical name form), BLOCK (nation × account-balance
+    band — candidate pairs shrink from |dirty|×|canon| to the block
+    products), VERIFY (levenshtein ≤ 3, best match per dirty record
+    with deterministic tie-break). The missing-workload category this
+    closes is data integration: dedupe-across-sources, customer-360
+    joins, registry reconciliation.
+
+    Scale shape: blocking is an equi-join on (nation, band) — the ER
+    equivalent of LSH banding; the quadratic edit-distance only runs
+    inside blocks. Skewed blocks (one giant band) are the hazard —
+    AQE skew-join splits them; at 100 TB you'd add a second blocking
+    pass on a different key (the multi-pass blocking the LSH ops
+    already demonstrate). Levenshtein itself is integer-exact
+    cross-engine (proven by fn_string_distance_pack)."""
+    c = t(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / _ER_BAND).cast("long")
+    dirty = c.filter(F.col("c_custkey") % _ER_MOD == 0).select(
+        F.col("c_custkey").alias("dirty_id"),
+        F.concat(
+            F.lit("cust "), F.col("c_custkey").cast("string"), F.lit("x")
+        ).alias("dirty_name"),
+        "c_nationkey",
+        band.alias("bal_band"),
+    )
+    canon = c.select(
+        "c_custkey",
+        F.concat(F.lit("cust "), F.col("c_custkey").cast("string")).alias(
+            "norm_name"
+        ),
+        "c_nationkey",
+        band.alias("bal_band"),
+    )
+    dist = F.levenshtein("dirty_name", "norm_name")
+    scored = (
+        dirty.join(canon, ["c_nationkey", "bal_band"])
+        .withColumn("dist", dist)
+        .filter(F.col("dist") <= _ER_MAXDIST)
+    )
+    rk = F.row_number().over(
+        W.partitionBy("dirty_id").orderBy("dist", "c_custkey")
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "dirty_id",
+            F.col("c_custkey").alias("matched_key"),
+            F.col("dist").cast("int").alias("dist"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

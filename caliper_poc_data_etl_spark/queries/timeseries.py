@@ -1101,3 +1101,122 @@ def ts_seasonal_decompose(spark, sf_dir):
             fround(F.col("detr") - F.col("s")).alias("residual"),
         )
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+def _acf_oracle() -> str:
+    lags = []
+    for k in range(1, _ACF_MAX_LAG + 1):
+        lags.append(f"""
+    SELECT {k} AS lag,
+           FLOOR((sxy{k} - xbar * (s_head{k} + s_tail{k}) + (n - {k}) * xbar * xbar)
+                 / (sxx - 2 * xbar * sx + n * xbar * xbar) * 1e4 + 0.5) / 1e4
+             AS acf
+    FROM m""")
+    head = f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) AS i
+      FROM events GROUP BY 1
+    ), lagged AS (
+      SELECT d.i, d.v{"".join(
+        f", LEAD(d.v, {k}) OVER (ORDER BY d.i) AS v{k}" for k in range(1, _ACF_MAX_LAG + 1)
+      )}
+      FROM daily d
+    ), m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(v, 2) AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ROUND(v * v, 4) AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ROUND(v, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS xbar{"".join(
+        f''',
+             CAST(SUM(CAST(ROUND(v * v{k}, 4) AS DECIMAL(28,4))) AS DOUBLE)
+               AS sxy{k},
+             CAST(SUM(CASE WHEN v{k} IS NOT NULL
+                  THEN CAST(ROUND(v, 2) AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS s_head{k},
+             CAST(SUM(CAST(ROUND(v{k}, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS s_tail{k}''' for k in range(1, _ACF_MAX_LAG + 1)
+      )}
+      FROM lagged
+    )"""
+    return head + "\n    UNION ALL".join(lags)
+
+
+@query("ts_acf_autocorrelation", oracle=_acf_oracle())
+def ts_acf_autocorrelation(spark, sf_dir):
+    """Autocorrelation function of the daily total at lags 1–7 — the
+    diagnostic that detects weekly seasonality (a lag-7 spike) and
+    persistence before any forecasting model is chosen; the companion
+    readout to ``ts_seasonal_decompose``'s fixed weekly assumption.
+
+    The centered products expand by the moment identity
+    Σ(x−x̄)(y−x̄) = Σxy − x̄(Σx_head+Σx_tail) + m·x̄², so every sum is a
+    DECIMAL-exact aggregate of per-row 2–4-dp-rounded terms and the
+    closing algebra is one identical IEEE chain per lag — no
+    order-dependent centered accumulation. One daily rollup + one
+    7-lead window + one aggregation; output is 7 rows regardless of
+    history length."""
+    e = t(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    w = W.orderBy("day")
+    lagged = daily.select(
+        "v",
+        *[
+            F.lead("v", k).over(w).alias(f"v{k}")
+            for k in range(1, _ACF_MAX_LAG + 1)
+        ],
+    )
+
+    def dsum(expr, prec, scale):
+        return F.sum(F.round(expr, scale).cast(f"decimal({prec},{scale})")).cast(
+            "double"
+        )
+
+    aggs = [
+        F.count("*").alias("n"),
+        dsum(F.col("v"), 18, 2).alias("sx"),
+        dsum(F.col("v") * F.col("v"), 28, 4).alias("sxx"),
+    ]
+    for k in range(1, _ACF_MAX_LAG + 1):
+        vk = F.col(f"v{k}")
+        aggs += [
+            dsum(F.col("v") * vk, 28, 4).alias(f"sxy{k}"),
+            F.sum(
+                F.when(vk.isNotNull(), F.round("v", 2).cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias(f"s_head{k}"),
+            dsum(vk, 18, 2).alias(f"s_tail{k}"),
+        ]
+    m = lagged.agg(*aggs).withColumn("xbar", F.col("sx") / F.col("n"))
+    rows = None
+    for k in range(1, _ACF_MAX_LAG + 1):
+        num = (
+            F.col(f"sxy{k}")
+            - F.col("xbar") * (F.col(f"s_head{k}") + F.col(f"s_tail{k}"))
+            + (F.col("n") - k) * F.col("xbar") * F.col("xbar")
+        )
+        den = (
+            F.col("sxx")
+            - 2 * F.col("xbar") * F.col("sx")
+            + F.col("n") * F.col("xbar") * F.col("xbar")
+        )
+        r = m.select(
+            F.lit(k).alias("lag"),
+            (F.floor(num / den * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias(
+                "acf"
+            ),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows
