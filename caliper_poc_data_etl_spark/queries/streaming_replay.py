@@ -282,8 +282,12 @@ _UPSERT_ORACLE = """
 """
 
 
-@query("stream_foreachbatch_upsert", oracle=_UPSERT_ORACLE)
-def stream_foreachbatch_upsert(spark, sf_dir):
+def _foreachbatch_upsert(
+    spark, sf_dir, max_files_per_trigger=None, glob="events.parquet"
+):
+    """Core of stream_foreachbatch_upsert, parameterized so tests can
+    force a REAL multi-batch fold (maxFilesPerTrigger=1 over a source
+    staged as several top-level files)."""
     """Streaming CDC sink via ``foreachBatch``: the event stream
     drives per-micro-batch MERGE logic into a keyed state table
     (latest row per key wins, terminal ``error`` tombstones delete) —
@@ -360,7 +364,9 @@ def stream_foreachbatch_upsert(spark, sf_dir):
         final = batch_df.sparkSession.read.parquet(tmp)
         final.write.mode("overwrite").parquet(state_dir)
 
-    events = read_event_stream(spark, sf_dir)
+    events = read_event_stream(
+        spark, sf_dir, max_files_per_trigger=max_files_per_trigger, glob=glob
+    )
     q = (
         events.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", f"{base_dir}/ckpt")
@@ -375,3 +381,15 @@ def stream_foreachbatch_upsert(spark, sf_dir):
         F.col("event_type").alias("last_event_type"),
         F.round("value", 2).alias("last_value"),
     )
+
+
+@query("stream_foreachbatch_upsert", oracle=_UPSERT_ORACLE)
+def stream_foreachbatch_upsert(spark, sf_dir):
+    """Streaming CDC sink via ``foreachBatch`` — see
+    :func:`_foreachbatch_upsert` for the merge machinery (latest-wins
+    per key, ``error`` tombstones, state table rewritten per batch at
+    an app-keyed path). The availableNow replay's final state must
+    equal the batch ``upsert_latest_state``, which is what the oracle
+    grades; the multi-batch fold (maxFilesPerTrigger=1 over a split
+    source) is pinned in tests/test_round5_ops.py."""
+    return _foreachbatch_upsert(spark, sf_dir)

@@ -27,6 +27,7 @@ def read_event_stream(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_trigger: int | None = None,
+    glob: str = "events.parquet",
 ) -> DataFrame:
     """File-source stream over ``events.parquet``.
 
@@ -50,7 +51,9 @@ def read_event_stream(
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # The streaming file source requires a directory; select just the
     # events table out of the scale-factor dir with a glob filter.
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+    # ``glob`` widens the filter for tests that stage the events as
+    # MULTIPLE top-level files to force real multi-batch replays.
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return normalize_ts(reader.parquet(sf_dir))

@@ -951,3 +951,68 @@ class TestAcf:
             num = float(((x[:-k] - xbar) * (x[k:] - xbar)).sum())
             assert out[k] == pytest.approx(num / den, abs=2e-3)
             assert -1.0 <= out[k] <= 1.0
+
+
+class TestForeachBatchMultiBatch:
+    def test_two_batch_replay_equals_batch_upsert(self, spark, sf_dir):
+        """Replay a two-file copy of events with maxFilesPerTrigger=1
+        so the MERGE truly folds across two micro-batches — the
+        single-file fixture only exercises the bootstrap path."""
+        import glob
+        import tempfile
+
+        from pyspark.sql.window import Window as W2
+
+        from caliper_poc_data_etl_spark.queries.streaming_replay import (
+            _foreachbatch_upsert,
+        )
+
+        src = spark.read.parquet(f"{sf_dir}/events.parquet")
+        d = tempfile.mkdtemp(prefix="fb_upsert_multi_")
+        # events.parquet (single file) feeds the schema read; the two
+        # halves are separate top-level files the widened glob streams
+        # one per trigger.
+        import shutil
+
+        src.coalesce(1).write.mode("overwrite").parquet(f"{d}/_stage")
+        part = glob.glob(f"{d}/_stage/part-*")[0]
+        shutil.copy(part, f"{d}/events.parquet")
+        for i, half in enumerate(
+            (
+                src.filter(F.col("event_id") % 2 == 0),
+                src.filter(F.col("event_id") % 2 == 1),
+            )
+        ):
+            half.coalesce(1).write.mode("overwrite").parquet(f"{d}/_h{i}")
+            shutil.copy(
+                glob.glob(f"{d}/_h{i}/part-*")[0], f"{d}/half{i}.ev.parquet"
+            )
+        out = {
+            r["user_id"]: r
+            for r in _foreachbatch_upsert(
+                spark, d, max_files_per_trigger=1, glob="half*.ev.parquet"
+            ).collect()
+        }
+        w = W2.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        expect = {
+            r["user_id"]: r
+            for r in src.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+            .select(
+                "user_id",
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                    "last_ts"
+                ),
+                F.col("event_type").alias("last_event_type"),
+                F.round("value", 2).alias("last_value"),
+            )
+            .collect()
+        }
+        assert out.keys() == expect.keys()
+        for u, r in out.items():
+            e = expect[u]
+            assert (r["last_ts"], r["last_event_type"], r["last_value"]) == (
+                e["last_ts"],
+                e["last_event_type"],
+                e["last_value"],
+            )
