@@ -269,6 +269,7 @@ _NEXT: list[str] = [
     "embed_top_pc_power_iter",
     "er_blocked_name_match",
     "ts_acf_autocorrelation",
+    "mm_video_scene_cuts",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -260,3 +260,97 @@ def mm_ahash_hamming_neardup(spark, sf_dir):
         "ahash",
         F.coalesce("n_near", F.lit(0).cast("long")).alias("n_near"),
     )
+
+
+_CUT_THRESHOLD = 4  # mean-byte jump (≈ p90 of frame deltas) that flags a cut
+
+
+@query(
+    "mm_video_scene_cuts",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             CAST(ceil(octet_length(encode(text)) / {FRAME_BYTES}.0) AS INT)
+               AS n_frames,
+             hex(encode(text)) AS hx
+      FROM documents WHERE octet_length(encode(text)) > 0
+    ), frames AS (
+      SELECT media_id, CAST(i AS INT) AS idx,
+             substr(hx, CAST(i * {FRAME_BYTES} * 2 + 1 AS BIGINT),
+                    {FRAME_BYTES} * 2) AS fhx
+      FROM f, unnest(range(0, n_frames)) AS u(i)
+    ), sums AS (
+      SELECT media_id, idx,
+             list_sum(list_transform(range(1, CAST(len(fhx)/2 AS BIGINT) + 1),
+               j -> ('0x' || substr(fhx, (j-1)*2+1, 2))::BIGINT)) AS s,
+             CAST(len(fhx)/2 AS BIGINT) AS n
+      FROM frames
+    ), lagged AS (
+      SELECT media_id, idx, s, n,
+             LAG(s) OVER w AS ps, LAG(n) OVER w AS pn
+      FROM sums WINDOW w AS (PARTITION BY media_id ORDER BY idx)
+    ), cuts AS (
+      SELECT media_id, idx,
+             (ps IS NOT NULL AND
+              abs(s * pn - ps * n) > {_CUT_THRESHOLD} * n * pn) AS is_cut
+      FROM lagged
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS INT) AS n_frames,
+           CAST(COUNT(*) FILTER (WHERE is_cut) AS INT) AS n_cuts,
+           CAST(MIN(CASE WHEN is_cut THEN idx END) AS INT) AS first_cut_idx
+    FROM cuts GROUP BY media_id
+    """,
+)
+def mm_video_scene_cuts(spark, sf_dir):
+    """Scene-cut detection over framed binary media: per-frame mean
+    intensity (byte mean as the luma stand-in), a cut wherever the
+    mean jumps more than the threshold between consecutive frames —
+    the shot-segmentation primitive every video-training pipeline runs
+    before clip sampling (``mm_frame_sample`` picks WITHIN the shots
+    this op finds). Pure-Column hex parsing like ``mm_audio_energy``;
+    swap the byte mean for a real decoded-luma mean and the framing,
+    lag, and thresholding stages are unchanged.
+
+    Integer-exact everywhere: the unequal last frame makes the mean a
+    rational s/n, so the jump test cross-multiplies —
+    |s·pn − ps·n| > T·n·pn — and no division ever happens; the
+    oracle agrees bit-for-bit with no rounding convention."""
+    frames = sample_frames(documents_as_media(spark, sf_dir), FRAME_BYTES, every_n=1)
+    hx = F.hex(F.col("frame"))
+    samples = F.transform(
+        F.sequence(F.lit(1), F.length("frame")),
+        lambda j: F.conv(F.substring(hx, (j - 1) * 2 + 1, 2), 16, 10).cast("long"),
+    )
+    sums = frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("idx"),
+        F.aggregate(samples, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+        F.length("frame").cast("long").alias("n"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("media_id").orderBy("idx")
+    lagged = sums.select(
+        "media_id",
+        "idx",
+        "s",
+        "n",
+        F.lag("s").over(w).alias("ps"),
+        F.lag("n").over(w).alias("pn"),
+    )
+    is_cut = F.col("ps").isNotNull() & (
+        F.abs(F.col("s") * F.col("pn") - F.col("ps") * F.col("n"))
+        > _CUT_THRESHOLD * F.col("n") * F.col("pn")
+    )
+    return (
+        lagged.withColumn("is_cut", is_cut)
+        .groupBy("media_id")
+        .agg(
+            F.count("*").cast("int").alias("n_frames"),
+            F.sum(F.col("is_cut").cast("int")).cast("int").alias("n_cuts"),
+            F.min(F.when(F.col("is_cut"), F.col("idx")))
+            .cast("int")
+            .alias("first_cut_idx"),
+        )
+    )

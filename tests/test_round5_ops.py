@@ -1016,3 +1016,26 @@ class TestForeachBatchMultiBatch:
                 e["last_event_type"],
                 e["last_value"],
             )
+
+
+class TestSceneCuts:
+    def test_cuts_match_numpy_reference(self, spark, sf_dir):
+        import numpy as np
+
+        out = {r["media_id"]: r for r in _rows("mm_video_scene_cuts", spark, sf_dir)}
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        for d in docs:
+            b = d["text"].encode("utf-8")
+            if not b:
+                continue
+            frames = [b[i : i + 64] for i in range(0, len(b), 64)]
+            cuts = []
+            for i in range(1, len(frames)):
+                s, n = sum(frames[i]), len(frames[i])
+                ps, pn = sum(frames[i - 1]), len(frames[i - 1])
+                if abs(s * pn - ps * n) > 4 * n * pn:
+                    cuts.append(i)
+            r = out[d["doc_id"]]
+            assert r["n_frames"] == len(frames)
+            assert r["n_cuts"] == len(cuts)
+            assert r["first_cut_idx"] == (cuts[0] if cuts else None)
