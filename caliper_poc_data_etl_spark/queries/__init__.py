@@ -270,6 +270,8 @@ _NEXT: list[str] = [
     "er_blocked_name_match",
     "ts_acf_autocorrelation",
     "mm_video_scene_cuts",
+    "ts_seasonal_naive_forecast",
+    "window_max_drawdown",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1220,3 +1220,103 @@ def ts_acf_autocorrelation(spark, sf_dir):
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows
+
+
+_FC_HORIZON = 7
+
+
+@query(
+    "ts_seasonal_naive_forecast",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(18,2))) AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (ORDER BY CAST(ts AS DATE)) AS i
+      FROM events GROUP BY 1
+    ), anchor AS (
+      SELECT MAX(day) AS last_day, MAX(i) AS n FROM daily
+    ), drift AS (
+      SELECT FLOOR((lastv - firstv) / (n - 1) * 1e4 + 0.5) / 1e4 AS d
+      FROM (SELECT
+              (SELECT v FROM daily WHERE i = (SELECT n FROM anchor)) AS lastv,
+              (SELECT v FROM daily WHERE i = 1) AS firstv,
+              (SELECT n FROM anchor) AS n)
+    ), horizon AS (
+      SELECT CAST(h.k AS INT) AS k,
+             (SELECT last_day FROM anchor) + CAST(h.k AS INT) AS day
+      FROM unnest(range(1, {_FC_HORIZON} + 1)) AS h(k)
+    )
+    SELECT h.k AS horizon_day,
+           strftime(h.day, '%Y-%m-%d') AS forecast_date,
+           FLOOR((s.v + h.k * (SELECT d FROM drift)) * 1e4 + 0.5) / 1e4
+             AS forecast
+    FROM horizon h
+    JOIN daily s
+      ON s.day = (SELECT last_day FROM anchor) + CAST(h.k AS INT) - 7
+    """,
+)
+def ts_seasonal_naive_forecast(spark, sf_dir):
+    """Seasonal-naive-with-drift forecast for the next 7 days: predict
+    day t+k as the value one week before (same weekday — the seasonal
+    naive that every forecasting benchmark uses as its floor) plus
+    k·drift, where drift is the series' average daily change
+    ((last−first)/(n−1)). A real forecast operator with zero fitted
+    parameters — the baseline any learned model must beat, and the
+    placeholder a pipeline ships while the real model trains.
+
+    Scale shape: the anchor (last day, n) and drift are broadcast
+    1-row aggregates; the seasonal lookup is a 7-row join against the
+    daily table. Determinism: daily totals are DECIMAL-exact; drift
+    and forecasts floor-round through identical IEEE chains."""
+    e = t(spark, sf_dir, "events")
+    w = W.orderBy("day")
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round("value", 2).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+        .withColumn("i", F.row_number().over(w))
+    )
+
+    def fround(x):
+        return F.floor(x * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)
+
+    anchor = daily.agg(
+        F.max("day").alias("last_day"), F.max("i").alias("n")
+    )
+    firstlast = (
+        daily.crossJoin(F.broadcast(anchor))
+        .agg(
+            F.max(F.when(F.col("i") == 1, F.col("v"))).alias("firstv"),
+            F.max(F.when(F.col("i") == F.col("n"), F.col("v"))).alias("lastv"),
+            F.max("n").alias("n"),
+            F.max("last_day").alias("last_day"),
+        )
+        .select(
+            "last_day",
+            fround(
+                (F.col("lastv") - F.col("firstv")) / (F.col("n") - 1)
+            ).alias("d"),
+        )
+    )
+    horizon = spark.range(1, _FC_HORIZON + 1).select(
+        F.col("id").cast("int").alias("k")
+    )
+    hz = horizon.crossJoin(F.broadcast(firstlast)).select(
+        "k",
+        "d",
+        F.date_add("last_day", F.col("k")).alias("day"),
+        F.date_add("last_day", F.col("k") - 7).alias("season_day"),
+    )
+    return (
+        hz.join(
+            daily.select(F.col("day").alias("season_day"), "v"), "season_day"
+        )
+        .select(
+            F.col("k").alias("horizon_day"),
+            F.date_format("day", "yyyy-MM-dd").alias("forecast_date"),
+            fround(F.col("v") + F.col("k") * F.col("d")).alias("forecast"),
+        )
+    )

@@ -436,3 +436,73 @@ def window_running_distinct(spark, sf_dir):
         "event_type",
         F.sum("is_first").over(run).cast("long").alias("n_types_so_far"),
     )
+
+
+@query(
+    "window_max_drawdown",
+    oracle="""
+    WITH flow AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN CAST(ROUND(value, 2) AS DECIMAL(18,2))
+                  ELSE -CAST(ROUND(value, 2) AS DECIMAL(18,2)) END AS f
+      FROM events
+    ), cum AS (
+      SELECT user_id, ts, event_id,
+             SUM(f) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM flow
+    ), dd AS (
+      SELECT user_id, c,
+             MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM cum
+    )
+    SELECT user_id,
+           CAST(MAX(peak - c) AS DOUBLE) AS max_drawdown,
+           CAST(MAX(peak) AS DOUBLE) AS peak_value,
+           CAST(MAX(CASE WHEN peak - c = 0 THEN c END) AS DOUBLE)
+             AS last_peak_cum
+    FROM dd GROUP BY user_id
+    """,
+)
+def window_max_drawdown(spark, sf_dir):
+    """Maximum drawdown of each user's cumulative SIGNED flow (credits for purchase/signup events, debits
+    for the rest — raw value is non-negative, which would make every
+    drawdown vacuously zero) — the largest peak-to-trough fall the
+    running total ever suffers, THE risk statistic for any
+    monotone-hopeful cumulative series (P&L, cumulative reward,
+    storage headroom). Two stacked windows over ONE
+    user-hash sort: a running sum, then a running max of that sum;
+    drawdown is their difference and one aggregation takes the max.
+
+    Every step is DECIMAL-exact — running sums, running maxes, and
+    differences of 2-dp decimals need no rounding convention at all,
+    so the oracle match is exact by construction (the only operator
+    family where even the ORDER of accumulation is provably
+    irrelevant: max and sum over decimals commute exactly)."""
+    e = t(spark, sf_dir, "events")
+    frame = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    v = F.round("value", 2).cast("decimal(18,2)")
+    flow = F.when(
+        F.col("event_type").isin("purchase", "signup"), v
+    ).otherwise(-v)
+    cum = e.select(
+        "user_id", "ts", "event_id", F.sum(flow).over(frame).alias("c")
+    )
+    # second window reuses the same partitioning AND sort — no new
+    # Exchange, no new Sort (both windows order by (ts, event_id))
+    dd = cum.withColumn("peak", F.max("c").over(frame))
+    return dd.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("c")).cast("double").alias("max_drawdown"),
+        F.max("peak").cast("double").alias("peak_value"),
+        F.max(F.when(F.col("peak") - F.col("c") == 0, F.col("c")))
+        .cast("double")
+        .alias("last_peak_cum"),
+    )

@@ -1039,3 +1039,58 @@ class TestSceneCuts:
             assert r["n_frames"] == len(frames)
             assert r["n_cuts"] == len(cuts)
             assert r["first_cut_idx"] == (cuts[0] if cuts else None)
+
+
+class TestForecast:
+    def test_seasonal_naive_construction(self, spark, sf_dir):
+        out = {r["horizon_day"]: r for r in _rows("ts_seasonal_naive_forecast", spark, sf_dir)}
+        assert set(out) == set(range(1, 8))
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        from collections import defaultdict
+        import datetime as dt
+
+        daily = defaultdict(float)
+        for r in e:
+            daily[r["ts"].date()] += round(r["value"], 2)
+        days = sorted(daily)
+        import math as _math
+
+        drift = _math.floor(
+            (daily[days[-1]] - daily[days[0]]) / (len(days) - 1) * 1e4 + 0.5
+        ) / 1e4
+        for k in range(1, 8):
+            season_day = days[-1] + dt.timedelta(days=k - 7)
+            want = _math.floor((daily[season_day] + k * drift) * 1e4 + 0.5) / 1e4
+            r = out[k]
+            assert r["forecast_date"] == (
+                days[-1] + dt.timedelta(days=k)
+            ).isoformat()
+            assert r["forecast"] == pytest.approx(want, abs=1e-6)
+
+
+class TestDrawdown:
+    def test_matches_reference_scan_and_is_nonvacuous(self, spark, sf_dir):
+        out = {r["user_id"]: r for r in _rows("window_max_drawdown", spark, sf_dir)}
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        from collections import defaultdict
+
+        flows = defaultdict(list)
+        for r in sorted(e, key=lambda r: (r["ts"], r["event_id"])):
+            v = round(r["value"], 2)
+            flows[r["user_id"]].append(
+                v if r["event_type"] in ("purchase", "signup") else -v
+            )
+        any_positive = False
+        for u, fs in flows.items():
+            c = peak = dd = 0.0
+            peak = float("-inf")
+            for f in fs:
+                c = round(c + f, 2)
+                peak = max(peak, c)
+                dd = max(dd, round(peak - c, 2))
+            r = out[u]
+            assert r["max_drawdown"] == pytest.approx(dd, abs=1e-6)
+            assert r["peak_value"] == pytest.approx(peak, abs=1e-6)
+            if dd > 0:
+                any_positive = True
+        assert any_positive
