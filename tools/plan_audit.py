@@ -57,6 +57,7 @@ EXPECTED_SCALAR_BNLJ = {
     "dq_constraint_check",  # 1-row metric agg × 1-row anti-join orphan count
     "text_bm25_topk",  # broadcast 1-row corpus stats (N, avgdl)
     "embed_top_pc_power_iter",  # per-iteration 1-row divisor/norm/sign scalars
+    "ts_seasonal_naive_forecast",  # broadcast 1-row anchor/drift scalars
 }
 # Deliberate broadcast containment join (tiny snippet table).
 EXPECTED_NLJ.add("decontam_exact_substring")
