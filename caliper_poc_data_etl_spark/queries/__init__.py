@@ -272,6 +272,7 @@ _NEXT: list[str] = [
     "mm_video_scene_cuts",
     "ts_seasonal_naive_forecast",
     "window_max_drawdown",
+    "join_asof_nearest",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -2102,3 +2102,98 @@ def join_point_in_time_scd2(spark, sf_dir):
             "tier_at_click",
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH stream AS (
+      SELECT event_id, user_id, ts, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ), anchored AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click' THEN ts END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, event_type, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prior_ts,
+             first_value(CASE WHEN event_type = 'click' THEN ts END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id
+                     ORDER BY ts, event_type, event_id
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS next_ts
+      FROM stream
+    )
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(CASE
+             WHEN prior_ts IS NULL THEN next_ts
+             WHEN next_ts IS NULL THEN prior_ts
+             WHEN epoch_us(ts) - epoch_us(prior_ts)
+                  <= epoch_us(next_ts) - epoch_us(ts) THEN prior_ts
+             ELSE next_ts
+           END, '%Y-%m-%d %H:%M:%S.%f') AS nearest_click_ts,
+           (prior_ts IS NOT NULL AND (next_ts IS NULL
+             OR epoch_us(ts) - epoch_us(prior_ts)
+                <= epoch_us(next_ts) - epoch_us(ts))) AS matched_backward
+    FROM anchored WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """As-of join, direction='nearest' (the third pandas merge_asof
+    mode): each purchase matches its temporally CLOSEST click — before
+    or after — with ties to the earlier one. Completes the as-of
+    family (backward ``join_asof``, bounded ``join_asof_tolerance``,
+    nearest here); 'nearest' is the alignment rule for sensor fusion
+    and quote matching where causality doesn't privilege the past.
+
+    Same single-shuffle engineering as its siblings: one
+    user-partitioned sort feeds BOTH anchors (running IGNORE NULLS
+    last for the prior click, reversed-frame first for the next), and
+    the nearest pick is one integer timestamp comparison — never the
+    quadratic candidate-pair form. Purchases at exactly equal
+    distance choose the backward anchor (documented, deterministic)."""
+    e = t(spark, sf_dir, "events")
+    stream = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    anchored = stream.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(click_ts, ignorenulls=True).over(back).alias("prior_ts"),
+        F.first(click_ts, ignorenulls=True).over(fwd).alias("next_ts"),
+    )
+    d_prior = F.unix_micros("ts") - F.unix_micros("prior_ts")
+    d_next = F.unix_micros("next_ts") - F.unix_micros("ts")
+    backward = F.col("prior_ts").isNotNull() & (
+        F.col("next_ts").isNull() | (d_prior <= d_next)
+    )
+    nearest = (
+        F.when(F.col("prior_ts").isNull(), F.col("next_ts"))
+        .when(F.col("next_ts").isNull(), F.col("prior_ts"))
+        .when(d_prior <= d_next, F.col("prior_ts"))
+        .otherwise(F.col("next_ts"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return anchored.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", fmt).alias("purchase_ts"),
+        F.date_format(nearest, fmt).alias("nearest_click_ts"),
+        backward.alias("matched_backward"),
+    )

@@ -1094,3 +1094,30 @@ class TestDrawdown:
             if dd > 0:
                 any_positive = True
         assert any_positive
+
+
+class TestAsofNearest:
+    def test_nearest_is_truly_nearest(self, spark, sf_dir):
+        import datetime as dt
+
+        out = {r["event_id"]: r for r in _rows("join_asof_nearest", spark, sf_dir)}
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        from collections import defaultdict
+
+        clicks = defaultdict(list)
+        purchases = []
+        for r in e:
+            if r["event_type"] == "click":
+                clicks[r["user_id"]].append(r["ts"])
+            elif r["event_type"] == "purchase":
+                purchases.append(r)
+        fmt = "%Y-%m-%d %H:%M:%S.%f"
+        for p in purchases:
+            r = out[p["event_id"]]
+            cs = clicks.get(p["user_id"], [])
+            if not cs:
+                assert r["nearest_click_ts"] is None
+                continue
+            best = min(cs, key=lambda c: (abs(c - p["ts"]), c > p["ts"]))
+            assert r["nearest_click_ts"] == best.strftime(fmt)
+            assert r["matched_backward"] == (best <= p["ts"])
