@@ -625,27 +625,30 @@ def text_tokenize_vocab_ids(spark, sf_dir):
     WITH sums AS (
       SELECT event_type,
              COUNT(*) AS n,
-             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(28,6))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(ROUND(value * value, 6) AS DECIMAL(38,6)))
-                  AS DOUBLE) AS s2,
-             CAST(SUM(CAST(ROUND(value * value * value, 6) AS DECIMAL(38,6)))
-                  AS DOUBLE) AS s3,
-             CAST(SUM(CAST(ROUND(value * value * value * value, 6)
-                  AS DECIMAL(38,6))) AS DOUBLE) AS s4
+             CAST(SUM(CAST(FLOOR(value * 1e6 + 0.5)
+                  AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS s1,
+             CAST(SUM(CAST(FLOOR(value * value * 1e6 + 0.5)
+                  AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS s2,
+             CAST(SUM(CAST(FLOOR(value * value * value * 1e6 + 0.5)
+                  AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS s3,
+             CAST(SUM(CAST(FLOOR(value * value * value * value * 1e6 + 0.5)
+                  AS DECIMAL(38,0))) AS DOUBLE) / 1e6 AS s4
       FROM events GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           ROUND(s1 / n, 6) AS mean,
-           ROUND(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS std_pop,
-           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n)
+           FLOOR(s1 / n * 1e6 + 0.5) / 1e6 AS mean,
+           FLOOR(sqrt(s2 / n - (s1 / n) * (s1 / n)) * 1e6 + 0.5) / 1e6
+             AS std_pop,
+           FLOOR((s3 / n - 3 * (s1 / n) * (s2 / n)
                   + 2 * (s1 / n) * (s1 / n) * (s1 / n))
-                 / pow(sqrt(s2 / n - (s1 / n) * (s1 / n)), 3), 6) AS skew_pop,
-           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                 / pow(sqrt(s2 / n - (s1 / n) * (s1 / n)), 3)
+                 * 1e6 + 0.5) / 1e6 AS skew_pop,
+           FLOOR(((s4 / n - 4 * (s1 / n) * (s3 / n)
                   + 6 * (s1 / n) * (s1 / n) * (s2 / n)
                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
                  / ((s2 / n - (s1 / n) * (s1 / n))
-                    * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6)
-             AS kurt_excess
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3)
+                 * 1e6 + 0.5) / 1e6 AS kurt_excess
     FROM sums
     """,
 )
@@ -657,22 +660,31 @@ def agg_moments_pack(spark, sf_dir):
     disagree on bias correction (Spark emits population g₁/g₂, DuckDB
     sample-corrected G₁/g₂-style), so the pack derives the moments
     explicitly — which is also the only shape that lets the
-    accumulation run in exact DECIMAL: each per-row power is an
-    engine-identical double rounded to 6 dp BEFORE the decimal sum, so
-    no summation-order divergence survives; the closing moment algebra
-    is one identical IEEE expression chain per side."""
+    accumulation run in exact DECIMAL: each per-row power is
+    floor-quantized to integer MICRO-UNITS (floor(x·1e6 + 0.5) — the
+    repo's floor-rounding convention; ROUND on doubles diverges on
+    shortest-repr ties, the unpivot_measures class) before an exact
+    DECIMAL(38,0) sum, so no summation-order or tie divergence
+    survives; the closing moment algebra is one identical IEEE
+    expression chain per side. Micro-unit bound: v⁴·1e6 must stay
+    below 2⁶³ (v < ~55 000) — holds for this domain's value range."""
     e = t(spark, sf_dir, "events")
     v = F.col("value")
 
-    def psum(expr, prec):
-        return F.sum(F.round(expr, 6).cast(f"decimal({prec},6)")).cast("double")
+    def psum(expr):
+        return (
+            F.sum(
+                F.floor(expr * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+            ).cast("double")
+            / F.lit(1e6)
+        )
 
     sums = e.groupBy("event_type").agg(
         F.count("*").alias("n_raw"),
-        psum(v, 28).alias("s1"),
-        psum(v * v, 38).alias("s2"),
-        psum(v * v * v, 38).alias("s3"),
-        psum(v * v * v * v, 38).alias("s4"),
+        psum(v).alias("s1"),
+        psum(v * v).alias("s2"),
+        psum(v * v * v).alias("s3"),
+        psum(v * v * v * v).alias("s4"),
     )
     n = F.col("n_raw").cast("double")
     m = F.col("s1") / n
@@ -684,13 +696,14 @@ def agg_moments_pack(spark, sf_dir):
         + 6 * m * m * (F.col("s2") / n)
         - 3 * m * m * m * m
     )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     return sums.select(
         "event_type",
         F.col("n_raw").cast("long").alias("n"),
-        F.round(m, 6).alias("mean"),
-        F.round(F.sqrt(m2), 6).alias("std_pop"),
-        F.round(m3 / F.pow(F.sqrt(m2), 3), 6).alias("skew_pop"),
-        F.round(m4 / (m2 * m2) - 3, 6).alias("kurt_excess"),
+        r6(m).alias("mean"),
+        r6(F.sqrt(m2)).alias("std_pop"),
+        r6(m3 / F.pow(F.sqrt(m2), 3)).alias("skew_pop"),
+        r6(m4 / (m2 * m2) - 3).alias("kurt_excess"),
     )
 
 
@@ -843,7 +856,7 @@ def fn_regex_all_pack(spark, sf_dir):
     SELECT event_type,
            CAST(SUM(c) AS BIGINT) AS n,
            CAST(ROUND(SUM(s), 2) AS DOUBLE) AS total,
-           CAST(ROUND(SUM(s) / SUM(c), 4) AS DOUBLE) AS mean,
+           FLOOR(CAST(SUM(s) AS DOUBLE) / SUM(c) * 1e4 + 0.5) / 1e4 AS mean,
            ROUND(MIN(lo), 2) AS min_value,
            ROUND(MAX(hi), 2) AS max_value,
            CAST(COUNT(*) AS BIGINT) AS n_partials
@@ -874,7 +887,16 @@ def agg_incremental_merge(spark, sf_dir):
     return partials.groupBy("event_type").agg(
         F.sum("c").cast("long").alias("n"),
         F.round(F.sum("s"), 2).cast("double").alias("total"),
-        F.round(F.sum("s") / F.sum("c"), 4).cast("double").alias("mean"),
+        # DECIMAL/COUNT division scale rules differ across engines
+        # (the ts_resample_linear_interp class): double-cast the exact
+        # sum first, then floor-round the identical IEEE quotient.
+        (
+            F.floor(
+                F.sum("s").cast("double") / F.sum("c") * F.lit(1e4)
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("mean"),
         F.round(F.min("lo"), 2).alias("min_value"),
         F.round(F.max("hi"), 2).alias("max_value"),
         F.count("*").cast("long").alias("n_partials"),

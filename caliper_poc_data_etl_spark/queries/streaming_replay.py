@@ -287,8 +287,9 @@ def _foreachbatch_upsert(
 ):
     """Core of stream_foreachbatch_upsert, parameterized so tests can
     force a REAL multi-batch fold (maxFilesPerTrigger=1 over a source
-    staged as several top-level files)."""
-    """Streaming CDC sink via ``foreachBatch``: the event stream
+    staged as several top-level files).
+
+    Streaming CDC sink via ``foreachBatch``: the event stream
     drives per-micro-batch MERGE logic into a keyed state table
     (latest row per key wins, terminal ``error`` tombstones delete) —
     THE production sink shape when the target is a keyed store
@@ -373,7 +374,11 @@ def _foreachbatch_upsert(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # availableNow is guaranteed to terminate once the staged files
+    # drain; a bare awaitTermination(N) that ignores its boolean would
+    # silently grade a partially-merged state table under host
+    # throttling — wait without a timeout instead.
+    q.awaitTermination()
     state = spark.read.parquet(state_dir)
     return state.filter(F.col("event_type") != "error").select(
         "user_id",

@@ -467,7 +467,8 @@ _PPL_FLOOR_LOGP = -13.815511  # ROUND(LN(1e-6), 6) — unseen-bigram backoff
       JOIN uni_counts uc USING (w1)
     )
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(ROUND(SUM(logp) / COUNT(*), 4) AS DOUBLE) AS avg_logp
+           FLOOR(CAST(SUM(logp) AS DOUBLE) / COUNT(*) * 1e4 + 0.5) / 1e4
+             AS avg_logp
     FROM scored GROUP BY doc_id
     """,
 )
@@ -514,9 +515,19 @@ def text_perplexity_proxy(spark, sf_dir):
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.sum("logp") / F.count("*"), 4)
-            .cast("double")
-            .alias("avg_logp"),
+            # DECIMAL-sum / COUNT division scale rules differ across
+            # engines (the ts_resample_linear_interp divergence class):
+            # cast the exact sum to double FIRST, then floor-round the
+            # identical IEEE quotient on both sides.
+            (
+                F.floor(
+                    F.sum("logp").cast("double")
+                    / F.count("*")
+                    * F.lit(1e4)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e4)
+            ).alias("avg_logp"),
         )
     )
 

@@ -771,14 +771,15 @@ EWMA_LOOKBACK = 32  # a=1/2 EWMA: 0.5^32 ≈ 2e-10 — earlier terms are noise
       FROM ordered WHERE rfrom_end <= {EWMA_LOOKBACK}
     ), terms AS (
       SELECT user_id, m,
-        CAST(ROUND(value * (CASE WHEN rfrom_end = m
+        CAST(FLOOR(value * (CASE WHEN rfrom_end = m
                  THEN 1.0 / CAST(1::BIGINT << (m - 1) AS DOUBLE)
-                 ELSE 1.0 / CAST(1::BIGINT << rfrom_end AS DOUBLE) END), 12)
-             AS DECIMAL(28,12)) AS term
+                 ELSE 1.0 / CAST(1::BIGINT << rfrom_end AS DOUBLE) END)
+                 * 1e12 + 0.5)
+             AS DECIMAL(38,0)) AS term
       FROM kept
     )
     SELECT user_id, CAST(MAX(m) AS BIGINT) AS n_terms,
-           CAST(ROUND(SUM(term), 6) AS DOUBLE) AS ewma
+           FLOOR(CAST(SUM(term) AS DOUBLE) / 1e12 * 1e6 + 0.5) / 1e6 AS ewma
     FROM terms GROUP BY user_id
     """,
 )
@@ -795,8 +796,12 @@ def ts_ewma_smoothing(spark, sf_dir):
 
     Cross-engine determinism: α=1/2 makes every weight an exact dyadic
     (computed as ``1 / (1 << k)`` — no ``pow()``, whose last-ulp
-    behavior differs between libm and the JVM); each term rounds to
-    12 dp and the sum accumulates in DECIMAL(28,12)."""
+    behavior differs between libm and the JVM); each term is
+    floor-quantized to integer PICO-units (floor(x·1e12 + 0.5) — the
+    repo's floor convention; ROUND on doubles diverges on
+    shortest-repr ties) and the sum accumulates exactly in
+    DECIMAL(38,0). term·1e12 < 2.8e14 ≪ 2⁵³, so every step is
+    IEEE-identical across engines."""
     e = t(spark, sf_dir, "events")
     wdesc = W.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -813,13 +818,23 @@ def ts_ewma_smoothing(spark, sf_dir):
         ),
     )
     weight = F.expr("1.0 / cast(shiftleft(cast(1 as bigint), k) as double)")
-    term = F.round(F.col("value") * weight, 12).cast("decimal(28,12)")
+    term = F.floor(F.col("value") * weight * F.lit(1e12) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
     return (
         kept.select("user_id", "m", term.alias("term"))
         .groupBy("user_id")
         .agg(
             F.max("m").cast("long").alias("n_terms"),
-            F.round(F.sum("term"), 6).cast("double").alias("ewma"),
+            (
+                F.floor(
+                    F.sum("term").cast("double")
+                    / F.lit(1e12)
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("ewma"),
         )
     )
 
