@@ -1,10 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Runs a representative subset of the declared query surface (one per
-operator family, heaviest variant) on ``local[$SPARK_GRAFT_CPUS]`` and
-prints exactly ONE JSON line:
+operator family, heaviest variant) on ``local[$SPARK_GRAFT_CPUS]``.
+The LAST stdout line is the compact headline JSON object:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+A separate earlier ``bench_diagnostics`` JSON line carries the bulky
+per-trial spreads and the Spark-free host calibration anchors (r4's
+single fat line exceeded the driver's tail capture and graded as
+``parsed: null`` — the headline object must stay small and last).
 
 ``value`` is the wall-clock sum over the headline queries (excluding
 Spark session startup), which is the driver's headline number. Each
@@ -13,7 +18,10 @@ outputs) so the full plan executes; nothing is cached between queries
 so each timing includes its own scan.
 
 Each query runs ``SPARK_GRAFT_BENCH_TRIALS`` times (default 3) and
-reports the MIN — the capability number. Rationale: round 2 recorded a
+reports the MIN — the capability number — except the two 1M file-sink
+entries, keyed on MEDIAN: host metadata throttling inverted their
+trial trend in r4 (min = cold first trial), so min is no longer the
+conservative read there. Rationale: round 2 recorded a
 uniform 20-50% slowdown on queries whose code had not changed (r1 q1
 3.05s → r2 3.67s and siblings alike), which no plan can explain;
 single-shot timings on a shared sandbox conflate the engine with
@@ -368,6 +376,31 @@ def main() -> int:
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
+    # Detail line FIRST (trial spreads + host calibration anchors):
+    # the driver tail-captures stdout and r4's single fat line got
+    # truncated mid-object ("parsed": null) — so the bulky diagnostics
+    # go on their own earlier line and the compact headline object is
+    # the LAST line, guaranteed to fit the capture window.
+    print(
+        json.dumps(
+            {
+                "detail": "bench_diagnostics",
+                "trials": trials_n,
+                "trial_times": trial_times,
+                "caliper_items_100k_min_sec": caliper_wall,
+                "caliper_items_1m_min_sec": big_wall,
+                "caliper_items_1m_bulk_min_sec": bulk_wall,
+                "file_create_ceiling_files_per_sec": ceiling_fps,
+                "file_create_steady_state_files_per_sec": ceiling_steady_fps,
+                "host_cpu_gflops": cpu_gflops,
+                "host_proc_spawns_per_sec": spawn_rate,
+            }
+        )
+    )
+    # The two 1M file-sink entries are keyed on MEDIAN (not min): the
+    # r4 trial trend inverted under host metadata throttling (min was
+    # the cold first trial), so min-of-trials is no longer the
+    # conservative convention there. Min stays in the detail line.
     print(
         json.dumps(
             {
@@ -378,19 +411,16 @@ def main() -> int:
                 "sf": _sf_from_dir(SF_DIR),
                 "caliper_items_rows_per_sec": caliper_rps,
                 "caliper_items_100k_median_sec": med_100k,
-                "caliper_items_1m_e2e_sec": big_wall,
-                "caliper_items_1m_median_sec": med_1m,
-                "caliper_items_1m_rows_per_sec": big_rps,
-                "caliper_items_1m_bulk_e2e_sec": bulk_wall,
-                "caliper_items_1m_bulk_median_sec": med_bulk,
-                "caliper_items_1m_bulk_rows_per_sec": bulk_rps,
+                "caliper_items_1m_e2e_sec": med_1m,
+                "caliper_items_1m_rows_per_sec": round(
+                    CALIPER_ROWS_BIG / med_1m, 1
+                ),
+                "caliper_items_1m_bulk_e2e_sec": med_bulk,
+                "caliper_items_1m_bulk_rows_per_sec": round(
+                    CALIPER_ROWS_BIG / med_bulk, 1
+                ),
                 "q1_on_relaid_input_sec": q1_relaid,
                 "trials": trials_n,
-                "trial_times": trial_times,
-                "file_create_ceiling_files_per_sec": ceiling_fps,
-                "file_create_steady_state_files_per_sec": ceiling_steady_fps,
-                "host_cpu_gflops": cpu_gflops,
-                "host_proc_spawns_per_sec": spawn_rate,
             }
         )
     )
