@@ -41,6 +41,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     training,
     skewed,
     extended,
+    round5,
 )
 
 # ---------------------------------------------------------------------------

