@@ -172,11 +172,12 @@ KM_K = 8
 KM_ITERS = 4
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_oracle(tail: str | None = None) -> str:
     """Chained-CTE Lloyd iterations on the integer-quantized embedding
     matrix — assignment distances and centroid updates are pure
     integer arithmetic (half-away integer division for the mean), so
     every iteration is exact cross-engine; no floating point anywhere.
+    ``tail`` overrides the closing SELECT (default: final assignment).
     """
     head = f"""
     WITH xe AS MATERIALIZED (
@@ -217,6 +218,10 @@ def _kmeans_oracle() -> str:
       FROM c{i-1} p LEFT JOIN m{i} m ON m.k = p.k AND m.j = p.j
     )""")
     n = KM_ITERS
+    if tail is None:
+        tail = """
+    SELECT vec_id, k AS cluster, CAST(d2 AS BIGINT) AS dist_sq FROM af
+    """
     return (
         head
         + ",\n    "
@@ -225,41 +230,23 @@ def _kmeans_oracle() -> str:
     df AS (
       SELECT xe.vec_id, c.k, SUM((xe.x - c.c) * (xe.x - c.c)) AS d2
       FROM xe JOIN c{n} c ON c.j = xe.j GROUP BY xe.vec_id, c.k
+    ),
+    af AS (
+      SELECT vec_id, k, d2 FROM (
+        SELECT vec_id, k, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
+        FROM df
+      ) WHERE rn = 1
     )
-    SELECT vec_id, k AS cluster, CAST(d2 AS BIGINT) AS dist_sq FROM (
-      SELECT vec_id, k, d2,
-             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, k) AS rn
-      FROM df
-    ) WHERE rn = 1
+    {tail}
     """
     )
 
 
-@query("embed_kmeans_assign", oracle=_kmeans_oracle())
-def embed_kmeans_assign(spark, sf_dir):
-    """k-means (Lloyd) over the embedding corpus — the standard final
-    stage of semantic dedup (cluster, then keep one representative
-    per semantic neighborhood) and the 4th iterative operator next to
-    PageRank / connected components / power iteration. K=8 fixed
-    centroids, 4 fixed assign→update rounds, then a final assignment;
-    seeds are the K lowest vec_ids (deterministic, no RNG).
-
-    Engine-exact by construction (the power-iteration recipe,
-    similarity.py:771): embeddings quantize to integers (×1000);
-    distances are integer sums of squares; the centroid mean
-    re-quantizes with the half-away integer-division identity
-    round(s/n) = sign·((2|s|+n) div 2n) — NO floating point in any
-    iteration, so every round is bit-exact cross-engine. Ties in the
-    argmin break on lowest cluster id; empty clusters keep their
-    previous centroid.
-
-    Scale shape: per round, one broadcast of the K·64-row centroid
-    table into the exploded matrix (map-side), one
-    groupBy(vec_id, k) bounded by n·K, one argmin window partitioned
-    by vec_id, one groupBy(k, j) bounded by K·64 — shuffles scale
-    with |vectors|, never |vectors|²; lineage truncates per round
-    (localCheckpoint, the graph.pagerank discipline, zero driver
-    scalars)."""
+def _kmeans_final_assignment(spark, sf_dir):
+    """Shared Lloyd machinery for the kmeans queries: the final
+    (vec_id, k, d2) assignment after KM_ITERS exact integer rounds.
+    See embed_kmeans_assign for semantics and scale posture."""
     e = t(spark, sf_dir, "embeddings")
     xe = (
         e.select(
@@ -331,8 +318,38 @@ def embed_kmeans_assign(spark, sf_dir):
             )
             .localCheckpoint(eager=True)
         )
-    return assign(c).select(
-        "vec_id", F.col("k").alias("cluster"), F.col("d2").cast("long").alias("dist_sq")
+    return assign(c)
+
+
+@query("embed_kmeans_assign", oracle=_kmeans_oracle())
+def embed_kmeans_assign(spark, sf_dir):
+    """k-means (Lloyd) over the embedding corpus — the standard final
+    stage of semantic dedup (cluster, then keep one representative
+    per semantic neighborhood) and the 4th iterative operator next to
+    PageRank / connected components / power iteration. K=8 fixed
+    centroids, 4 fixed assign→update rounds, then a final assignment;
+    seeds are the K lowest vec_ids (deterministic, no RNG).
+
+    Engine-exact by construction (the power-iteration recipe,
+    similarity.py:771): embeddings quantize to integers (×1000);
+    distances are integer sums of squares; the centroid mean
+    re-quantizes with the half-away integer-division identity
+    round(s/n) = sign·((2|s|+n) div 2n) — NO floating point in any
+    iteration, so every round is bit-exact cross-engine. Ties in the
+    argmin break on lowest cluster id; empty clusters keep their
+    previous centroid.
+
+    Scale shape: per round, one broadcast of the K·64-row centroid
+    table into the exploded matrix (map-side), one
+    groupBy(vec_id, k) bounded by n·K, one argmin window partitioned
+    by vec_id, one groupBy(k, j) bounded by K·64 — shuffles scale
+    with |vectors|, never |vectors|²; lineage truncates per round
+    (localCheckpoint, the graph.pagerank discipline, zero driver
+    scalars)."""
+    return _kmeans_final_assignment(spark, sf_dir).select(
+        "vec_id",
+        F.col("k").alias("cluster"),
+        F.col("d2").cast("long").alias("dist_sq"),
     )
 
 
@@ -430,4 +447,184 @@ def q3_bucketed_top_revenue(spark, sf_dir):
         )
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
+    )
+
+
+@query(
+    "embed_kmeans_representatives",
+    oracle=_kmeans_oracle(
+        tail="""
+    SELECT k AS cluster,
+           CAST(MIN(vec_id) FILTER (WHERE rn = 1) AS BIGINT) AS rep_vec_id,
+           CAST(MIN(d2) FILTER (WHERE rn = 1) AS BIGINT) AS rep_dist_sq,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM (
+      SELECT vec_id, k, d2,
+             ROW_NUMBER() OVER (PARTITION BY k ORDER BY d2, vec_id) AS rn
+      FROM af
+    ) GROUP BY k
+    """
+    ),
+)
+def embed_kmeans_representatives(spark, sf_dir):
+    """Semantic-dedup survivor selection: after k-means clustering
+    (``embed_kmeans_assign``), keep ONE representative per semantic
+    neighborhood — the member closest to its final centroid (ties
+    break on lowest vec_id). This is the stage that actually shrinks
+    a training corpus: SemDeDup-style pipelines cluster embeddings,
+    then keep the most central exemplar (or drop the rest above a
+    similarity threshold). Output is one row per non-empty cluster
+    with the representative, its distance, and the cluster size.
+
+    Same exact-integer Lloyd machinery as embed_kmeans_assign (shared
+    helper), plus one argmin window partitioned by cluster — bounded
+    by |vectors|, single extra shuffle."""
+    af = _kmeans_final_assignment(spark, sf_dir)
+    wk = W.partitionBy("k").orderBy("d2", "vec_id")
+    return (
+        af.withColumn("rn", F.row_number().over(wk))
+        .groupBy("k")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("vec_id")))
+            .cast("long")
+            .alias("rep_vec_id"),
+            F.min(F.when(F.col("rn") == 1, F.col("d2")))
+            .cast("long")
+            .alias("rep_dist_sq"),
+            F.count("*").cast("long").alias("n_members"),
+        )
+        .select(
+            F.col("k").alias("cluster"),
+            "rep_vec_id",
+            "rep_dist_sq",
+            "n_members",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 analog + scalable COUNT DISTINCT formulation
+# ---------------------------------------------------------------------------
+
+Q21_LATE_DAYS = 80
+
+
+@query(
+    "q21_sole_late_supplier",
+    oracle=f"""
+    WITH late AS (
+      SELECT DISTINCT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate > o.o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q21_sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier order (late = shipped > {Q21_LATE_DAYS} days after
+    the order date — shipdate stands in for the missing
+    commit/receipt dates, the q4 convention). The signature plan
+    feature is the correlated EXISTS + NOT EXISTS pair against the
+    SAME fact table: Spark plans them as a left-semi and a left-anti
+    self-join on the order key — no row multiplication anywhere, both
+    sides shuffle once on l_orderkey, and the supplier dimension
+    broadcasts. Top-20 is deterministic (s_name unique)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late
+    l2 = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    sole_late = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.k2) & (l1.l_suppkey != l2.s2),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == l3.k3) & (F.col("l_suppkey") != l3.s3),
+            "left_anti",
+        )
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "agg_two_level_count_distinct",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             COUNT(DISTINCT user_id) AS daily_users
+      FROM events GROUP BY 1, 2
+    ), exact AS (
+      SELECT event_type, COUNT(*) AS n_users
+      FROM (SELECT DISTINCT event_type, user_id FROM events)
+      GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(e.n_users AS BIGINT) AS n_users_exact,
+           CAST(SUM(d.daily_users) AS BIGINT) AS sum_daily_distinct
+    FROM exact e JOIN daily d USING (event_type)
+    GROUP BY e.event_type, e.n_users
+    """,
+)
+def agg_two_level_count_distinct(spark, sf_dir):
+    """The scalable COUNT(DISTINCT) formulation, declared as surface:
+    a single-shot count-distinct over a skewed key concentrates every
+    group's value set on one reducer, while the TWO-LEVEL form —
+    dedupe on (group, value) first (partial-aggregatable, map-side
+    combinable), then count — distributes freely; it's what Spark's
+    own distinct-aggregate rewrite does internally. The output also
+    carries sum-of-daily-distincts next to the exact count to pin the
+    classic non-algebraic-merge bug: distinct counts DON'T add across
+    partitions (a user active on 2 days counts twice in the sum) —
+    the same lesson agg_incremental_merge teaches for averages.
+    sum_daily_distinct ≥ n_users_exact, equality iff no user repeats
+    across days; the pytest twin asserts the inequality is strict on
+    this corpus."""
+    e = t(spark, sf_dir, "events")
+    exact = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count("*").cast("long").alias("n_users_exact"))
+    )
+    daily = (
+        e.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.countDistinct("user_id").alias("daily_users"))
+        .groupBy("event_type")
+        .agg(F.sum("daily_users").cast("long").alias("sum_daily_distinct"))
+    )
+    return exact.join(daily, "event_type").select(
+        "event_type", "n_users_exact", "sum_daily_distinct"
     )

@@ -166,3 +166,90 @@ class TestBucketedQ3:
         assert _n_shuffles(bucketed) == 0, (
             bucketed._jdf.queryExecution().executedPlan().toString()
         )
+
+
+class TestKmeansRepresentatives:
+    def test_consistent_with_assignment(self, spark, sf_dir):
+        assign = {
+            r["vec_id"]: (r["cluster"], r["dist_sq"])
+            for r in QUERIES["embed_kmeans_assign"].spark(spark, sf_dir).collect()
+        }
+        reps = QUERIES["embed_kmeans_representatives"].spark(spark, sf_dir).collect()
+        sizes: dict[int, int] = {}
+        for v, (c, _) in assign.items():
+            sizes[c] = sizes.get(c, 0) + 1
+        assert sum(r["n_members"] for r in reps) == len(assign)
+        for r in reps:
+            c = r["cluster"]
+            assert sizes[c] == r["n_members"]
+            # the representative belongs to its cluster and is argmin
+            assert assign[r["rep_vec_id"]][0] == c
+            members = [
+                (d, v) for v, (k, d) in assign.items() if k == c
+            ]
+            best = min(members)
+            assert (r["rep_dist_sq"], r["rep_vec_id"]) == best
+
+
+class TestQ21SoleLateSupplier:
+    def test_matches_bruteforce(self, spark, sf_dir):
+        from collections import defaultdict
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").collect()
+        o = {
+            r["o_orderkey"]: r["o_orderdate"]
+            for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+        }
+        snames = {
+            r["s_suppkey"]: r["s_name"]
+            for r in spark.read.parquet(f"{sf_dir}/supplier.parquet").collect()
+        }
+        import datetime as dt
+
+        late_pairs = set()
+        supps_per_order = defaultdict(set)
+        for r in li:
+            supps_per_order[r["l_orderkey"]].add(r["l_suppkey"])
+            od = o[r["l_orderkey"]]
+            if r["l_shipdate"] > od + dt.timedelta(days=80):
+                late_pairs.add((r["l_orderkey"], r["l_suppkey"]))
+        late_per_order = defaultdict(set)
+        for k, s in late_pairs:
+            late_per_order[k].add(s)
+        counts = defaultdict(int)
+        for k, s in late_pairs:
+            if len(supps_per_order[k]) >= 2 and late_per_order[k] == {s}:
+                counts[snames[s]] += 1
+        expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        out = [
+            (r["s_name"], r["numwait"])
+            for r in QUERIES["q21_sole_late_supplier"].spark(spark, sf_dir).collect()
+        ]
+        assert out == expected
+        assert out, "fixture produced no sole-late suppliers"
+
+
+class TestTwoLevelCountDistinct:
+    def test_exact_and_inequality(self, spark, sf_dir):
+        e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", "user_id", F.to_date("ts").alias("day")
+        ).collect()
+        exact: dict[str, set] = {}
+        daily: dict[tuple, set] = {}
+        for r in e:
+            exact.setdefault(r["event_type"], set()).add(r["user_id"])
+            daily.setdefault((r["event_type"], r["day"]), set()).add(r["user_id"])
+        out = QUERIES["agg_two_level_count_distinct"].spark(spark, sf_dir).collect()
+        assert len(out) == len(exact)
+        any_strict = False
+        for r in out:
+            assert r["n_users_exact"] == len(exact[r["event_type"]])
+            sum_daily = sum(
+                len(v) for (et, _), v in daily.items() if et == r["event_type"]
+            )
+            assert r["sum_daily_distinct"] == sum_daily
+            assert r["sum_daily_distinct"] >= r["n_users_exact"]
+            if r["sum_daily_distinct"] > r["n_users_exact"]:
+                any_strict = True
+        # distinct counts don't add across days on this corpus
+        assert any_strict
