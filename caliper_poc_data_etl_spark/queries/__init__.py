@@ -279,6 +279,8 @@ _NEXT: list[str] = [
     "embed_kmeans_representatives",
     "q21_sole_late_supplier",
     "agg_two_level_count_distinct",
+    "text_bpe_pair_stats",
+    "dq_benford_digits",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -628,3 +628,154 @@ def agg_two_level_count_distinct(spark, sf_dir):
     return exact.join(daily, "event_type").select(
         "event_type", "n_users_exact", "sum_daily_distinct"
     )
+
+
+BPE_PAIR_TOPN = 30
+
+
+def _bpe_pair_oracle() -> str:
+    rep = "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')"
+    for a, b in BPE_MERGES:
+        for _ in range(BPE_SWEEPS):
+            rep = f"replace({rep}, ' {a} {b} ', ' {a}{b} ')"
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(text), '[^a-z]+', '|', 'g'),
+                            '^\\||\\|$', '', 'g') AS w
+      FROM documents
+    ), enc AS (
+      SELECT doc_id, string_split(trim({rep}), ' ') AS sy
+      FROM base WHERE w <> ''
+    ), pairs AS (
+      SELECT sy[u.i] AS left_sym, sy[u.i + 1] AS right_sym
+      FROM enc, unnest(range(1, len(sy))) AS u(i)
+      WHERE sy[u.i] <> '|' AND sy[u.i + 1] <> '|'
+    )
+    SELECT left_sym, right_sym, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY left_sym, right_sym
+    ORDER BY n DESC, left_sym, right_sym
+    LIMIT {BPE_PAIR_TOPN}
+    """
+
+
+@query("text_bpe_pair_stats", oracle=_bpe_pair_oracle())
+def text_bpe_pair_stats(spark, sf_dir):
+    """The LEARNING side of BPE: adjacent symbol-pair frequencies over
+    the corpus AFTER the frozen merges apply — exactly the statistic
+    a BPE trainer computes to pick the next merge (the top row IS
+    merge rank len(BPE_MERGES)+1). One such aggregation per learned
+    merge is the whole training loop; declaring it as graded surface
+    proves the engine can run that loop distributed.
+
+    Scale shape: encode is the same zero-shuffle projection as
+    text_bpe_tokenize; pairs explode linearly in token count and
+    reduce through ONE partial-aggregated groupBy on (left, right) —
+    the canonical word-count shape. Deterministic top-N via
+    (count desc, pair asc)."""
+    d = t(spark, sf_dir, "documents")
+    sy = bpe_symbols_expr(F.lower(F.col("text")))
+    enc = d.select(sy.alias("sy")).filter(
+        ~((F.size("sy") == 1) & (F.element_at("sy", 1) == ""))
+    )
+    syc = F.col("sy")
+    pairs = enc.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syc) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syc, i).alias("left_sym"),
+                        F.element_at(syc, i + 1).alias("right_sym"),
+                    ),
+                ),
+                lambda p: (p["left_sym"] != "|") & (p["right_sym"] != "|"),
+            )
+        ).alias("p")
+    ).select("p.left_sym", "p.right_sym")
+    return (
+        pairs.groupBy("left_sym", "right_sym")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "left_sym", "right_sym")
+        .limit(BPE_PAIR_TOPN)
+    )
+
+
+# First-digit expectations log10(1 + 1/d), precomputed as shared
+# literals so neither engine's libm is in the comparison path.
+BENFORD_EXPECTED = {
+    1: 0.30103,
+    2: 0.176091,
+    3: 0.124939,
+    4: 0.09691,
+    5: 0.079181,
+    6: 0.066947,
+    7: 0.057992,
+    8: 0.051153,
+    9: 0.045757,
+}
+
+
+def _benford_oracle() -> str:
+    case = " ".join(
+        f"WHEN {d} THEN {p}" for d, p in BENFORD_EXPECTED.items()
+    )
+    return f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           FLOOR(CAST(n AS DOUBLE) / (SELECT total FROM tot) * 1e4 + 0.5)
+             / 1e4 AS share,
+           CAST(CASE digit {case} END AS DOUBLE) AS benford_expected,
+           FLOOR(ABS(CAST(n AS DOUBLE) / (SELECT total FROM tot)
+                     - CASE digit {case} END) * 1e4 + 0.5) / 1e4 AS abs_dev
+    FROM counts
+    """
+
+
+@query("dq_benford_digits", oracle=_benford_oracle())
+def dq_benford_digits(spark, sf_dir):
+    """Benford first-digit audit over order totals — the forensic
+    data-quality screen for fabricated or truncated numeric columns
+    (organic multiplicative data follows log10(1+1/d); uniform or
+    hand-entered data does not). Emits per-digit counts, observed
+    share, the Benford expectation, and the absolute deviation.
+
+    Determinism: counts are exact integers; shares divide by the
+    total in ONE identical IEEE chain and floor-round; the Benford
+    expectations are shared literal constants (6 dp), so neither
+    engine's libm log10 is in the comparison path. Scale: one scan,
+    one 9-group aggregation, one broadcast total — nothing grows with
+    data."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    bexp = F.create_map(
+        *[
+            x
+            for d, p in BENFORD_EXPECTED.items()
+            for x in (F.lit(d), F.lit(p))
+        ]
+    )[F.col("digit")]
+    share_raw = F.col("n").cast("double") / F.col("total")
+    r4 = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        r4(share_raw).alias("share"),
+        bexp.alias("benford_expected"),
+        r4(F.abs(share_raw - bexp)).alias("abs_dev"),
+    )

@@ -253,3 +253,56 @@ class TestTwoLevelCountDistinct:
                 any_strict = True
         # distinct counts don't add across days on this corpus
         assert any_strict
+
+
+class TestBpePairStats:
+    def test_matches_python_replica_and_is_next_merge(self, spark, sf_dir):
+        import re
+        from collections import Counter
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+        counts: Counter = Counter()
+        for r in docs:
+            w = re.sub(r"\|+", "|", re.sub(r"[^a-z]+", "|", r["text"].lower())).strip("|")
+            if not w:
+                continue
+            for word in w.split("|"):
+                sy = _bpe_encode_ref(word)
+                for i in range(len(sy) - 1):
+                    counts[(sy[i], sy[i + 1])] += 1
+        expected = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )[: len(counts)]
+        out = (
+            QUERIES["text_bpe_pair_stats"].spark(spark, sf_dir).collect()
+        )
+        got = [((r["left_sym"], r["right_sym"]), r["n"]) for r in out]
+        assert got == expected[: len(got)]
+        # no already-merged pair can survive the encode with fewer than
+        # BPE_SWEEPS-deep repetition; the top pair is the next merge
+        assert got, "corpus produced no symbol pairs"
+
+
+class TestBenfordDigits:
+    def test_counts_and_shares(self, spark, sf_dir):
+        from collections import Counter
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+        counts: Counter = Counter()
+        for r in o:
+            if r["o_totalprice"] >= 1:
+                counts[int(str(int(r["o_totalprice"]))[0])] += 1
+        total = sum(counts.values())
+        out = QUERIES["dq_benford_digits"].spark(spark, sf_dir).collect()
+        assert {r["digit"] for r in out} == set(counts)
+        from caliper_poc_data_etl_spark.queries.round5 import BENFORD_EXPECTED
+
+        for r in out:
+            assert r["n"] == counts[r["digit"]]
+            import math
+
+            assert r["share"] == pytest.approx(
+                math.floor(counts[r["digit"]] / total * 1e4 + 0.5) / 1e4
+            )
+            assert r["benford_expected"] == BENFORD_EXPECTED[r["digit"]]
+            assert 0 <= r["abs_dev"] <= 1
