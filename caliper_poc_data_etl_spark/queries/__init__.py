@@ -281,6 +281,7 @@ _NEXT: list[str] = [
     "agg_two_level_count_distinct",
     "text_bpe_pair_stats",
     "dq_benford_digits",
+    "graph_sssp_bellman_ford",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -779,3 +779,114 @@ def dq_benford_digits(spark, sf_dir):
         bexp.alias("benford_expected"),
         r4(F.abs(share_raw - bexp)).alias("abs_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted single-source shortest paths (Bellman-Ford, fixed rounds)
+# ---------------------------------------------------------------------------
+
+SSSP_SOURCE = 7
+SSSP_ROUNDS = 6
+
+# Deterministic synthetic weighted edges over documents — the same
+# modular generator family as sql_recursive_cte_bfs (training.py),
+# plus an integer weight derived from the endpoints.
+_SSSP_EDGES_SQL = """
+      SELECT src, dst, (src * 31 + dst * 17) % 97 + 1 AS w FROM (
+        SELECT DISTINCT src, dst FROM (
+          SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+          FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id * 13 + 2) % nn.n FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id * 29 + 3) % nn.n FROM documents, nn
+        ) WHERE src <> dst
+      )
+"""
+
+
+def _sssp_oracle() -> str:
+    head = f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS MATERIALIZED ({_SSSP_EDGES_SQL}),
+    d0 AS (SELECT CAST({SSSP_SOURCE} AS BIGINT) AS node,
+                  CAST(0 AS BIGINT) AS dist)"""
+    steps = []
+    for i in range(1, SSSP_ROUNDS + 1):
+        steps.append(f"""d{i} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{i-1}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + e.w AS dist
+        FROM d{i-1} d JOIN edges e ON e.src = d.node
+      ) GROUP BY node
+    )""")
+    return (
+        head
+        + ",\n    "
+        + ",\n    ".join(steps)
+        + f"""
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d{SSSP_ROUNDS}
+    """
+    )
+
+
+@query("graph_sssp_bellman_ford", oracle=_sssp_oracle())
+def graph_sssp_bellman_ford(spark, sf_dir):
+    """Weighted single-source shortest paths by Bellman-Ford — the
+    5th iterative operator (after PageRank, connected components,
+    power iteration, k-means), covering the weighted-graph case the
+    unweighted recursive-CTE BFS can't express. Fixed SSSP_ROUNDS
+    relaxation rounds bound path length at declared cost (the
+    unbounded fixpoint is the same loop run to no-change); edge
+    weights are deterministic integers, so every round is exact
+    integer arithmetic cross-engine — no tie or rounding conventions
+    at all.
+
+    Scale shape: per round, one join of the O(|reached|) distance
+    frame against the edge list (shuffles on the edge key), one
+    min-groupBy — Pregel's message+combine step as two relational
+    ops; lineage truncates per round (localCheckpoint, zero driver
+    scalars). At 100 TB the edge list is the big side and the
+    distance frame rides broadcast or co-partitioning, exactly like
+    dedup_cluster_cc."""
+    d = t(spark, sf_dir, "documents")
+    nn = d.agg(F.count("*").alias("n"))
+    base = d.select("doc_id").crossJoin(F.broadcast(nn))
+    gen = [(7, 1), (13, 2), (29, 3)]
+    parts = [
+        base.select(
+            F.col("doc_id").alias("src"),
+            ((F.col("doc_id") * a + b) % F.col("n")).alias("dst"),
+        )
+        for a, b in gen
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    edges = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(
+            "src",
+            "dst",
+            ((F.col("src") * 31 + F.col("dst") * 17) % 97 + 1).alias("w"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.range(1).select(
+        F.lit(SSSP_SOURCE).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    )
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select("node", F.col("dist").cast("long").alias("dist"))

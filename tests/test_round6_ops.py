@@ -306,3 +306,46 @@ class TestBenfordDigits:
             )
             assert r["benford_expected"] == BENFORD_EXPECTED[r["digit"]]
             assert 0 <= r["abs_dev"] <= 1
+
+
+class TestSsspBellmanFord:
+    def test_matches_python_replica(self, spark, sf_dir):
+        from collections import defaultdict
+
+        from caliper_poc_data_etl_spark.queries.round5 import (
+            SSSP_ROUNDS,
+            SSSP_SOURCE,
+        )
+
+        n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        doc_ids = [
+            r["doc_id"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id")
+            .collect()
+        ]
+        edges = set()
+        for d in doc_ids:
+            for a, b in ((7, 1), (13, 2), (29, 3)):
+                dst = (d * a + b) % n
+                if dst != d:
+                    edges.add((d, dst))
+        adj = defaultdict(list)
+        for s, dfin in edges:
+            w = (s * 31 + dfin * 17) % 97 + 1
+            adj[s].append((dfin, w))
+        dist = {SSSP_SOURCE: 0}
+        for _ in range(SSSP_ROUNDS):
+            nxt = dict(dist)
+            for node, dd in dist.items():
+                for dst, w in adj[node]:
+                    if dst not in nxt or dd + w < nxt[dst]:
+                        nxt[dst] = min(nxt.get(dst, dd + w), dd + w)
+            dist = nxt
+        out = {
+            r["node"]: r["dist"]
+            for r in QUERIES["graph_sssp_bellman_ford"].spark(spark, sf_dir).collect()
+        }
+        assert out == dist
+        assert out[SSSP_SOURCE] == 0
+        assert len(out) > 1  # the graph is reachable beyond the source
