@@ -282,6 +282,7 @@ _NEXT: list[str] = [
     "text_bpe_pair_stats",
     "dq_benford_digits",
     "graph_sssp_bellman_ford",
+    "dq_table_checksum",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -890,3 +890,69 @@ def graph_sssp_bellman_ford(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
     return dist.select("node", F.col("dist").cast("long").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Order-insensitive table checksum (reconciliation primitive)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq_table_checksum",
+    oracle="""
+    WITH rows_h AS (
+      SELECT o_orderstatus,
+             ('0x' || substr(md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR),
+                 CAST(o_custkey AS VARCHAR),
+                 o_orderstatus,
+                 CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                 strftime(o_orderdate, '%Y-%m-%d'),
+                 o_orderpriority)), 1, 15))::BIGINT AS h
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+    FROM rows_h GROUP BY o_orderstatus
+    """,
+)
+def dq_table_checksum(spark, sf_dir):
+    """Order-insensitive content checksum per partition group — the
+    cross-system reconciliation primitive: after a migration, a CDC
+    replay, or an engine swap, two sides agree iff per-group
+    (n_rows, checksum) agree, with NO row ordering or co-location
+    required. Each row serializes canonically (DECIMAL-formatted
+    money, ISO dates, '|' separator), hashes through md5, and the
+    group checksum is the plain SUM of 60-bit hash prefixes — a
+    commutative fold, so it map-side combines and is independent of
+    partitioning, task order, and merge order. The sum accumulates in
+    DECIMAL(38,0) (38 digits hold 10¹² rows of 60-bit values) and is
+    emitted as a string to stay integer-exact cross-engine.
+
+    This query IS the mechanism the repo's own oracle gate uses
+    (order-insensitive value hashing), declared as user-facing
+    surface. One scan, one partial-agg groupBy; nothing grows with
+    data but the scan."""
+    o = t(spark, sf_dir, "orders")
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(row), 1, 15), 16, 10).cast("long")
+    return (
+        o.select("o_orderstatus", h.alias("h"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(F.col("h").cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("checksum"),
+        )
+    )

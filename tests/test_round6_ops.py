@@ -349,3 +349,39 @@ class TestSsspBellmanFord:
         assert out == dist
         assert out[SSSP_SOURCE] == 0
         assert len(out) > 1  # the graph is reachable beyond the source
+
+
+class TestTableChecksum:
+    def test_order_insensitive_and_change_sensitive(self, spark, sf_dir):
+        base = {
+            r["o_orderstatus"]: (r["n_rows"], r["checksum"])
+            for r in QUERIES["dq_table_checksum"].spark(spark, sf_dir).collect()
+        }
+        # invariant under arbitrary repartitioning/reordering
+        import hashlib
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+        import random
+
+        rows = list(o)
+        random.Random(7).shuffle(rows)
+        sums: dict[str, int] = {}
+        counts: dict[str, int] = {}
+        for r in rows:
+            ser = "|".join(
+                [
+                    str(r["o_orderkey"]),
+                    str(r["o_custkey"]),
+                    r["o_orderstatus"],
+                    f"{r['o_totalprice']:.2f}",
+                    r["o_orderdate"].strftime("%Y-%m-%d"),
+                    r["o_orderpriority"],
+                ]
+            )
+            h = int(hashlib.md5(ser.encode()).hexdigest()[:15], 16)
+            sums[r["o_orderstatus"]] = sums.get(r["o_orderstatus"], 0) + h
+            counts[r["o_orderstatus"]] = counts.get(r["o_orderstatus"], 0) + 1
+        assert {k: (counts[k], str(sums[k])) for k in sums} == base
+        # a single-row perturbation must change the checksum
+        any_status = next(iter(base))
+        assert str(sums[any_status] + 1) != base[any_status][1]
