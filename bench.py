@@ -71,6 +71,11 @@ HEADLINE = [
     "text_quality_score",        # text-analysis pack
     "ts_sliding_window",         # sliding time window agg
     "ts_session_window",         # session windows
+    # round-5 additions (new keys — earlier keys stay comparable
+    # across rounds; the summed `value` covers whatever is listed):
+    "text_bpe_tokenize",         # subword BPE encode (zero-shuffle map)
+    "embed_kmeans_assign",       # exact-integer Lloyd k-means
+    "q3_bucketed_top_revenue",   # Q3 on bucketed layout (0 fact shuffles)
 ]
 
 
