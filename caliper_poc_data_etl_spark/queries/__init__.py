@@ -42,6 +42,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     skewed,
     extended,
     round5,
+    round6,
 )
 
 # ---------------------------------------------------------------------------
@@ -283,6 +284,11 @@ _NEXT: list[str] = [
     "dq_benford_digits",
     "graph_sssp_bellman_ford",
     "dq_table_checksum",
+    "agg_kmv_distinct_sketch",
+    "sample_sequential_poisson",
+    "ml_naive_bayes_train",
+    "window_rolling_median",
+    "dq_referential_integrity",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]
