@@ -289,6 +289,11 @@ _NEXT: list[str] = [
     "ml_naive_bayes_train",
     "window_rolling_median",
     "dq_referential_integrity",
+    "dq_snapshot_diff",
+    "mm_audio_silence_segments",
+    "graph_label_propagation",
+    "stream_scd2_replay",
+    "embed_prefix_nn_fidelity",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

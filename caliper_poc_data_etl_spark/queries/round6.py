@@ -423,3 +423,538 @@ def dq_referential_integrity(spark, sf_dir):
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Keyed snapshot diff (reconciliation over derived state)
+# ---------------------------------------------------------------------------
+
+SNAP_CUTOFF = "2024-01-16 00:00:00"
+
+
+@query(
+    "dq_snapshot_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vq
+      FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '{SNAP_CUTOFF}'
+      ) WHERE rn = 1
+    ), b AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vq
+      FROM (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), d AS (
+      SELECT CASE WHEN a.user_id IS NULL THEN 'added'
+                  WHEN b.user_id IS NULL THEN 'removed'
+                  WHEN a.event_type <> b.event_type THEN 'changed_type'
+                  WHEN a.vq <> b.vq THEN 'changed_value'
+                  ELSE 'unchanged' END AS diff_class
+      FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    )
+    SELECT diff_class, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d GROUP BY diff_class
+    """,
+)
+def dq_snapshot_diff(spark, sf_dir):
+    """Keyed snapshot reconciliation: derive the latest-state table at
+    two points in time (mid-month cutoff vs end of feed) and classify
+    every key as added / removed / changed_type / changed_value /
+    unchanged — the audit a warehouse runs to answer "what did this
+    load actually change?" before publishing. Values floor-quantize to
+    integer cents before comparison so the equality test is exact on
+    both engines.
+
+    Plan: each snapshot is one per-key window reduction (latest row
+    wins), the diff is one full-outer join on the key, and the
+    classification collapses to a 5-row aggregate. The two snapshot
+    windows and the join all hash on user_id, so AQE reuses the
+    partitioning end to end."""
+    e = t(spark, sf_dir, "events")
+    cutoff = F.lit(SNAP_CUTOFF).cast("timestamp")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def snapshot(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "event_type",
+                F.floor(F.col("value") * 100 + F.lit(0.5))
+                .cast("long")
+                .alias("vq"),
+            )
+        )
+
+    a = snapshot(e.filter(F.col("ts") < cutoff)).select(
+        F.col("user_id").alias("a_user"),
+        F.col("event_type").alias("a_type"),
+        F.col("vq").alias("a_vq"),
+    )
+    b = snapshot(e).select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_type").alias("b_type"),
+        F.col("vq").alias("b_vq"),
+    )
+    diff_class = (
+        F.when(F.col("a_user").isNull(), "added")
+        .when(F.col("b_user").isNull(), "removed")
+        .when(F.col("a_type") != F.col("b_type"), "changed_type")
+        .when(F.col("a_vq") != F.col("b_vq"), "changed_value")
+        .otherwise("unchanged")
+    )
+    return (
+        a.join(b, a.a_user == b.b_user, "full_outer")
+        .select(diff_class.alias("diff_class"))
+        .groupBy("diff_class")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence segmentation (gaps-and-islands over frame energy)
+# ---------------------------------------------------------------------------
+
+_SIL_FRAME_BYTES = 64
+_SIL_MEANSQ = 9800  # silent iff mean-square energy < threshold
+
+
+@query(
+    "mm_audio_silence_segments",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id AS media_id,
+             CAST(ceil(octet_length(encode(text)) / {_SIL_FRAME_BYTES}.0)
+               AS INT) AS n_frames,
+             hex(encode(text)) AS hx
+      FROM documents
+      WHERE octet_length(encode(text)) > 0
+    ), frames AS (
+      SELECT media_id, CAST(i AS INT) AS frame_idx,
+             substr(hx, CAST(i * {_SIL_FRAME_BYTES} * 2 + 1 AS BIGINT),
+                    {_SIL_FRAME_BYTES} * 2) AS fhx
+      FROM f, unnest(range(0, n_frames)) AS u(i)
+    ), en AS (
+      SELECT media_id, frame_idx,
+             list_sum(list_transform(
+               list_transform(range(1, CAST(len(fhx) / 2 AS BIGINT) + 1),
+                 j -> ('0x' || substr(fhx, (j - 1) * 2 + 1, 2))::BIGINT),
+               x -> x * x)) AS sq,
+             CAST(len(fhx) / 2 AS BIGINT) AS n
+      FROM frames
+    ), sil AS (
+      SELECT media_id, frame_idx,
+             frame_idx - ROW_NUMBER() OVER (PARTITION BY media_id
+                                            ORDER BY frame_idx) AS grp
+      FROM en WHERE sq < n * {_SIL_MEANSQ}
+    ), seg AS (
+      SELECT media_id, grp,
+             CAST(COUNT(*) AS BIGINT) AS seg_len,
+             MIN(frame_idx) AS seg_start
+      FROM sil GROUP BY media_id, grp
+    )
+    SELECT media_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(seg_len) AS BIGINT) AS n_silent_frames,
+           CAST(MAX(seg_len) AS BIGINT) AS longest_run,
+           CAST(MIN(seg_start) AS INT) AS first_silent_idx
+    FROM seg GROUP BY media_id
+    """,
+)
+def mm_audio_silence_segments(spark, sf_dir):
+    """Silence segmentation over framed audio: frames whose
+    mean-square sample energy falls below a threshold are silent, and
+    consecutive silent frames merge into segments (gaps-and-islands on
+    frame index) — the trim/split primitive of every speech pipeline
+    (VAD front-ends do exactly this with a learned threshold).
+
+    The threshold test is pure integer (sum-of-squares < n·T — no
+    division, no sqrt), the framing is the shared pure-Column
+    ``sample_frames`` plumbing (zero Python, codegen all the way), and
+    the islands trick is one per-media window — so the whole operator
+    is frame-scan + one narrow shuffle on media_id. Swap the byte
+    parse for a PCM decoder at the energy step; everything downstream
+    is unchanged."""
+    from caliper_poc_data_etl_spark.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    frames = sample_frames(
+        documents_as_media(spark, sf_dir), _SIL_FRAME_BYTES, every_n=1
+    )
+    hx = F.hex(F.col("frame"))
+    samples = F.transform(
+        F.sequence(F.lit(1), F.length("frame")),
+        lambda j: F.conv(F.substring(hx, (j - 1) * 2 + 1, 2), 16, 10).cast("long"),
+    )
+    en = frames.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.aggregate(samples, F.lit(0).cast("long"), lambda a, x: a + x * x).alias(
+            "sq"
+        ),
+        F.length("frame").cast("long").alias("n"),
+    )
+    sil = en.filter(F.col("sq") < F.col("n") * _SIL_MEANSQ).select(
+        "media_id",
+        "frame_idx",
+        (
+            F.col("frame_idx")
+            - F.row_number().over(
+                W.partitionBy("media_id").orderBy("frame_idx")
+            )
+        ).alias("grp"),
+    )
+    seg = sil.groupBy("media_id", "grp").agg(
+        F.count("*").alias("seg_len"), F.min("frame_idx").alias("seg_start")
+    )
+    return seg.groupBy("media_id").agg(
+        F.count("*").cast("long").alias("n_segments"),
+        F.sum("seg_len").cast("long").alias("n_silent_frames"),
+        F.max("seg_len").cast("long").alias("longest_run"),
+        F.min("seg_start").cast("int").alias("first_silent_idx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (semi-supervised, fixed rounds)
+# ---------------------------------------------------------------------------
+
+LP_ROUNDS = 3
+_LP_GEN = [(7, 1), (13, 2), (29, 3)]
+
+
+def _lp_oracle() -> str:
+    gens = "\n      UNION ALL\n".join(
+        f"""      SELECT id AS src, (id * {a} + {b}) % n AS dst
+      FROM nodes, nn""" for a, b in _LP_GEN
+    )
+    head = f"""
+    WITH nodes AS (SELECT vec_id AS id, label FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    gen AS (
+{gens}
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM gen WHERE src <> dst
+        UNION ALL
+        SELECT dst, src FROM gen WHERE src <> dst)
+    ),
+    l0 AS (SELECT id AS node, label AS lab FROM nodes)"""
+    steps = []
+    for i in range(1, LP_ROUNDS + 1):
+        steps.append(f"""r{i} AS (
+      SELECT e.src AS node, l.lab, COUNT(*) AS c
+      FROM edges e JOIN l{i-1} l ON l.node = e.dst
+      GROUP BY e.src, l.lab
+    ), l{i} AS (
+      SELECT node, lab FROM (
+        SELECT node, lab,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lab) AS rn
+        FROM r{i}) WHERE rn = 1
+    )""")
+    tail = f"""
+    SELECT n0.node AS vec_id,
+           CAST(n0.lab AS INT) AS label_init,
+           CAST(lf.lab AS INT) AS label_lp
+    FROM l0 n0 JOIN l{LP_ROUNDS} lf USING (node)"""
+    return head + ",\n    " + ",\n    ".join(steps) + tail
+
+
+@query("graph_label_propagation", oracle=_lp_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Label propagation over the synthetic similarity graph: every
+    node starts from its embedding label and, for a fixed number of
+    rounds, adopts the most frequent label among its neighbors
+    (deterministic tiebreak: count desc, label asc) — the standard
+    cheap community/labeling pass (Raghavan et al.) between connected
+    components (pure reachability) and PageRank (weighted influence)
+    in the iterative family.
+
+    Each round is one edges⋈labels join + a (node,label) count + an
+    argmax window — all partitioned by node id, with localCheckpoint
+    truncating lineage per round exactly like ``dedup_cluster_cc`` and
+    ``graph_sssp_bellman_ford``. Fixed LP_ROUNDS keeps it
+    driver-action-free; both engines run the identical integer
+    schedule so the oracle is exact."""
+    e = t(spark, sf_dir, "embeddings")
+    nn = e.agg(F.count("*").alias("n"))
+    base = e.select(F.col("vec_id").alias("id")).crossJoin(F.broadcast(nn))
+    parts = [
+        base.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * a + b) % F.col("n")).alias("dst"),
+        )
+        for a, b in _LP_GEN
+    ]
+    gen = parts[0]
+    for p in parts[1:]:
+        gen = gen.unionByName(p)
+    gen = gen.filter(F.col("src") != F.col("dst"))
+    edges = (
+        gen.unionByName(
+            gen.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("vec_id").alias("node"), F.col("label").alias("lab"))
+    init = labels
+    for _ in range(LP_ROUNDS):
+        votes = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(edges.src, "lab")
+            .agg(F.count("*").alias("c"))
+        )
+        wv = W.partitionBy("src").orderBy(F.desc("c"), "lab")
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "lab")
+            .localCheckpoint(eager=True)
+        )
+    return init.select("node", F.col("lab").alias("l0")).join(
+        labels, "node"
+    ).select(
+        F.col("node").alias("vec_id"),
+        F.col("l0").cast("int").alias("label_init"),
+        F.col("lab").cast("int").alias("label_lp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 history build (foreachBatch)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = f"""
+    SELECT user_id, event_id,
+           ROUND(value, 2) AS value,
+           strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    '{_TS_FMT_DUCK}') AS valid_to
+    FROM events
+"""
+
+
+def _scd2_replay(spark, sf_dir, max_files_per_trigger=None, glob="events.parquet"):
+    """Core of stream_scd2_replay, parameterized so tests can force a
+    REAL multi-batch fold over a ts-ordered staged source.
+
+    Streaming SCD-type-2 history maintenance via ``foreachBatch``:
+    each micro-batch turns its per-user rows into versioned intervals
+    (valid_from = own ts, valid_to = next ts in batch) and MERGEs them
+    into the accumulated history — closing each user's currently-open
+    interval at the first new timestamp. Assumes the CDC feed is
+    per-key ordered across batches (the standard contract of a keyed
+    CDC topic); within a batch, order is recovered by sorting. The
+    final history after an availableNow replay must equal the batch
+    ``scd2_event_intervals``, which is what the oracle grades.
+
+    State is a parquet table at an app-keyed path rewritten per batch
+    (temp-dir swap, same recipe as ``stream_foreachbatch_upsert``); at
+    scale the rewrite becomes a MERGE INTO on a transactional table
+    touching only (users in batch) rows."""
+    import shutil
+    import tempfile
+
+    from caliper_poc_data_etl_spark.streaming import read_event_stream
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    base_dir = f"{tempfile.gettempdir()}/graft_scd2_{app}"
+    state_dir = f"{base_dir}/state"
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    def merge_batch(batch_df, batch_id):
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        iv = batch_df.select(
+            "user_id", "event_id", "ts", "value"
+        ).withColumn("valid_to", F.lead("ts").over(w))
+        firsts = batch_df.groupBy("user_id").agg(
+            F.min("ts").alias("first_new_ts")
+        )
+        try:
+            state = batch_df.sparkSession.read.parquet(state_dir)
+        except Exception:
+            state = None
+        if state is not None:
+            closed = state.filter(F.col("valid_to").isNotNull())
+            reopened = (
+                state.filter(F.col("valid_to").isNull())
+                .join(firsts, "user_id", "left")
+                .select(
+                    "user_id",
+                    "event_id",
+                    "ts",
+                    "value",
+                    F.col("first_new_ts").alias("valid_to"),
+                )
+            )
+            new_state = closed.unionByName(reopened).unionByName(iv)
+        else:
+            new_state = iv
+        tmp = f"{state_dir}_next"
+        new_state.write.mode("overwrite").parquet(tmp)
+        batch_df.sparkSession.read.parquet(tmp).write.mode(
+            "overwrite"
+        ).parquet(state_dir)
+
+    events = read_event_stream(
+        spark, sf_dir, max_files_per_trigger=max_files_per_trigger, glob=glob
+    )
+    q = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{base_dir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # availableNow terminates once the staged files drain; waiting
+    # without a timeout avoids grading partial state under throttling.
+    q.awaitTermination()
+    state = spark.read.parquet(state_dir)
+    return state.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format("valid_to", _TS_FMT_SPARK).alias("valid_to"),
+    )
+
+
+@query("stream_scd2_replay", oracle=_SCD2_ORACLE)
+def stream_scd2_replay(spark, sf_dir):
+    """Streaming SCD-type-2 history maintenance — see
+    :func:`_scd2_replay` for the per-batch MERGE (batch rows become
+    versioned intervals; each user's open interval closes at the first
+    new timestamp). Completes the streaming-sink family: type-1 upsert
+    (``stream_foreachbatch_upsert``) keeps only the latest row per
+    key, this keeps the full version history — the pair every CDC
+    warehouse ships. The multi-batch fold over a ts-ordered staged
+    source is pinned in tests/test_round6b_ops.py."""
+    return _scd2_replay(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Embedding prefix-dimension NN fidelity (Matryoshka-style truncation)
+# ---------------------------------------------------------------------------
+
+PFX_DIMS = 16
+PFX_QUERIES = 20  # vec_id < 20 are the probe set
+
+
+@query(
+    "embed_prefix_nn_fidelity",
+    oracle=f"""
+    WITH xe AS MATERIALIZED (
+      SELECT vec_id, u.i AS j,
+             CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) * 1000) AS BIGINT) AS x
+      FROM embeddings, unnest(range(1, 65)) AS u(i)
+    ),
+    q AS (SELECT * FROM xe WHERE vec_id < {PFX_QUERIES}),
+    c AS (SELECT * FROM xe WHERE vec_id >= {PFX_QUERIES}),
+    d AS (
+      SELECT q.vec_id AS qid, c.vec_id AS cid,
+             SUM((q.x - c.x) * (q.x - c.x)) AS d2_full,
+             SUM(CASE WHEN q.j <= {PFX_DIMS}
+                 THEN (q.x - c.x) * (q.x - c.x) ELSE 0 END) AS d2_pre
+      FROM q JOIN c ON q.j = c.j
+      GROUP BY q.vec_id, c.vec_id
+    ),
+    nf AS (
+      SELECT qid, cid AS nn_full, d2_full FROM (
+        SELECT qid, cid, d2_full,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY d2_full, cid) AS rn
+        FROM d) WHERE rn = 1
+    ),
+    np AS (
+      SELECT qid, cid AS nn_prefix FROM (
+        SELECT qid, cid, d2_pre,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY d2_pre, cid) AS rn
+        FROM d) WHERE rn = 1
+    )
+    SELECT nf.qid AS vec_id, nf.nn_full, np.nn_prefix,
+           CAST(nf.d2_full AS BIGINT) AS d2_full,
+           nf.nn_full = np.nn_prefix AS agree
+    FROM nf JOIN np ON np.qid = nf.qid
+    """,
+)
+def embed_prefix_nn_fidelity(spark, sf_dir):
+    """Prefix-dimension retrieval fidelity — the evaluation behind
+    Matryoshka-style embedding truncation: for each probe vector, find
+    its exact nearest corpus neighbor under the full 64 dimensions and
+    under the first {PFX_DIMS} only, and report whether they agree.
+    The agreement rate is the number that decides whether a pipeline
+    can run its ANN index at quarter width (4× memory/bandwidth win)
+    and re-rank with full vectors.
+
+    Integer-exact: embeddings quantize to milli-units and both
+    distances are integer sums, so argmins (tiebreak: distance, then
+    corpus id) are deterministic cross-engine. Plan: the probe set is
+    tiny and broadcast; the corpus scans ONCE computing both distances
+    in the same pass (zip_with + slice over the arrays — no explode,
+    no per-dimension shuffle); per-probe argmins are windows over
+    |probes|×|corpus| candidate rows. At 100 TB the probe side stays
+    broadcast and the corpus never shuffles — the ``sim_cosine_topk``
+    posture."""
+    e = t(spark, sf_dir, "embeddings")
+    xq = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("xv"),
+    )
+    probes = xq.filter(F.col("vec_id") < PFX_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("xv").alias("qv")
+    )
+    corpus = xq.filter(F.col("vec_id") >= PFX_QUERIES).select(
+        F.col("vec_id").alias("cid"), F.col("xv").alias("cv")
+    )
+    diffsq = F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b))
+    pairs = corpus.crossJoin(F.broadcast(probes)).select(
+        "qid",
+        "cid",
+        F.aggregate(
+            diffsq, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("d2_full"),
+        F.aggregate(
+            F.slice(diffsq, 1, PFX_DIMS),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d2_pre"),
+    )
+    wf = W.partitionBy("qid").orderBy("d2_full", "cid")
+    wp = W.partitionBy("qid").orderBy("d2_pre", "cid")
+    ranked = pairs.select(
+        "qid",
+        "cid",
+        "d2_full",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    nf = ranked.filter(F.col("rf") == 1).select(
+        "qid", F.col("cid").alias("nn_full"), "d2_full"
+    )
+    np_ = ranked.filter(F.col("rp") == 1).select(
+        "qid", F.col("cid").alias("nn_prefix")
+    )
+    return nf.join(np_, "qid").select(
+        F.col("qid").alias("vec_id"),
+        "nn_full",
+        "nn_prefix",
+        F.col("d2_full").cast("long").alias("d2_full"),
+        (F.col("nn_full") == F.col("nn_prefix")).alias("agree"),
+    )

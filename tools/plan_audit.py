@@ -58,7 +58,12 @@ EXPECTED_SCALAR_BNLJ = {
     "text_bm25_topk",  # broadcast 1-row corpus stats (N, avgdl)
     "embed_top_pc_power_iter",  # per-iteration 1-row divisor/norm/sign scalars
     "ts_seasonal_naive_forecast",  # broadcast 1-row anchor/drift scalars
+    "ml_naive_bayes_train",  # broadcast 1-row vocab-size + corpus-size scalars
+    "graph_label_propagation",  # broadcast 1-row node count for the affine edges
 }
+# Deliberate probe-set × corpus broadcast join (tiny probe side, the
+# sim_cosine_topk posture): the corpus never shuffles.
+EXPECTED_NLJ.add("embed_prefix_nn_fidelity")
 # Deliberate broadcast containment join (tiny snippet table).
 EXPECTED_NLJ.add("decontam_exact_substring")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
