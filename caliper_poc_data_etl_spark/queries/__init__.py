@@ -294,6 +294,8 @@ _NEXT: list[str] = [
     "graph_label_propagation",
     "stream_scd2_replay",
     "embed_prefix_nn_fidelity",
+    "agg_kmv_set_ops",
+    "ts_lttb_downsample",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

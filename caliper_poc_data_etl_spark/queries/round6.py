@@ -958,3 +958,273 @@ def embed_prefix_nn_fidelity(spark, sf_dir):
         F.col("d2_full").cast("long").alias("d2_full"),
         (F.col("nn_full") == F.col("nn_prefix")).alias("agree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch set algebra (union / intersection estimation)
+# ---------------------------------------------------------------------------
+
+KMV_A = "purchase"
+KMV_B = "click"
+
+
+@query(
+    "agg_kmv_set_ops",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))::BIGINT
+               AS hv
+      FROM events WHERE event_type = '{KMV_A}'
+    ), hb AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))::BIGINT
+               AS hv
+      FROM events WHERE event_type = '{KMV_B}'
+    ), hu AS (
+      SELECT DISTINCT hv FROM (SELECT hv FROM ha UNION SELECT hv FROM hb)
+    ), uni AS (
+      SELECT hv, rn, nd FROM (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rn,
+               COUNT(*) OVER () AS nd
+        FROM hu)
+      WHERE rn <= {KMV_K}
+    ), kth AS (
+      SELECT hv AS kth_hash, nd FROM uni
+      WHERE rn = CASE WHEN nd < {KMV_K} THEN nd ELSE {KMV_K} END
+    ), est AS (
+      SELECT CASE WHEN nd <= {KMV_K} THEN nd
+             ELSE ({KMV_K - 1} * {_KMV_SPACE}) // kth_hash END AS est_union,
+             CASE WHEN nd < {KMV_K} THEN nd ELSE {KMV_K} END AS k_used
+      FROM kth
+    ), matches AS (
+      SELECT COUNT(*) AS m FROM uni
+      WHERE hv IN (SELECT hv FROM ha) AND hv IN (SELECT hv FROM hb)
+    ), exact AS (
+      SELECT (SELECT COUNT(*) FROM hu) AS exact_union,
+             (SELECT COUNT(*) FROM ha WHERE hv IN (SELECT hv FROM hb))
+               AS exact_inter
+    )
+    SELECT CAST(est.est_union AS BIGINT) AS est_union,
+           CAST(exact.exact_union AS BIGINT) AS exact_union,
+           CAST((matches.m * est.est_union) // est.k_used AS BIGINT)
+             AS est_inter,
+           CAST(exact.exact_inter AS BIGINT) AS exact_inter,
+           CAST(matches.m AS BIGINT) AS n_matches
+    FROM est, matches, exact
+    """,
+)
+def agg_kmv_set_ops(spark, sf_dir):
+    """KMV sketch set algebra — the reason KMV beats HyperLogLog for
+    pipeline work: two groups' sketches merge into a union sketch (K
+    smallest of the merged hash sets), and the fraction of the union
+    sketch present in BOTH sides estimates the intersection
+    (est_inter = matches·est_union/K, Beyer et al.) — the
+    audience-overlap / cross-source-dedup estimator. Exact union and
+    intersection ride alongside so the estimator's error is visible;
+    everything is md5 + integer arithmetic, so both engines produce
+    the identical sketch bit for bit.
+
+    Scale shape: per-side dedupe is a map-side-combining distinct on
+    hashes; the union sketch ranks only distinct hashes and keeps K
+    rows; membership checks are semi-joins of a K-row frame against
+    the deduped sides. At 100 TB each side's sketch would be a K-row
+    partial aggregate (never materializing the distinct set); the
+    estimator math is unchanged."""
+    e = t(spark, sf_dir, "events")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 10), 16, 10
+    ).cast("long")
+    ha = e.filter(F.col("event_type") == KMV_A).select(hv.alias("hv")).distinct()
+    hb = e.filter(F.col("event_type") == KMV_B).select(hv.alias("hv")).distinct()
+    hu = ha.unionByName(hb).distinct()
+    ranked = hu.select(
+        "hv",
+        F.row_number().over(W.orderBy("hv")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("nd"),
+    )
+    # bounded-by-construction: only the K smallest survive; the global
+    # window ranks |distinct hashes| rows, which a production sketch
+    # caps at K per partition before the merge.
+    uni = ranked.filter(F.col("rn") <= KMV_K)
+    kth = uni.filter(
+        F.col("rn")
+        == F.when(F.col("nd") < KMV_K, F.col("nd")).otherwise(F.lit(KMV_K))
+    ).select(
+        F.col("hv").alias("kth_hash"),
+        "nd",
+        F.when(F.col("nd") < KMV_K, F.col("nd"))
+        .otherwise(F.lit(KMV_K))
+        .alias("k_used"),
+    )
+    est = kth.select(
+        F.when(F.col("nd") <= KMV_K, F.col("nd"))
+        .otherwise(
+            F.expr(f"({KMV_K - 1} * CAST({_KMV_SPACE} AS BIGINT)) div kth_hash")
+        )
+        .alias("est_union"),
+        "k_used",
+    )
+    matches = (
+        uni.join(ha, "hv", "left_semi")
+        .join(hb, "hv", "left_semi")
+        .agg(F.count("*").alias("m"))
+    )
+    exact = (
+        hu.agg(F.count("*").alias("exact_union"))
+        .crossJoin(
+            F.broadcast(
+                ha.join(hb, "hv", "left_semi").agg(
+                    F.count("*").alias("exact_inter")
+                )
+            )
+        )
+    )
+    return (
+        est.crossJoin(F.broadcast(matches))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.col("est_union").cast("long").alias("est_union"),
+            F.col("exact_union").cast("long").alias("exact_union"),
+            F.expr("(m * est_union) div k_used").cast("long").alias("est_inter"),
+            F.col("exact_inter").cast("long").alias("exact_inter"),
+            F.col("m").cast("long").alias("n_matches"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LTTB time-series downsampling (parallel bucket-mean anchors)
+# ---------------------------------------------------------------------------
+
+LTTB_BUCKET = 10
+
+
+@query(
+    "ts_lttb_downsample",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) // 1000000 AS x,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y,
+             (ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1)
+               // {LTTB_BUCKET} AS bkt
+      FROM events
+    ), bstats AS (
+      SELECT user_id, bkt,
+             SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS n,
+             MAX(bkt) OVER (PARTITION BY user_id) AS max_bkt
+      FROM pts GROUP BY user_id, bkt
+    ), anch AS (
+      SELECT user_id, bkt, max_bkt,
+             LAG(sx) OVER w AS sxp, LAG(sy) OVER w AS syp,
+             LAG(n) OVER w AS np,
+             LEAD(sx) OVER w AS sxn, LEAD(sy) OVER w AS syn,
+             LEAD(n) OVER w AS nn
+      FROM bstats
+      WINDOW w AS (PARTITION BY user_id ORDER BY bkt)
+    ), scored AS (
+      SELECT p.user_id, p.bkt, p.event_id, p.x, p.y, a.max_bkt,
+             CASE WHEN a.np IS NULL OR a.nn IS NULL THEN 0
+             ELSE abs((a.sxp * a.nn - a.sxn * a.np) * (p.y * a.np - a.syp)
+                      - (a.sxp - p.x * a.np) * (a.syn * a.np - a.syp * a.nn))
+             END AS area2
+      FROM pts p JOIN anch a ON a.user_id = p.user_id AND a.bkt = p.bkt
+    ), picked AS (
+      SELECT user_id, bkt, event_id, x, y FROM (
+        SELECT user_id, bkt, event_id, x, y,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id, bkt
+                 ORDER BY CASE
+                   WHEN bkt = 0 THEN x
+                   WHEN bkt = max_bkt THEN -x
+                   ELSE -area2 END,
+                 CASE WHEN bkt = 0 THEN event_id
+                      WHEN bkt = max_bkt THEN -event_id
+                      ELSE event_id END) AS rn
+        FROM scored)
+      WHERE rn = 1
+    )
+    SELECT user_id, CAST(bkt AS BIGINT) AS bkt, event_id,
+           CAST(x AS BIGINT) AS x_epoch, y AS y_centi
+    FROM picked
+    """,
+)
+def ts_lttb_downsample(spark, sf_dir):
+    """LTTB (largest-triangle-three-buckets, Steinarsson 2013)
+    downsampling of each user's event series — the standard
+    shape-preserving decimation for time-series storage and plotting
+    (keep the point per bucket that subtends the largest triangle
+    against its neighbor buckets). This is the PARALLEL variant: the
+    anchors are the previous/next bucket MEAN points rather than the
+    previously-selected point, which removes the sequential chain so
+    every bucket scores independently — the trade documented in the
+    MinMaxLTTB line of work, and the only formulation that scales
+    horizontally. First/last buckets keep their first/last point
+    (LTTB's endpoints rule).
+
+    Integer-exact scoring: x = epoch seconds, y = centi-units, and the
+    triangle area comparison is cleared of the two mean denominators
+    by multiplying through (area2 ∝ |…| with no division) — products
+    bounded by ~1e17, inside int64; ties break on event_id. Plan: one
+    per-user rank, one bucket aggregate, one lag/lead window over
+    buckets, one per-bucket argmax — all partitioned by user, three
+    narrow shuffles total, nothing driver-side."""
+    e = t(spark, sf_dir, "events")
+    wuser = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = e.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("x"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("y"),
+        F.floor((F.row_number().over(wuser) - 1) / LTTB_BUCKET)
+        .cast("long")
+        .alias("bkt"),
+    )
+    bstats = pts.groupBy("user_id", "bkt").agg(
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"), F.count("*").alias("n")
+    )
+    wb = W.partitionBy("user_id").orderBy("bkt")
+    anch = bstats.select(
+        "user_id",
+        "bkt",
+        F.max("bkt").over(W.partitionBy("user_id")).alias("max_bkt"),
+        F.lag("sx").over(wb).alias("sxp"),
+        F.lag("sy").over(wb).alias("syp"),
+        F.lag("n").over(wb).alias("np"),
+        F.lead("sx").over(wb).alias("sxn"),
+        F.lead("sy").over(wb).alias("syn"),
+        F.lead("n").over(wb).alias("nn"),
+    )
+    area2 = F.when(
+        F.col("sxp").isNull() | F.col("sxn").isNull(), F.lit(0).cast("long")
+    ).otherwise(
+        F.abs(
+            (F.col("sxp") * F.col("nn") - F.col("sxn") * F.col("np"))
+            * (F.col("y") * F.col("np") - F.col("syp"))
+            - (F.col("sxp") - F.col("x") * F.col("np"))
+            * (F.col("syn") * F.col("np") - F.col("syp") * F.col("nn"))
+        )
+    )
+    scored = pts.join(anch, ["user_id", "bkt"]).select(
+        "user_id", "bkt", "event_id", "x", "y", "max_bkt", area2.alias("area2")
+    )
+    order_key = F.when(F.col("bkt") == 0, F.col("x")).when(
+        F.col("bkt") == F.col("max_bkt"), -F.col("x")
+    ).otherwise(-F.col("area2"))
+    tie_key = F.when(
+        F.col("bkt") == F.col("max_bkt"), -F.col("event_id")
+    ).otherwise(F.col("event_id"))
+    wpick = W.partitionBy("user_id", "bkt").orderBy(order_key, tie_key)
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("bkt").cast("long").alias("bkt"),
+            "event_id",
+            F.col("x").cast("long").alias("x_epoch"),
+            F.col("y").alias("y_centi"),
+        )
+    )

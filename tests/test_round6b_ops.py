@@ -395,3 +395,103 @@ def _round_away(x: float) -> int:
     """round-half-away-from-zero — Spark round() on DOUBLE and DuckDB
     ROUND share this rule; python's round() is half-even, so spell it."""
     return int(math.floor(x + 0.5)) if x >= 0 else -int(math.floor(-x + 0.5))
+
+
+class TestKmvSetOps:
+    def test_python_replica_and_bounds(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import KMV_A, KMV_B
+
+        rows = _duck(
+            f"SELECT DISTINCT event_type, user_id FROM events"
+            f" WHERE event_type IN ('{KMV_A}', '{KMV_B}')",
+            sf_dir,
+        )
+        ha = {_md5_prefix_int(str(u), 10) for et, u in rows if et == KMV_A}
+        hb = {_md5_prefix_int(str(u), 10) for et, u in rows if et == KMV_B}
+        hu = ha | hb
+        uni = sorted(hu)[: min(KMV_K, len(hu))]
+        kth = uni[-1]
+        nd = len(hu)
+        est_union = nd if nd <= KMV_K else (KMV_K - 1) * _KMV_SPACE // kth
+        k_used = min(nd, KMV_K)
+        m = sum(1 for h in uni if h in ha and h in hb)
+        r = QUERIES["agg_kmv_set_ops"].spark(spark, sf_dir).collect()[0]
+        assert r["exact_union"] == nd
+        assert r["est_union"] == est_union
+        assert r["n_matches"] == m
+        assert r["est_inter"] == m * est_union // k_used
+        assert r["exact_inter"] == len(ha & hb)
+        # estimators stay inside loose sketch bounds on real data
+        assert abs(r["est_union"] - nd) / nd < 0.55
+        assert r["est_inter"] <= r["est_union"]
+
+
+class TestLttbDownsample:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import LTTB_BUCKET
+
+        rows = _duck(
+            "SELECT user_id, event_id, epoch_us(ts) // 1000000 AS x,"
+            " CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS y, ts"
+            " FROM events ORDER BY user_id, ts, event_id",
+            sf_dir,
+        )
+        by_user = defaultdict(list)
+        for uid, eid, x, y, _ in rows:
+            by_user[uid].append((eid, x, y))
+        expect = {}
+        for uid, seq in by_user.items():
+            buckets = [
+                seq[i : i + LTTB_BUCKET] for i in range(0, len(seq), LTTB_BUCKET)
+            ]
+            stats = [
+                (sum(x for _, x, _ in b), sum(y for _, _, y in b), len(b))
+                for b in buckets
+            ]
+            for bi, b in enumerate(buckets):
+                if bi == 0:
+                    pick = b[0]
+                elif bi == len(buckets) - 1:
+                    pick = b[-1]
+                else:
+                    sxp, syp, np_ = stats[bi - 1]
+                    sxn, syn, nn = stats[bi + 1]
+                    best = None
+                    for eid, x, y in b:
+                        a2 = abs(
+                            (sxp * nn - sxn * np_) * (y * np_ - syp)
+                            - (sxp - x * np_) * (syn * np_ - syp * nn)
+                        )
+                        key = (-a2, eid)
+                        if best is None or key < best[0]:
+                            best = (key, (eid, x, y))
+                    pick = best[1]
+                expect[(uid, bi)] = pick
+        got = QUERIES["ts_lttb_downsample"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            eid, x, y = expect[(r["user_id"], r["bkt"])]
+            assert (r["event_id"], r["x_epoch"], r["y_centi"]) == (eid, x, y)
+
+    def test_endpoint_rule(self, spark, sf_dir):
+        # every user keeps their first and last observation
+        got = QUERIES["ts_lttb_downsample"].spark(spark, sf_dir).collect()
+        rows = _duck(
+            "SELECT user_id, MIN(ts) , MAX(ts) FROM events GROUP BY user_id",
+            sf_dir,
+        )
+        first_last = {}
+        ev = _duck("SELECT user_id, event_id, ts FROM events", sf_dir)
+        by_user = defaultdict(list)
+        for uid, eid, ts in ev:
+            by_user[uid].append((ts, eid))
+        for uid, seq in by_user.items():
+            seq.sort()
+            first_last[uid] = (seq[0][1], seq[-1][1])
+        by_got = defaultdict(dict)
+        for r in got:
+            by_got[r["user_id"]][r["bkt"]] = r["event_id"]
+        for uid, picks in by_got.items():
+            fe, le = first_last[uid]
+            assert picks[0] == fe
+            assert picks[max(picks)] == le

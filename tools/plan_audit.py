@@ -60,6 +60,7 @@ EXPECTED_SCALAR_BNLJ = {
     "ts_seasonal_naive_forecast",  # broadcast 1-row anchor/drift scalars
     "ml_naive_bayes_train",  # broadcast 1-row vocab-size + corpus-size scalars
     "graph_label_propagation",  # broadcast 1-row node count for the affine edges
+    "agg_kmv_set_ops",  # broadcast 1-row sketch/match/exact scalars combined
 }
 # Deliberate probe-set × corpus broadcast join (tiny probe side, the
 # sim_cosine_topk posture): the corpus never shuffles.
