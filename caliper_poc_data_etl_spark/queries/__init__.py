@@ -296,6 +296,7 @@ _NEXT: list[str] = [
     "embed_prefix_nn_fidelity",
     "agg_kmv_set_ops",
     "ts_lttb_downsample",
+    "sim_ivfpq_topk",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1228,3 +1228,260 @@ def ts_lttb_downsample(spark, sf_dir):
             F.col("y").alias("y_centi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ + exact re-rank: the composed production ANN pipeline
+# ---------------------------------------------------------------------------
+
+IVFPQ_CELLS = 16
+IVFPQ_PROBE = 4
+IVFPQ_SHORTLIST = 32
+IVFPQ_TOPK = 5
+IVFPQ_NQ = 10  # vec_id < 10 are the probe queries
+
+
+def _ivfpq_oracle() -> str:
+    from caliper_poc_data_etl_spark.queries.similarity import (
+        PQ_CODEBOOK,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+    )
+
+    return f"""
+    WITH xe AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    cells AS (SELECT vec_id AS cell, qv AS cv FROM xe
+              WHERE vec_id < {IVFPQ_CELLS}),
+    cd AS (
+      SELECT xe.vec_id, cells.cell,
+             list_sum(list_transform(range(1, 65),
+               j -> (xe.qv[j] - cells.cv[j]) * (xe.qv[j] - cells.cv[j])))
+               AS d2
+      FROM xe, cells
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM cd) WHERE rn = 1
+    ),
+    subs AS (
+      SELECT vec_id, s.i AS sub,
+             qv[s.i * {PQ_SUBDIM} + 1 : (s.i + 1) * {PQ_SUBDIM}] AS sv
+      FROM xe, unnest(range(0, {PQ_SUBSPACES})) AS s(i)
+    ),
+    centpq AS (
+      SELECT vec_id AS code, sub, sv AS cv FROM subs
+      WHERE vec_id < {PQ_CODEBOOK}
+    ),
+    codes AS (
+      SELECT vec_id, sub, code FROM (
+        SELECT subs.vec_id, subs.sub, centpq.code,
+               ROW_NUMBER() OVER (PARTITION BY subs.vec_id, subs.sub
+                 ORDER BY list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+                   j -> (subs.sv[j] - centpq.cv[j])
+                        * (subs.sv[j] - centpq.cv[j]))), centpq.code) AS rn
+        FROM subs JOIN centpq USING (sub)) WHERE rn = 1
+    ),
+    adc AS (
+      SELECT s.vec_id AS query_id, s.sub, c.code,
+             list_sum(list_transform(range(1, {PQ_SUBDIM} + 1),
+               j -> (s.sv[j] - c.cv[j]) * (s.sv[j] - c.cv[j]))) AS d2q
+      FROM subs s JOIN centpq c USING (sub)
+      WHERE s.vec_id < {IVFPQ_NQ}
+    ),
+    qprobes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM cd WHERE vec_id < {IVFPQ_NQ}) WHERE rn <= {IVFPQ_PROBE}
+    ),
+    cand AS (
+      SELECT qp.query_id, a.vec_id AS cid
+      FROM qprobes qp JOIN assign a USING (cell)
+      WHERE a.vec_id <> qp.query_id
+    ),
+    adcd AS (
+      SELECT cand.query_id, cand.cid, SUM(adc.d2q) AS adc_d2
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.cid
+      JOIN adc ON adc.query_id = cand.query_id
+             AND adc.sub = codes.sub AND adc.code = codes.code
+      GROUP BY cand.query_id, cand.cid
+    ),
+    short AS (
+      SELECT query_id, cid, adc_d2 FROM (
+        SELECT query_id, cid, adc_d2,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, cid) AS rn
+        FROM adcd) WHERE rn <= {IVFPQ_SHORTLIST}
+    ),
+    rer AS (
+      SELECT s.query_id, s.cid, s.adc_d2,
+             list_sum(list_transform(range(1, 65),
+               j -> (q.qv[j] - c.qv[j]) * (q.qv[j] - c.qv[j]))) AS d2
+      FROM short s
+      JOIN xe q ON q.vec_id = s.query_id
+      JOIN xe c ON c.vec_id = s.cid
+    )
+    SELECT query_id, CAST(rn AS INT) AS rank, cid AS neighbor_id,
+           CAST(d2 AS BIGINT) AS d2_exact, CAST(adc_d2 AS BIGINT) AS adc_d2
+    FROM (
+      SELECT query_id, cid, d2, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d2, cid) AS rn
+      FROM rer) WHERE rn <= {IVFPQ_TOPK}
+    """
+
+
+@query("sim_ivfpq_topk", oracle=_ivfpq_oracle())
+def sim_ivfpq_topk(spark, sf_dir):
+    """The composed production ANN pipeline — IVF coarse pruning, PQ
+    asymmetric-distance shortlisting, exact re-rank — the FAISS
+    IVFPQ+refine architecture as one declarative plan, built from the
+    already-parity-proven pieces (``sim_ivf_assign_parity``,
+    ``sim_pq_code_parity``):
+
+    1. corpus vectors assign to their nearest of {IVFPQ_CELLS} coarse
+       cells (integer L2, lowest-id codebook convention);
+    2. each query probes its {IVFPQ_PROBE} nearest cells and scores
+       ONLY those cells' members — via the per-query ADC lookup table
+       (query-subvector → PQ-centroid distances), so candidate scoring
+       never touches full vectors;
+    3. the {IVFPQ_SHORTLIST}-deep PQ shortlist re-ranks with exact
+       integer L2 for the final top-{IVFPQ_TOPK}.
+
+    Everything is integer arithmetic end to end (quantize ×1000,
+    squared distances, argmins with id tie-breaks), so the whole
+    three-stage pipeline is hash-graded — no rows-only carve-out.
+
+    100 TB shape: cells, PQ codebook, per-query ADC tables and probe
+    lists are all tiny broadcasts; the corpus materializes only its
+    (id, cell) assignment and 4-bit-code rows (the compressed index —
+    this is PQ's memory story); candidate scoring touches
+    ~PROBE/CELLS of the index rows and full vectors are read back
+    ONLY for the shortlist join — the re-rank's point lookup."""
+    from caliper_poc_data_etl_spark.queries.similarity import (
+        PQ_CODEBOOK,
+        PQ_SUBDIM,
+        PQ_SUBSPACES,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    xe = e.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 1000).cast("long")
+        ).alias("qv"),
+    )
+    cells = xe.filter(F.col("vec_id") < IVFPQ_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
+    )
+    d2full = F.aggregate(
+        F.zip_with("qv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    cd = xe.crossJoin(F.broadcast(cells)).select(
+        "vec_id", "cell", d2full.alias("d2")
+    )
+    wassign = W.partitionBy("vec_id").orderBy("d2", "cell")
+    assign = (
+        cd.withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    subs = xe.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("qv", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", "x.sub", "x.sv")
+    centpq = subs.filter(F.col("vec_id") < PQ_CODEBOOK).select(
+        F.col("vec_id").alias("code"), "sub", F.col("sv").alias("cv")
+    )
+    d2sub = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    wcode = W.partitionBy("vec_id", "sub").orderBy("d2s", "code")
+    codes = (
+        subs.join(F.broadcast(centpq), "sub")
+        .withColumn("d2s", d2sub)
+        .withColumn("rn", F.row_number().over(wcode))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+    adc = (
+        subs.filter(F.col("vec_id") < IVFPQ_NQ)
+        .join(F.broadcast(centpq), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            "code",
+            d2sub.alias("d2q"),
+        )
+    )
+    qprobes = (
+        cd.filter(F.col("vec_id") < IVFPQ_NQ)
+        .withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") <= IVFPQ_PROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        assign.join(F.broadcast(qprobes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cid"))
+    )
+    adcd = (
+        cand.join(codes, codes.vec_id == cand.cid)
+        .join(
+            F.broadcast(adc),
+            ["query_id", "sub", "code"],
+        )
+        .groupBy("query_id", "cid")
+        .agg(F.sum("d2q").alias("adc_d2"))
+    )
+    wshort = W.partitionBy("query_id").orderBy("adc_d2", "cid")
+    short = (
+        adcd.withColumn("rn", F.row_number().over(wshort))
+        .filter(F.col("rn") <= IVFPQ_SHORTLIST)
+        .select("query_id", "cid", "adc_d2")
+    )
+    qv_side = xe.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
+    cv_side = xe.select(F.col("vec_id").alias("cid"), F.col("qv").alias("cqv"))
+    d2exact = F.aggregate(
+        F.zip_with("qqv", "cqv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    rer = (
+        short.join(F.broadcast(qv_side.filter(F.col("query_id") < IVFPQ_NQ)), "query_id")
+        .join(cv_side, "cid")
+        .select("query_id", "cid", "adc_d2", d2exact.alias("d2"))
+    )
+    wfin = W.partitionBy("query_id").orderBy("d2", "cid")
+    return (
+        rer.withColumn("rn", F.row_number().over(wfin))
+        .filter(F.col("rn") <= IVFPQ_TOPK)
+        .select(
+            "query_id",
+            F.col("rn").cast("int").alias("rank"),
+            F.col("cid").alias("neighbor_id"),
+            F.col("d2").cast("long").alias("d2_exact"),
+            F.col("adc_d2").cast("long").alias("adc_d2"),
+        )
+    )

@@ -495,3 +495,119 @@ class TestLttbDownsample:
             fe, le = first_last[uid]
             assert picks[0] == fe
             assert picks[max(picks)] == le
+
+
+class TestIvfPqTopk:
+    def _replica(self, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import (
+            IVFPQ_CELLS,
+            IVFPQ_NQ,
+            IVFPQ_PROBE,
+            IVFPQ_SHORTLIST,
+            IVFPQ_TOPK,
+        )
+        from caliper_poc_data_etl_spark.queries.similarity import (
+            PQ_CODEBOOK,
+            PQ_SUBDIM,
+            PQ_SUBSPACES,
+        )
+
+        rows = _duck(
+            "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id", sf_dir
+        )
+        ids = [r[0] for r in rows]
+        X = np.array(
+            [[_round_away(float(x) * 1000) for x in r[1]] for r in rows],
+            dtype=np.int64,
+        )
+        idx = {v: i for i, v in enumerate(ids)}
+        cells = [v for v in ids if v < IVFPQ_CELLS]
+        C = X[[idx[v] for v in cells]]
+
+        def argmin_cells(v, topn=1):
+            d = ((X[idx[v]] - C) ** 2).sum(axis=1)
+            order = sorted(zip(d, cells))
+            return order[:topn]
+
+        assign = {v: argmin_cells(v)[0][1] for v in ids}
+        # PQ codebook + codes
+        cb = {}  # (sub, code) -> centroid subvector
+        for code in [v for v in ids if v < PQ_CODEBOOK]:
+            for s in range(PQ_SUBSPACES):
+                cb[(s, code)] = X[idx[code]][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+        codes = {}
+        for v in ids:
+            for s in range(PQ_SUBSPACES):
+                sv = X[idx[v]][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                codes[(v, s)] = min(
+                    (int(((sv - cb[(s, c)]) ** 2).sum()), c)
+                    for c in range(PQ_CODEBOOK)
+                )[1]
+        out = {}
+        for q in [v for v in ids if v < IVFPQ_NQ]:
+            probes = {c for _, c in argmin_cells(q, IVFPQ_PROBE)}
+            adc = {
+                (s, c): int(
+                    (
+                        (
+                            X[idx[q]][s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+                            - cb[(s, c)]
+                        )
+                        ** 2
+                    ).sum()
+                )
+                for s in range(PQ_SUBSPACES)
+                for c in range(PQ_CODEBOOK)
+            }
+            cand = [v for v in ids if v != q and assign[v] in probes]
+            short = sorted(
+                (
+                    sum(adc[(s, codes[(v, s)])] for s in range(PQ_SUBSPACES)),
+                    v,
+                )
+                for v in cand
+            )[:IVFPQ_SHORTLIST]
+            rer = sorted(
+                (int(((X[idx[q]] - X[idx[v]]) ** 2).sum()), v, a)
+                for a, v in short
+            )[:IVFPQ_TOPK]
+            for rank, (d2, v, a) in enumerate(rer, 1):
+                out[(q, rank)] = (v, d2, a)
+        return out, ids, X, idx
+
+    def test_python_replica(self, spark, sf_dir):
+        expect, *_ = self._replica(sf_dir)
+        got = QUERIES["sim_ivfpq_topk"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[(r["query_id"], r["rank"])] == (
+                r["neighbor_id"],
+                r["d2_exact"],
+                r["adc_d2"],
+            )
+
+    def test_recall_vs_exact(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import (
+            IVFPQ_NQ,
+            IVFPQ_TOPK,
+        )
+
+        expect, ids, X, idx = self._replica(sf_dir)
+        hits = total = 0
+        for q in [v for v in ids if v < IVFPQ_NQ]:
+            exact = sorted(
+                (int(((X[idx[q]] - X[idx[v]]) ** 2).sum()), v)
+                for v in ids
+                if v != q
+            )[:IVFPQ_TOPK]
+            exact_set = {v for _, v in exact}
+            approx_set = {
+                expect[(q, r)][0]
+                for r in range(1, IVFPQ_TOPK + 1)
+                if (q, r) in expect
+            }
+            hits += len(exact_set & approx_set)
+            total += IVFPQ_TOPK
+        # 4/16 cells probed + 32-deep PQ shortlist should keep useful
+        # recall; the pipeline's value is the pruning, not perfection
+        assert hits / total >= 0.4

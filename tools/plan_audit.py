@@ -65,6 +65,8 @@ EXPECTED_SCALAR_BNLJ = {
 # Deliberate probe-set × corpus broadcast join (tiny probe side, the
 # sim_cosine_topk posture): the corpus never shuffles.
 EXPECTED_NLJ.add("embed_prefix_nn_fidelity")
+# corpus × broadcast-16-cell coarse quantizer (the sim_ivf_assign shape).
+EXPECTED_NLJ.add("sim_ivfpq_topk")
 # Deliberate broadcast containment join (tiny snippet table).
 EXPECTED_NLJ.add("decontam_exact_substring")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
