@@ -297,6 +297,11 @@ _NEXT: list[str] = [
     "agg_kmv_set_ops",
     "ts_lttb_downsample",
     "sim_ivfpq_topk",
+    "ml_confusion_eval",
+    "text_paragraph_dedup_ratio",
+    "er_survivorship_golden_record",
+    "mix_epoch_oversample",
+    "dq_freshness_lag",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1485,3 +1485,320 @@ def sim_ivfpq_topk(spark, sf_dir):
             F.col("adc_d2").cast("long").alias("adc_d2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation: language-ID confusion matrix
+# ---------------------------------------------------------------------------
+
+
+def _confusion_oracle() -> str:
+    from caliper_poc_data_etl_spark.queries.registry import QUERIES as _Q
+
+    langid_sql = _Q["text_langid"].oracle
+    return f"""
+    WITH langid AS ({langid_sql}),
+    conf AS (
+      SELECT lang, lang_guess, COUNT(*) AS n
+      FROM langid GROUP BY lang, lang_guess
+    ),
+    truth AS (SELECT lang, SUM(n) AS n_truth FROM conf GROUP BY lang),
+    pred AS (SELECT lang_guess, SUM(n) AS n_pred FROM conf GROUP BY lang_guess)
+    SELECT c.lang, c.lang_guess,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(t.n_truth AS BIGINT) AS n_truth,
+           CAST(p.n_pred AS BIGINT) AS n_pred
+    FROM conf c JOIN truth t USING (lang) JOIN pred p USING (lang_guess)
+    """
+
+
+@query("ml_confusion_eval", oracle=_confusion_oracle())
+def ml_confusion_eval(spark, sf_dir):
+    """Classifier evaluation as a first-class operator: the confusion
+    matrix of the engine's own heuristic language-ID
+    (``text_langid``) against the corpus ground-truth labels, with
+    row/column marginals riding along so precision and recall are one
+    division away (counts stay integer; no float metrics in the
+    comparison path). This is the eval loop every model-backed
+    curation filter needs — predict, join truth, aggregate — and it
+    composes an existing registered query rather than re-implementing
+    it: the prediction plan is text_langid's, verbatim.
+
+    Plan: per-doc prediction is the langid narrow projection; the
+    matrix is one groupBy(lang, guess); marginals are two tiny
+    re-aggregations of the matrix itself (≤25 rows), broadcast back."""
+    from caliper_poc_data_etl_spark.queries.text import text_langid
+
+    pred = text_langid(spark, sf_dir)
+    conf = pred.groupBy("lang", "lang_guess").agg(F.count("*").alias("n"))
+    truth = conf.groupBy("lang").agg(F.sum("n").alias("n_truth"))
+    guess = conf.groupBy("lang_guess").agg(F.sum("n").alias("n_pred"))
+    return (
+        conf.join(F.broadcast(truth), "lang")
+        .join(F.broadcast(guess), "lang_guess")
+        .select(
+            "lang",
+            "lang_guess",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_truth").cast("long").alias("n_truth"),
+            F.col("n_pred").cast("long").alias("n_pred"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph/sentence-level duplication ratio
+# ---------------------------------------------------------------------------
+
+_PARA_MIN_CHARS = 20
+
+
+@query(
+    "text_paragraph_dedup_ratio",
+    oracle=f"""
+    WITH units AS (
+      SELECT DISTINCT doc_id, trim(lower(u.p)) AS unit
+      FROM documents,
+           unnest(string_split_regex(text, '\\.\\s+')) AS u(p)
+      WHERE length(trim(lower(u.p))) >= {_PARA_MIN_CHARS}
+    ), freq AS (
+      SELECT unit, COUNT(*) AS n_docs FROM units GROUP BY unit
+    ), per_doc AS (
+      SELECT u.doc_id,
+             COUNT(*) AS n_units,
+             SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_units
+      FROM units u JOIN freq f USING (unit)
+      GROUP BY u.doc_id
+    )
+    SELECT doc_id, CAST(n_units AS BIGINT) AS n_units,
+           CAST(n_dup_units AS BIGINT) AS n_dup_units
+    FROM per_doc
+    """,
+)
+def text_paragraph_dedup_ratio(spark, sf_dir):
+    """Sub-document duplication audit: split each document into
+    sentence/paragraph units, count how many of a document's units
+    also appear in OTHER documents — the C4/RefinedWeb-style
+    line-level dedup measurement that catches boilerplate whole-doc
+    dedup misses (a doc can be 90% template with a unique header).
+    Emitted as integer numerator/denominator (n_dup_units / n_units)
+    so the ratio is exact.
+
+    Plan: explode → distinct(doc, unit) → unit-frequency groupBy →
+    join back on unit. Unit strings are the join key at this scale;
+    a production run would md5 the unit first (same plan, narrower
+    shuffle) — the repo's dedup_exact_normalized convention."""
+    d = t(spark, sf_dir, "documents")
+    units = (
+        d.select(
+            "doc_id",
+            F.explode(F.split("text", "\\.\\s+")).alias("p"),
+        )
+        .select("doc_id", F.trim(F.lower("p")).alias("unit"))
+        .filter(F.length("unit") >= _PARA_MIN_CHARS)
+        .distinct()
+    )
+    freq = units.groupBy("unit").agg(F.count("*").alias("n_docs"))
+    return (
+        units.join(freq, "unit")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_units"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_units"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Survivorship / golden-record construction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "er_survivorship_golden_record",
+    oracle=f"""
+    WITH mode_t AS (
+      SELECT user_id, event_type AS mode_type FROM (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY COUNT(*) DESC, event_type) AS rn
+        FROM events GROUP BY user_id, event_type
+      ) WHERE rn = 1
+    ), latest AS (
+      SELECT user_id, value AS last_value FROM (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), agg AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT event_type) AS n_types,
+             strftime(MIN(ts), '{_TS_FMT_DUCK}') AS first_seen,
+             strftime(MAX(ts), '{_TS_FMT_DUCK}') AS last_seen
+      FROM events GROUP BY user_id
+    )
+    SELECT a.user_id, m.mode_type,
+           ROUND(l.last_value, 2) AS last_value,
+           CAST(a.n_events AS BIGINT) AS n_events,
+           CAST(a.n_types AS BIGINT) AS n_types,
+           a.first_seen, a.last_seen
+    FROM agg a JOIN mode_t m USING (user_id) JOIN latest l USING (user_id)
+    """,
+)
+def er_survivorship_golden_record(spark, sf_dir):
+    """Golden-record construction — the survivorship stage after
+    entity resolution: collapse each entity's observations into one
+    canonical row with per-column survival rules (most-frequent type
+    with deterministic tiebreak, most-recent value, first/last seen,
+    activity counts). This is what master-data-management pipelines
+    publish; ``er_blocked_name_match`` finds the duplicates, this
+    merges them.
+
+    Plan: one count-groupBy + argmax window for the mode, one per-key
+    window for latest, one plain aggregate — all hash-partitioned on
+    the entity key, so the three branches co-partition and join
+    without extra exchanges under AQE."""
+    e = t(spark, sf_dir, "events")
+    wmode = W.partitionBy("user_id").orderBy(F.desc("cnt"), "event_type")
+    mode_t = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rn", F.row_number().over(wmode))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"))
+    )
+    wlat = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        e.withColumn("rn", F.row_number().over(wlat))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.round("value", 2).alias("last_value"))
+    )
+    agg = e.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.date_format(F.min("ts"), _TS_FMT_SPARK).alias("first_seen"),
+        F.date_format(F.max("ts"), _TS_FMT_SPARK).alias("last_seen"),
+    )
+    return agg.join(mode_t, "user_id").join(latest, "user_id").select(
+        "user_id",
+        "mode_type",
+        "last_value",
+        "n_events",
+        "n_types",
+        "first_seen",
+        "last_seen",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Epoch oversampling (mixing by integer repetition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mix_epoch_oversample",
+    oracle="""
+    WITH ep AS (
+      SELECT doc_id, source, n_chars,
+             CAST(substr(source, 4) AS INT) % 3 + 1 AS epochs
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(epochs AS INT) AS epochs,
+           CAST(u.i AS INT) AS copy_id,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM ep, unnest(range(1, epochs + 1)) AS u(i)
+    """,
+)
+def mix_epoch_oversample(spark, sf_dir):
+    """Epoch-based oversampling — the integer-repetition half of data
+    mixing (the fractional half is ``mix_temperature_sampling``):
+    each source gets an epoch count from the mixing recipe and every
+    document materializes that many copies with a copy ordinal (the
+    ordinal seeds per-epoch shuffling/augmentation downstream). The
+    Doremi/Pile-style "epochs per source" knob as one explode.
+
+    Plan: a generated-sequence explode — map-side only, no shuffle;
+    output size is Σ epochs by construction and the ordinal column
+    makes the blow-up auditable. At 100 TB the explode stays embedded
+    in the scan stage and feeds the pack/shuffle stages directly."""
+    d = t(spark, sf_dir, "documents")
+    epochs = (F.substring("source", 4, 10).cast("int") % 3 + 1).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            epochs.alias("epochs"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "epochs",
+            F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("copy_id"),
+            "n_chars",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "epochs",
+            F.col("copy_id").cast("int").alias("copy_id"),
+            "n_chars",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feed freshness audit
+# ---------------------------------------------------------------------------
+
+_FRESH_SLA_SEC = 3600
+
+
+@query(
+    "dq_freshness_lag",
+    oracle=f"""
+    WITH feeds AS (
+      SELECT event_type,
+             MAX(epoch_us(ts) // 1000000) AS max_epoch,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY event_type
+    ), anchor AS (
+      SELECT MAX(max_epoch) AS global_max FROM feeds
+    )
+    SELECT f.event_type, f.n_rows,
+           CAST(a.global_max - f.max_epoch AS BIGINT) AS lag_sec,
+           (a.global_max - f.max_epoch) > {_FRESH_SLA_SEC} AS stale
+    FROM feeds f CROSS JOIN anchor a
+    """,
+)
+def dq_freshness_lag(spark, sf_dir):
+    """Feed freshness audit: per feed (event type), the lag between
+    its newest record and the newest record across all feeds, with an
+    SLA flag — the staleness gate a warehouse evaluates before joining
+    feeds (joining a fresh feed against a stale one silently produces
+    as-of-yesterday results). Lags are integer epoch seconds; no
+    rounding conventions.
+
+    Plan: one partial-aggregated groupBy to a |feeds|-row frame; the
+    global anchor is a 1-row aggregate of THAT frame, broadcast back —
+    the scan is touched once."""
+    e = t(spark, sf_dir, "events")
+    feeds = e.groupBy("event_type").agg(
+        F.max(F.unix_timestamp("ts")).alias("max_epoch"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    anchor = feeds.agg(F.max("max_epoch").alias("global_max"))
+    return feeds.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "n_rows",
+        (F.col("global_max") - F.col("max_epoch"))
+        .cast("long")
+        .alias("lag_sec"),
+        ((F.col("global_max") - F.col("max_epoch")) > _FRESH_SLA_SEC).alias(
+            "stale"
+        ),
+    )

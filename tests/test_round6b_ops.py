@@ -611,3 +611,113 @@ class TestIvfPqTopk:
         # 4/16 cells probed + 32-deep PQ shortlist should keep useful
         # recall; the pipeline's value is the pruning, not perfection
         assert hits / total >= 0.4
+
+
+class TestConfusionEval:
+    def test_matrix_consistency(self, spark, sf_dir):
+        out = QUERIES["ml_confusion_eval"].spark(spark, sf_dir).collect()
+        n_docs = _duck("SELECT COUNT(*) FROM documents", sf_dir)[0][0]
+        assert sum(r["n"] for r in out) == n_docs
+        # marginals are consistent with the cells
+        from collections import defaultdict as dd
+
+        row_t, col_p = dd(int), dd(int)
+        for r in out:
+            row_t[r["lang"]] += r["n"]
+            col_p[r["lang_guess"]] += r["n"]
+        for r in out:
+            assert r["n_truth"] == row_t[r["lang"]]
+            assert r["n_pred"] == col_p[r["lang_guess"]]
+        # matrix covers every ground-truth class (synthetic corpus
+        # shares one latin vocabulary, so zh recall can be zero — the
+        # eval surface is what's under test, not the heuristic)
+        truth_langs = {r[0] for r in _duck("SELECT DISTINCT lang FROM documents", sf_dir)}
+        assert {r["lang"] for r in out} == truth_langs
+
+
+class TestParagraphDedup:
+    def test_python_replica(self, spark, sf_dir):
+        import re
+
+        docs = _duck("SELECT doc_id, text FROM documents", sf_dir)
+        units = set()
+        for doc_id, text in docs:
+            for p in re.split(r"\.\s+", text):
+                u = p.lower().strip()
+                if len(u) >= 20:
+                    units.add((doc_id, u))
+        freq = Counter(u for _, u in units)
+        expect = defaultdict(lambda: [0, 0])
+        for doc_id, u in units:
+            expect[doc_id][0] += 1
+            if freq[u] > 1:
+                expect[doc_id][1] += 1
+        got = QUERIES["text_paragraph_dedup_ratio"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[r["doc_id"]] == [r["n_units"], r["n_dup_units"]]
+
+
+class TestGoldenRecord:
+    def test_python_replica(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT user_id, event_id, ts, event_type, value FROM events",
+            sf_dir,
+        )
+        by_user = defaultdict(list)
+        for r in rows:
+            by_user[r[0]].append(r)
+        got = {
+            r["user_id"]: r
+            for r in QUERIES["er_survivorship_golden_record"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert len(got) == len(by_user)
+        for uid, evs in by_user.items():
+            votes = Counter(e[3] for e in evs)
+            mode_type = min(votes, key=lambda t: (-votes[t], t))
+            latest = max(evs, key=lambda e: (e[2], e[1]))
+            r = got[uid]
+            assert r["mode_type"] == mode_type
+            assert r["n_events"] == len(evs)
+            assert r["n_types"] == len(votes)
+            assert r["last_value"] == pytest.approx(round(latest[4], 2), abs=1e-9)
+
+
+class TestEpochOversample:
+    def test_copy_counts(self, spark, sf_dir):
+        out = QUERIES["mix_epoch_oversample"].spark(spark, sf_dir).collect()
+        docs = _duck("SELECT doc_id, source FROM documents", sf_dir)
+        expect_rows = 0
+        by_doc = defaultdict(int)
+        for doc_id, source in docs:
+            ep = int(source[3:]) % 3 + 1
+            expect_rows += ep
+            by_doc[doc_id] = ep
+        assert len(out) == expect_rows
+        seen = defaultdict(set)
+        for r in out:
+            assert r["epochs"] == by_doc[r["doc_id"]]
+            assert 1 <= r["copy_id"] <= r["epochs"]
+            seen[r["doc_id"]].add(r["copy_id"])
+        for doc_id, copies in seen.items():
+            assert copies == set(range(1, by_doc[doc_id] + 1))
+
+
+class TestFreshnessLag:
+    def test_lag_math(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT event_type, MAX(epoch_us(ts) // 1000000) FROM events"
+            " GROUP BY event_type",
+            sf_dir,
+        )
+        gmax = max(m for _, m in rows)
+        expect = {et: gmax - m for et, m in rows}
+        got = QUERIES["dq_freshness_lag"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert r["lag_sec"] == expect[r["event_type"]]
+            assert r["stale"] == (r["lag_sec"] > 3600)
+        # exactly one feed defines the anchor
+        assert sum(1 for r in got if r["lag_sec"] == 0) >= 1

@@ -61,6 +61,7 @@ EXPECTED_SCALAR_BNLJ = {
     "ml_naive_bayes_train",  # broadcast 1-row vocab-size + corpus-size scalars
     "graph_label_propagation",  # broadcast 1-row node count for the affine edges
     "agg_kmv_set_ops",  # broadcast 1-row sketch/match/exact scalars combined
+    "dq_freshness_lag",  # broadcast 1-row global-max-ts anchor
 }
 # Deliberate probe-set × corpus broadcast join (tiny probe side, the
 # sim_cosine_topk posture): the corpus never shuffles.
