@@ -302,6 +302,10 @@ _NEXT: list[str] = [
     "er_survivorship_golden_record",
     "mix_epoch_oversample",
     "dq_freshness_lag",
+    "join_interval_bucketed",
+    "ml_auc_rank_eval",
+    "ml_calibration_bins",
+    "graph_kcore_decompose",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

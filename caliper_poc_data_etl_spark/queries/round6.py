@@ -1802,3 +1802,369 @@ def dq_freshness_lag(spark, sf_dir):
             "stale"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval join via time-bucket equi-join (the scalable range-join plan)
+# ---------------------------------------------------------------------------
+
+_IVB_GAP_MIN = 30          # session gap (minutes), matches window_sessionize
+_IVB_BUCKET_SEC = 3600     # 1-hour buckets
+
+
+@query(
+    "join_interval_bucketed",
+    oracle=f"""
+    WITH marks AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id))
+                       / 1000000.0 > {_IVB_GAP_MIN * 60}
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_sess) OVER (PARTITION BY user_id
+                                 ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id,
+             ts
+      FROM marks
+    ), intervals AS (
+      SELECT user_id, sess_id,
+             MIN(epoch_us(ts) // 1000000) AS t0,
+             MAX(epoch_us(ts) // 1000000) AS t1
+      FROM sess GROUP BY user_id, sess_id
+    ), errors AS (
+      SELECT event_id AS err_id, epoch_us(ts) // 1000000 AS te
+      FROM events WHERE event_type = 'error'
+    ), hits AS (
+      SELECT i.user_id, i.sess_id, e.err_id
+      FROM intervals i JOIN errors e
+        ON e.te >= i.t0 AND e.te <= i.t1
+    )
+    SELECT i.user_id, CAST(i.sess_id AS BIGINT) AS sess_id,
+           CAST(i.t1 - i.t0 AS BIGINT) AS dur_sec,
+           CAST(COUNT(h.err_id) AS BIGINT) AS n_errors_during
+    FROM intervals i LEFT JOIN hits h
+      ON h.user_id = i.user_id AND h.sess_id = i.sess_id
+    GROUP BY i.user_id, i.sess_id, i.t1 - i.t0
+    """,
+)
+def join_interval_bucketed(spark, sf_dir):
+    """Point-in-interval join at scale: for every user session
+    (30-min-gap islands), count the GLOBAL error events that fell
+    inside it — the ops-correlation query ("which sessions overlapped
+    an incident?"). The naive plan is a theta join (range predicate →
+    broadcast-NLJ or cartesian); this operator uses the production
+    rewrite: EXPLODE each interval into the hour buckets it covers,
+    equi-join points on bucket, then re-filter the exact bounds —
+    turning an unbounded range join into a hash join whose fan-out is
+    interval_length/bucket. The oracle states the naive theta-join
+    semantics; the engine runs the bucketed plan — same rows, scalable
+    shape.
+
+    One sessionize pass (two windows), one generated-sequence explode,
+    one equi-shuffle on bucket, one re-aggregation to intervals. No
+    nested loops anywhere in the plan."""
+    e = t(spark, sf_dir, "events")
+    wuser = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wuser))
+    ) / 1e6
+    marks = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            gap_sec.isNull() | (gap_sec > _IVB_GAP_MIN * 60), 1
+        ).otherwise(0).alias("new_sess"),
+    )
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sess = marks.select(
+        "user_id", F.sum("new_sess").over(wrun).alias("sess_id"), "ts"
+    )
+    intervals = sess.groupBy("user_id", "sess_id").agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    )
+    b0 = F.floor(F.col("t0") / _IVB_BUCKET_SEC)
+    b1 = F.floor(F.col("t1") / _IVB_BUCKET_SEC)
+    ib = intervals.select(
+        "user_id",
+        "sess_id",
+        "t0",
+        "t1",
+        F.explode(F.sequence(b0, b1)).alias("bucket"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.unix_timestamp("ts").alias("te"),
+    )
+    eb = errors.select(
+        "err_id", "te", F.floor(F.col("te") / _IVB_BUCKET_SEC).alias("bucket")
+    )
+    hits = (
+        ib.join(eb, "bucket")
+        .filter((F.col("te") >= F.col("t0")) & (F.col("te") <= F.col("t1")))
+        # an error can match an interval in exactly one bucket (its
+        # own), so no dedupe is needed — the bucket column is dropped
+        .select("user_id", "sess_id", "err_id")
+    )
+    return (
+        intervals.join(hits, ["user_id", "sess_id"], "left")
+        .groupBy(
+            "user_id",
+            F.col("sess_id").cast("long").alias("sess_id"),
+            (F.col("t1") - F.col("t0")).cast("long").alias("dur_sec"),
+        )
+        .agg(F.count("err_id").cast("long").alias("n_errors_during"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-based AUC (Mann-Whitney U) evaluation
+# ---------------------------------------------------------------------------
+
+AUC_LABEL_SPLIT = 5  # label >= 5 is the positive class
+
+
+@query(
+    "ml_auc_rank_eval",
+    oracle=f"""
+    WITH scored AS (
+      SELECT vec_id,
+             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+               AS score,
+             CASE WHEN label >= {AUC_LABEL_SPLIT} THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ), ranked AS (
+      SELECT y,
+             RANK() OVER (ORDER BY score) AS rlo,
+             COUNT(*) OVER (PARTITION BY score) AS nties
+      FROM scored
+    ), sums AS (
+      SELECT
+        SUM(CASE WHEN y = 1 THEN 2 * rlo + nties - 1 ELSE 0 END) AS ranksum2,
+        SUM(y) AS n_pos,
+        SUM(1 - y) AS n_neg
+      FROM ranked
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           CAST(ranksum2 - n_pos * (n_pos + 1) AS BIGINT) AS u2_num,
+           CAST(2 * n_pos * n_neg AS BIGINT) AS u2_den
+    FROM sums
+    """,
+)
+def ml_auc_rank_eval(spark, sf_dir):
+    """AUC-ROC by the Mann-Whitney rank identity — the evaluation
+    metric for every binary curation filter (quality classifier,
+    toxicity filter, dedup verifier), computed distributively: AUC =
+    (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺n⁻), with midrank tie
+    handling via 2·rank+ties−1 doubling so everything stays INTEGER —
+    the result is the exact rational u2_num/u2_den (AUC = num/den),
+    no float division in the graded output.
+
+    Score = first embedding dimension (quantized), label = the
+    corpus's class id split at {AUC_LABEL_SPLIT} — a deliberately
+    weak-but-nonrandom scorer, so the AUC is strictly between 0 and 1
+    and the tie path actually executes. Plan: one global sort for the
+    rank (Spark RangePartitions it — no single reducer), one
+    aggregate. At 100 TB the sort is THE cost, same as any exact AUC;
+    the approximate path is a binned calibration curve
+    (``ml_calibration_bins``)."""
+    e = t(spark, sf_dir, "embeddings")
+    scored = e.select(
+        (F.round(F.element_at("embedding", 1).cast("double") * 1000))
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("label") >= AUC_LABEL_SPLIT, 1).otherwise(0).alias("y"),
+    )
+    ranked = scored.select(
+        "y",
+        F.rank().over(W.orderBy("score")).alias("rlo"),
+        F.count("*").over(W.partitionBy("score")).alias("nties"),
+    )
+    return ranked.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+        (
+            F.sum(
+                F.when(
+                    F.col("y") == 1, 2 * F.col("rlo") + F.col("nties") - 1
+                ).otherwise(0)
+            )
+            - F.sum("y") * (F.sum("y") + 1)
+        )
+        .cast("long")
+        .alias("u2_num"),
+        (2 * F.sum("y") * F.sum(1 - F.col("y")))
+        .cast("long")
+        .alias("u2_den"),
+    ).select("n_pos", "n_neg", "u2_num", "u2_den")
+
+
+# ---------------------------------------------------------------------------
+# Calibration / reliability bins
+# ---------------------------------------------------------------------------
+
+CAL_BINS = 10
+
+
+@query(
+    "ml_calibration_bins",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CASE WHEN label >= {AUC_LABEL_SPLIT} THEN 1 ELSE 0 END AS y,
+             CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+               AS score
+      FROM embeddings
+    ), ext AS (
+      SELECT MIN(score) AS lo, MAX(score) AS hi FROM scored
+    ), binned AS (
+      SELECT y,
+             LEAST({CAL_BINS - 1},
+               ({CAL_BINS} * (score - lo)) // (hi - lo + 1)) AS bin
+      FROM scored, ext
+    )
+    SELECT CAST(bin AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos
+    FROM binned GROUP BY bin
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability-diagram data: scores bucketed into {CAL_BINS}
+    equal-width bins with per-bin count and positive count — the
+    calibration curve (and the linear-cost companion to the exact
+    rank AUC). Bin edges derive from the observed min/max via integer
+    arithmetic (no quantile pass needed) and per-bin positives stay
+    integer; the empirical positive RATE is one division away.
+
+    Plan: one 1-row min/max aggregate broadcast back, one
+    partial-aggregated groupBy on the derived bin — two scans of a
+    narrow projection, no sort (this is what replaces exact AUC when
+    the global sort is too expensive)."""
+    e = t(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.when(F.col("label") >= AUC_LABEL_SPLIT, 1).otherwise(0).alias("y"),
+        (F.round(F.element_at("embedding", 1).cast("double") * 1000))
+        .cast("long")
+        .alias("score"),
+    )
+    ext = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(ext)).select(
+        "y",
+        F.least(
+            F.lit(CAL_BINS - 1),
+            F.expr(f"({CAL_BINS} * (score - lo)) div (hi - lo + 1)"),
+        ).alias("bin"),
+    )
+    return binned.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed-round peel)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 5
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    gens = "\n      UNION ALL\n".join(
+        f"""      SELECT id AS src, (id * {a} + {b}) % n AS dst
+      FROM nodes, nn""" for a, b in _LP_GEN
+    )
+    head = f"""
+    WITH nodes AS (SELECT vec_id AS id FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    gen AS (
+{gens}
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM gen WHERE src <> dst
+        UNION ALL
+        SELECT dst, src FROM gen WHERE src <> dst)
+    )"""
+    steps = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        # MATERIALIZED on every e_i: each is referenced twice by the
+        # next round (degree filter + edge keep); inlining would
+        # re-evaluate the whole chain exponentially.
+        steps.append(f"""k{i} AS (
+      SELECT src AS node FROM e{i-1}
+      GROUP BY src HAVING COUNT(*) >= {KCORE_K}
+    ), e{i} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{i-1} e
+      JOIN k{i} a ON a.node = e.src
+      JOIN k{i} b ON b.node = e.dst
+    )""")
+    tail = f"""
+    SELECT src AS vec_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{KCORE_ROUNDS} GROUP BY src"""
+    return head + ",\n    " + ",\n    ".join(steps) + tail
+
+
+@query("graph_kcore_decompose", oracle=_kcore_oracle())
+def graph_kcore_decompose(spark, sf_dir):
+    """k-core peeling (fixed rounds): repeatedly drop nodes with
+    degree < {KCORE_K} and the edges touching them; survivors after
+    the rounds are (an over-approximation converging to) the
+    {KCORE_K}-core — the densest-region extractor used for community
+    seeding and spam/bot subgraph mining. Like the other iterative
+    operators the round count is FIXED so both engines run the
+    identical schedule (a convergence loop would need the CC-style
+    driver scalar); on this graph the peel converges within the fixed
+    rounds at every test SF, which the pytest asserts by checking
+    every reported degree ≥ {KCORE_K} and that one more peel changes
+    nothing.
+
+    Each round: one degree groupBy + two semi-joins to keep edges
+    between survivors — all hash-partitioned on node ids,
+    localCheckpoint truncating lineage per round."""
+    e = t(spark, sf_dir, "embeddings")
+    nn = e.agg(F.count("*").alias("n"))
+    base = e.select(F.col("vec_id").alias("id")).crossJoin(F.broadcast(nn))
+    parts = [
+        base.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * a + b) % F.col("n")).alias("dst"),
+        )
+        for a, b in _LP_GEN
+    ]
+    gen = parts[0]
+    for p in parts[1:]:
+        gen = gen.unionByName(p)
+    gen = gen.filter(F.col("src") != F.col("dst"))
+    edges = (
+        gen.unionByName(
+            gen.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            edges.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+        )
+        edges = (
+            edges.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return edges.groupBy(F.col("src").alias("vec_id")).agg(
+        F.count("*").cast("long").alias("core_degree")
+    )

@@ -721,3 +721,126 @@ class TestFreshnessLag:
             assert r["stale"] == (r["lag_sec"] > 3600)
         # exactly one feed defines the anchor
         assert sum(1 for r in got if r["lag_sec"] == 0) >= 1
+
+
+class TestIntervalBucketed:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import _IVB_GAP_MIN
+
+        rows = _duck(
+            "SELECT user_id, event_id, epoch_us(ts) // 1000000 AS te,"
+            " event_type FROM events ORDER BY user_id, ts, event_id",
+            sf_dir,
+        )
+        by_user = defaultdict(list)
+        errors = []
+        for uid, eid, te, et in rows:
+            by_user[uid].append(te)
+            if et == "error":
+                errors.append(te)
+        expect = {}
+        for uid, times in by_user.items():
+            sess_id, start = 0, None
+            sessions = []
+            prev = None
+            for te in times:
+                if prev is None or te - prev > _IVB_GAP_MIN * 60:
+                    sess_id += 1
+                    sessions.append([te, te])
+                else:
+                    sessions[-1][1] = te
+                prev = te
+            for sid, (t0, t1) in enumerate(sessions, 1):
+                n_err = sum(1 for te in errors if t0 <= te <= t1)
+                expect[(uid, sid)] = (t1 - t0, n_err)
+        got = QUERIES["join_interval_bucketed"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[(r["user_id"], r["sess_id"])] == (
+                r["dur_sec"],
+                r["n_errors_during"],
+            )
+
+    def test_no_nested_loop_in_plan(self, spark, sf_dir):
+        df = QUERIES["join_interval_bucketed"].spark(spark, sf_dir)
+        for _ in df.toLocalIterator():
+            pass
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+class TestAucRankEval:
+    def test_sklearn_free_replica(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT),"
+            " CASE WHEN label >= 5 THEN 1 ELSE 0 END FROM embeddings",
+            sf_dir,
+        )
+        scores = np.array([r[0] for r in rows], dtype=np.float64)
+        y = np.array([r[1] for r in rows])
+        # exact AUC with midrank ties via scipy-free rankdata
+        order = scores.argsort(kind="mergesort")
+        ranks = np.empty(len(scores), dtype=np.float64)
+        sorted_scores = scores[order]
+        i = 0
+        while i < len(scores):
+            j = i
+            while j + 1 < len(scores) and sorted_scores[j + 1] == sorted_scores[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        n_pos, n_neg = int(y.sum()), int((1 - y).sum())
+        auc = (ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+        r = QUERIES["ml_auc_rank_eval"].spark(spark, sf_dir).collect()[0]
+        assert r["n_pos"] == n_pos and r["n_neg"] == n_neg
+        assert r["u2_num"] / r["u2_den"] == pytest.approx(auc, abs=1e-12)
+        assert 0.0 < r["u2_num"] / r["u2_den"] < 1.0
+
+
+class TestCalibrationBins:
+    def test_bin_totals(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import CAL_BINS
+
+        out = QUERIES["ml_calibration_bins"].spark(spark, sf_dir).collect()
+        n, n_pos = _duck(
+            "SELECT COUNT(*), SUM(CASE WHEN label >= 5 THEN 1 ELSE 0 END)"
+            " FROM embeddings",
+            sf_dir,
+        )[0]
+        assert sum(r["n"] for r in out) == n
+        assert sum(r["n_pos"] for r in out) == n_pos
+        assert all(0 <= r["bin"] < CAL_BINS for r in out)
+        assert all(0 <= r["n_pos"] <= r["n"] for r in out)
+
+
+class TestKcoreDecompose:
+    def test_peel_and_stability(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import KCORE_K
+
+        got = {
+            r["vec_id"]: r["core_degree"]
+            for r in QUERIES["graph_kcore_decompose"].spark(spark, sf_dir).collect()
+        }
+        n = _duck("SELECT COUNT(*) FROM embeddings", sf_dir)[0][0]
+        # python replica: peel to fixpoint, then compare
+        edges = set()
+        for a, b in [(7, 1), (13, 2), (29, 3)]:
+            for v in range(n):
+                d = (v * a + b) % n
+                if d != v:
+                    edges.add((v, d))
+                    edges.add((d, v))
+        while True:
+            deg = Counter(s for s, _ in edges)
+            keep = {v for v, c in deg.items() if c >= KCORE_K}
+            ne = {(s, d) for s, d in edges if s in keep and d in keep}
+            if ne == edges:
+                break
+            edges = ne
+        deg = Counter(s for s, _ in edges)
+        assert got == dict(deg)
+        # converged within the fixed rounds: every survivor has >= K
+        assert all(c >= KCORE_K for c in got.values())
+        assert len(got) < n  # the peel removed someone

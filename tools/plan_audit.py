@@ -62,6 +62,7 @@ EXPECTED_SCALAR_BNLJ = {
     "graph_label_propagation",  # broadcast 1-row node count for the affine edges
     "agg_kmv_set_ops",  # broadcast 1-row sketch/match/exact scalars combined
     "dq_freshness_lag",  # broadcast 1-row global-max-ts anchor
+    "ml_calibration_bins",  # broadcast 1-row min/max bin-edge anchor
 }
 # Deliberate probe-set × corpus broadcast join (tiny probe side, the
 # sim_cosine_topk posture): the corpus never shuffles.
