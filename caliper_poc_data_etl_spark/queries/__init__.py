@@ -306,6 +306,7 @@ _NEXT: list[str] = [
     "ml_auc_rank_eval",
     "ml_calibration_bins",
     "graph_kcore_decompose",
+    "ts_hypertable_rollup",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

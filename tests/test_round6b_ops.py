@@ -844,3 +844,25 @@ class TestKcoreDecompose:
         # converged within the fixed rounds: every survivor has >= K
         assert all(c >= KCORE_K for c in got.values())
         assert len(got) < n  # the peel removed someone
+
+
+class TestHypertableRollup:
+    def test_grain_consistency(self, spark, sf_dir):
+        out = QUERIES["ts_hypertable_rollup"].spark(spark, sf_dir).collect()
+        n_events = _duck("SELECT COUNT(*) FROM events", sf_dir)[0][0]
+        by_grain = defaultdict(lambda: [0, 0])
+        for r in out:
+            by_grain[r["grain"]][0] += r["n"]
+            by_grain[r["grain"]][1] += r["total_centi"]
+        # every grain partitions the same event set: counts and sums
+        # agree across all three zoom levels
+        assert set(by_grain) == {"day", "week", "month"}
+        assert by_grain["day"][0] == n_events
+        assert by_grain["week"][0] == n_events
+        assert by_grain["month"][0] == n_events
+        assert by_grain["day"][1] == by_grain["week"][1] == by_grain["month"][1]
+        # bucket counts are ordered by coarseness
+        days = {r["bucket"] for r in out if r["grain"] == "day"}
+        weeks = {r["bucket"] for r in out if r["grain"] == "week"}
+        months = {r["bucket"] for r in out if r["grain"] == "month"}
+        assert len(months) <= len(weeks) <= len(days)
