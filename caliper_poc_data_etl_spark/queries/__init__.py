@@ -307,6 +307,8 @@ _NEXT: list[str] = [
     "ml_calibration_bins",
     "graph_kcore_decompose",
     "ts_hypertable_rollup",
+    "ts_trend_mann_kendall",
+    "ts_peak_detection",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

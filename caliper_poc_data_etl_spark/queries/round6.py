@@ -2244,3 +2244,136 @@ def ts_hypertable_rollup(spark, sf_dir):
         "n",
         "total_centi",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (per-user daily series)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_trend_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v
+      FROM events GROUP BY user_id, day
+    ), pairs AS (
+      SELECT a.user_id,
+             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS s
+      FROM daily a JOIN daily b
+        ON a.user_id = b.user_id AND b.day > a.day
+    )
+    SELECT user_id,
+           CAST(SUM(s) AS BIGINT) AS mk_s,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CASE WHEN SUM(s) > 0 THEN 'up'
+                WHEN SUM(s) < 0 THEN 'down' ELSE 'flat' END AS trend
+    FROM pairs GROUP BY user_id
+    """,
+)
+def ts_trend_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend statistic per user series: S = Σ sign(v_j −
+    v_i) over all day pairs i<j — the standard non-parametric
+    monotone-trend test (no distribution assumptions, robust to
+    spikes), used to flag drifting metrics before fitting anything.
+    Integer throughout: values quantize to centi-units, S is a sum of
+    ±1/0.
+
+    The pairwise form is quadratic in SERIES LENGTH, not in rows: the
+    daily pre-aggregation bounds each user's series at ~30 points
+    (one month of days), so the self-join is ≤ n·30² — the same
+    bounded-by-construction argument as the rolling-median frame. The
+    pre-aggregation is the single data-sized shuffle; the pair join is
+    user-co-partitioned."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("v")
+    )
+    a = daily.select("user_id", F.col("day").alias("da"), F.col("v").alias("va"))
+    b = daily.select("user_id", F.col("day").alias("db"), F.col("v").alias("vb"))
+    s = (
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(b, "user_id").filter(F.col("db") > F.col("da")).select(
+        "user_id", s.alias("s")
+    )
+    mk = F.sum("s")
+    return pairs.groupBy("user_id").agg(
+        mk.cast("long").alias("mk_s"),
+        F.count("*").cast("long").alias("n_pairs"),
+        F.when(mk > 0, "up").when(mk < 0, "down").otherwise("flat").alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Peak detection (local maxima over the daily series)
+# ---------------------------------------------------------------------------
+
+_PEAK_MARGIN_CENTI = 500  # a peak must clear both neighbors by 5.00
+
+
+@query(
+    "ts_peak_detection",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v
+      FROM events GROUP BY day
+    ), ctx AS (
+      SELECT day, v,
+             LAG(v) OVER (ORDER BY day) AS vp,
+             LEAD(v) OVER (ORDER BY day) AS vn
+      FROM daily
+    )
+    SELECT day, CAST(v AS BIGINT) AS v_centi,
+           CAST(v - vp AS BIGINT) AS rise_centi,
+           CAST(v - vn AS BIGINT) AS fall_centi
+    FROM ctx
+    WHERE vp IS NOT NULL AND vn IS NOT NULL
+      AND v >= vp + {_PEAK_MARGIN_CENTI} AND v >= vn + {_PEAK_MARGIN_CENTI}
+    """,
+)
+def ts_peak_detection(spark, sf_dir):
+    """Local-maximum peak detection over the corpus daily total: a day
+    is a peak when it clears BOTH neighbors by a margin — the
+    spike-surfacing primitive behind alerting and seasonality-spike
+    review (the margin suppresses plateau noise that a plain
+    local-max test flags). Integer centi-units; emits the peak's
+    prominence against each neighbor.
+
+    The daily series is bounded-by-construction (one month of days
+    after the first aggregate), so the unpartitioned lag/lead window
+    is over ≤31 rows — the documented bounded-window convention
+    (timeseries.py daily series); the data-sized work is the one
+    partial-aggregated groupBy."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("v")
+    )
+    # bounded-by-construction: ≤31 daily rows after the aggregate
+    wd = W.orderBy("day")
+    ctx = daily.select(
+        "day",
+        "v",
+        F.lag("v").over(wd).alias("vp"),
+        F.lead("v").over(wd).alias("vn"),
+    )
+    return ctx.filter(
+        F.col("vp").isNotNull()
+        & F.col("vn").isNotNull()
+        & (F.col("v") >= F.col("vp") + _PEAK_MARGIN_CENTI)
+        & (F.col("v") >= F.col("vn") + _PEAK_MARGIN_CENTI)
+    ).select(
+        "day",
+        F.col("v").cast("long").alias("v_centi"),
+        (F.col("v") - F.col("vp")).cast("long").alias("rise_centi"),
+        (F.col("v") - F.col("vn")).cast("long").alias("fall_centi"),
+    )

@@ -866,3 +866,59 @@ class TestHypertableRollup:
         weeks = {r["bucket"] for r in out if r["grain"] == "week"}
         months = {r["bucket"] for r in out if r["grain"] == "month"}
         assert len(months) <= len(weeks) <= len(days)
+
+
+class TestMannKendall:
+    def test_python_replica(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d'),"
+            " SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+            " FROM events GROUP BY 1, 2",
+            sf_dir,
+        )
+        by_user = defaultdict(list)
+        for uid, day, v in rows:
+            by_user[uid].append((day, v))
+        expect = {}
+        for uid, seq in by_user.items():
+            seq.sort()
+            s = n = 0
+            for i in range(len(seq)):
+                for j in range(i + 1, len(seq)):
+                    d = seq[j][1] - seq[i][1]
+                    s += (d > 0) - (d < 0)
+                    n += 1
+            trend = "up" if s > 0 else ("down" if s < 0 else "flat")
+            expect[uid] = (s, n, trend)
+        got = QUERIES["ts_trend_mann_kendall"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[r["user_id"]] == (r["mk_s"], r["n_pairs"], r["trend"])
+
+
+class TestPeakDetection:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import (
+            _PEAK_MARGIN_CENTI,
+        )
+
+        rows = _duck(
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d'),"
+            " SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+            " FROM events GROUP BY 1 ORDER BY 1",
+            sf_dir,
+        )
+        expect = {}
+        for i in range(1, len(rows) - 1):
+            day, v = rows[i]
+            vp, vn = rows[i - 1][1], rows[i + 1][1]
+            if v >= vp + _PEAK_MARGIN_CENTI and v >= vn + _PEAK_MARGIN_CENTI:
+                expect[day] = (v, v - vp, v - vn)
+        got = QUERIES["ts_peak_detection"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[r["day"]] == (
+                r["v_centi"],
+                r["rise_centi"],
+                r["fall_centi"],
+            )
