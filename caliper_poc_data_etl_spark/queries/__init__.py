@@ -309,6 +309,7 @@ _NEXT: list[str] = [
     "ts_hypertable_rollup",
     "ts_trend_mann_kendall",
     "ts_peak_detection",
+    "agg_weighted_median",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

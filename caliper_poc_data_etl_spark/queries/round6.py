@@ -1973,11 +1973,17 @@ def ml_auc_rank_eval(spark, sf_dir):
     Score = first embedding dimension (quantized), label = the
     corpus's class id split at {AUC_LABEL_SPLIT} — a deliberately
     weak-but-nonrandom scorer, so the AUC is strictly between 0 and 1
-    and the tie path actually executes. Plan: one global sort for the
-    rank (Spark RangePartitions it — no single reducer), one
-    aggregate. At 100 TB the sort is THE cost, same as any exact AUC;
-    the approximate path is a binned calibration curve
-    (``ml_calibration_bins``)."""
+    and the tie path actually executes.
+
+    Plan — the DISTRIBUTED rank formulation: rows first collapse to
+    per-score (count, positives) partials via one map-side-combining
+    groupBy, and the rank arithmetic runs over the DISTINCT-score
+    frame only (quantization bounds it at ~2001 values — the
+    bounded-window convention; a per-row rank() would single-reduce
+    the whole table). For a score group with inclusive cumulative
+    count cw and size n, every positive contributes
+    2·rlo+nties−1 = 2·cw−n+1 — algebraically identical to the oracle's
+    per-row RANK() form."""
     e = t(spark, sf_dir, "embeddings")
     scored = e.select(
         (F.round(F.element_at("embedding", 1).cast("double") * 1000))
@@ -1985,25 +1991,25 @@ def ml_auc_rank_eval(spark, sf_dir):
         .alias("score"),
         F.when(F.col("label") >= AUC_LABEL_SPLIT, 1).otherwise(0).alias("y"),
     )
-    ranked = scored.select(
-        "y",
-        F.rank().over(W.orderBy("score")).alias("rlo"),
-        F.count("*").over(W.partitionBy("score")).alias("nties"),
+    per_score = scored.groupBy("score").agg(
+        F.count("*").alias("n"), F.sum("y").alias("np")
     )
-    return ranked.agg(
-        F.sum("y").cast("long").alias("n_pos"),
-        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    # bounded-by-construction: one row per distinct quantized score
+    # (|scores| ≤ value-range ≈ 2001), not per input row.
+    wcum = W.orderBy("score").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_score.select(
+        "n", "np", F.sum("n").over(wcum).alias("cw")
+    )
+    return cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).cast("long").alias("n_neg"),
         (
-            F.sum(
-                F.when(
-                    F.col("y") == 1, 2 * F.col("rlo") + F.col("nties") - 1
-                ).otherwise(0)
-            )
-            - F.sum("y") * (F.sum("y") + 1)
+            F.sum(F.col("np") * (2 * F.col("cw") - F.col("n") + 1))
+            - F.sum("np") * (F.sum("np") + 1)
         )
         .cast("long")
         .alias("u2_num"),
-        (2 * F.sum("y") * F.sum(1 - F.col("y")))
+        (2 * F.sum("np") * F.sum(F.col("n") - F.col("np")))
         .cast("long")
         .alias("u2_den"),
     ).select("n_pos", "n_neg", "u2_num", "u2_den")
@@ -2376,4 +2382,92 @@ def ts_peak_detection(spark, sf_dir):
         F.col("v").cast("long").alias("v_centi"),
         (F.col("v") - F.col("vp")).cast("long").alias("rise_centi"),
         (F.col("v") - F.col("vn")).cast("long").alias("fall_centi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted median (cumulative-weight selection)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_centi,
+             CAST(l_quantity AS BIGINT) AS w
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, price_centi, w,
+             SUM(w) OVER (PARTITION BY l_returnflag
+                          ORDER BY price_centi, w
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM q
+    ), picked AS (
+      SELECT l_returnflag, price_centi, tw,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY cw) AS rn
+      FROM cum WHERE 2 * cw >= tw
+    )
+    SELECT l_returnflag,
+           price_centi AS wmedian_centi,
+           CAST(tw AS BIGINT) AS total_weight
+    FROM picked WHERE rn = 1
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact weighted median (lower): per group, order values and pick
+    the first whose running weight reaches half the total — the
+    robust central-tendency statistic when rows carry different mass
+    (price weighted by quantity = "the price at which half the UNITS
+    trade", not half the line items). Plain percentile functions can't
+    express this; the cumulative-weight window formulation is the
+    standard distributed algorithm.
+
+    Integer-exact: prices floor-quantize to centi-units, weights are
+    integer, and the half test is the cross-multiplied 2·cw ≥ tw — no
+    division.
+
+    Plan — partial-aggregate BEFORE the sort: rows collapse to
+    per-(group, price) weight sums with map-side combine, and the
+    cumulative window runs over the distinct-price frame, not the
+    data (with only a handful of groups, a per-row window would
+    single-thread each group's full sort — the distributed-rank
+    lesson from ``ml_auc_rank_eval`` applied here)."""
+    li = t(spark, sf_dir, "lineitem")
+    per_price = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("price_centi"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("l_returnflag", "price_centi")
+        .agg(F.sum("w").alias("w"))
+    )
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_centi")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = W.partitionBy("l_returnflag")
+    cum = per_price.select(
+        "l_returnflag",
+        "price_centi",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    )
+    wpick = W.partitionBy("l_returnflag").orderBy("cw")
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("tw"))
+        .withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("price_centi").alias("wmedian_centi"),
+            F.col("tw").cast("long").alias("total_weight"),
+        )
     )

@@ -922,3 +922,42 @@ class TestPeakDetection:
                 r["rise_centi"],
                 r["fall_centi"],
             )
+
+
+class TestWeightedMedian:
+    def test_python_replica(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT l_returnflag,"
+            " CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT),"
+            " CAST(l_quantity AS BIGINT) FROM lineitem",
+            sf_dir,
+        )
+        by_flag = defaultdict(list)
+        for fl, p, w in rows:
+            by_flag[fl].append((p, w))
+        expect = {}
+        for fl, pw in by_flag.items():
+            pw.sort()
+            tw = sum(w for _, w in pw)
+            cw = 0
+            for p, w in pw:
+                cw += w
+                if 2 * cw >= tw:
+                    expect[fl] = (p, tw)
+                    break
+        got = QUERIES["agg_weighted_median"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[r["l_returnflag"]] == (
+                r["wmedian_centi"],
+                r["total_weight"],
+            )
+        # weighted median differs from unweighted median somewhere on
+        # this data, or the weighting would be untested — assert the
+        # half-mass property instead, which forces real weights:
+        for fl, pw in by_flag.items():
+            med = expect[fl][0]
+            below = sum(w for p, w in pw if p < med)
+            at_or_below = sum(w for p, w in pw if p <= med)
+            tw = expect[fl][1]
+            assert 2 * below < tw <= 2 * at_or_below
