@@ -310,6 +310,9 @@ _NEXT: list[str] = [
     "ts_trend_mann_kendall",
     "ts_peak_detection",
     "agg_weighted_median",
+    "decontam_bloom_ngram",
+    "window_hampel_outliers",
+    "curation_funnel_report",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

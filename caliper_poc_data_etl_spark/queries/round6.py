@@ -2471,3 +2471,329 @@ def agg_weighted_median(spark, sf_dir):
             F.col("tw").cast("long").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-backed n-gram decontamination (the broadcast-filter scale path)
+# ---------------------------------------------------------------------------
+
+_DBL_MOD = 10        # doc_id % 10 == 0 → held-out benchmark docs
+_DBL_N = 5           # word n-gram size
+_DBL_BITS = 1 << 16
+_DBL_K = 7
+
+
+def _decontam_bloom_oracle() -> str:
+    member = ", ".join(
+        f"('0x' || substr(md5({i} || ':' || sh), 1, 15))::BIGINT % {_DBL_BITS}"
+        for i in range(_DBL_K)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                         x -> x <> '') AS tk
+      FROM documents
+    ), shingles AS (
+      SELECT doc_id,
+             array_to_string(tk[u.i : u.i + {_DBL_N} - 1], ' ') AS sh
+      FROM toks, unnest(range(1, len(tk) - {_DBL_N} + 2)) AS u(i)
+      WHERE len(tk) >= {_DBL_N}
+    ), bench_sh AS (
+      SELECT DISTINCT sh FROM shingles WHERE doc_id % {_DBL_MOD} = 0
+    ), bits AS (
+      SELECT DISTINCT u.b FROM bench_sh, unnest([{member}]) AS u(b)
+    ), corpus_sh AS (
+      SELECT doc_id, sh FROM shingles WHERE doc_id % {_DBL_MOD} <> 0
+    ), probe AS (
+      SELECT c.doc_id, c.sh,
+             (SELECT COUNT(*) FROM unnest([{member.replace('sh', 'c.sh')}])
+                AS p(b) WHERE b IN (SELECT b FROM bits)) = {_DBL_K}
+               AS bloom_hit,
+             c.sh IN (SELECT sh FROM bench_sh) AS exact_hit
+      FROM corpus_sh c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bloom_hits,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_hits,
+           (SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0) AS flagged
+    FROM probe GROUP BY doc_id
+    """
+
+
+@query("decontam_bloom_ngram", oracle=_decontam_bloom_oracle())
+def decontam_bloom_ngram(spark, sf_dir):
+    """Benchmark decontamination through a Bloom filter — the scale
+    path for the n-gram overlap check: the held-out set's word
+    5-gram shingles compress into a 65,536-bit/7-hash filter
+    (kilobytes, broadcast to every scan task) instead of a shingle
+    JOIN against the benchmark (which shuffles the corpus's full
+    shingle stream). Every corpus shingle probes the filter; exact
+    hits ride alongside so the filter's false positives — the
+    over-removal cost of the approximation — are graded, not guessed.
+    The md5 hash family makes every bit position engine-exact, so
+    even the FPs hash-match.
+
+    Plan: benchmark shingles explode → 7-bit-position explode →
+    distinct = the filter (broadcast); corpus shingles explode
+    map-side and aggregate per (doc, shingle) verdict without the
+    corpus ever shuffling by shingle. At 100 TB this is the only
+    decontamination shape that works — the reason GPT-3's paper
+    describes exactly this filter."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
+    toks = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= _DBL_N)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - _DBL_N + 1),
+                lambda i: F.array_join(F.slice("tk", i, _DBL_N), " "),
+            )
+        ).alias("sh"),
+    )
+
+    def positions(col):
+        return F.array(
+            *[
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(str(i)), F.lit(":"), col)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _DBL_BITS
+                for i in range(_DBL_K)
+            ]
+        )
+
+    bench_sh = sh.filter(F.col("doc_id") % _DBL_MOD == 0).select("sh").distinct()
+    bits = (
+        bench_sh.select(F.explode(positions(F.col("sh"))).alias("b"))
+        .distinct()
+        .withColumn("set_bit", F.lit(True))
+    )
+    corpus_sh = sh.filter(F.col("doc_id") % _DBL_MOD != 0)
+    probed = (
+        corpus_sh.select("doc_id", "sh", F.explode(positions(F.col("sh"))).alias("b"))
+        .join(F.broadcast(bits), "b", "left")
+        .groupBy("doc_id", "sh")
+        .agg(
+            (F.sum(F.col("set_bit").isNotNull().cast("int")) == _DBL_K).alias(
+                "bloom_hit"
+            )
+        )
+    )
+    exact = bench_sh.withColumn("exact_bit", F.lit(True))
+    verdicts = probed.join(F.broadcast(exact), "sh", "left").select(
+        "doc_id",
+        "bloom_hit",
+        F.col("exact_bit").isNotNull().alias("exact_hit"),
+    )
+    return verdicts.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_shingles"),
+        F.sum(F.col("bloom_hit").cast("int")).cast("long").alias("n_bloom_hits"),
+        F.sum(F.col("exact_hit").cast("int")).cast("long").alias("n_exact_hits"),
+        (F.sum(F.col("bloom_hit").cast("int")) > 0).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hampel outlier filter (rolling median ± k·MAD)
+# ---------------------------------------------------------------------------
+
+HAMPEL_T = 3  # |x - med| > 3·MAD flags
+
+
+@query(
+    "window_hampel_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT user_id, event_id, ts,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events
+    ), fr AS (
+      SELECT user_id, event_id, ts, vq,
+             list_sort(list(vq) OVER w) AS lst
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {RM_FRAME} PRECEDING AND CURRENT ROW)
+    ), med AS (
+      SELECT user_id, event_id, ts, vq, lst,
+             CASE WHEN len(lst) % 2 = 1
+                  THEN 2 * lst[(len(lst) + 1) // 2]
+                  ELSE lst[len(lst) // 2] + lst[len(lst) // 2 + 1]
+             END AS med2
+      FROM fr
+    ), dev AS (
+      SELECT user_id, event_id, ts, vq, med2,
+             list_sort(list_transform(lst, x -> abs(2 * x - med2))) AS dl
+      FROM med
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '{_TS_FMT_DUCK}') AS ts_s,
+           CAST(vq AS BIGINT) AS vq_micro,
+           CAST(med2 AS BIGINT) AS med2_micro,
+           CAST(CASE WHEN len(dl) % 2 = 1
+                THEN 2 * dl[(len(dl) + 1) // 2]
+                ELSE dl[len(dl) // 2] + dl[len(dl) // 2 + 1]
+           END AS BIGINT) AS mad4_micro,
+           2 * abs(2 * vq - med2) > {HAMPEL_T} * (
+             CASE WHEN len(dl) % 2 = 1
+                  THEN 2 * dl[(len(dl) + 1) // 2]
+                  ELSE dl[len(dl) // 2] + dl[len(dl) // 2 + 1] END)
+             AS is_outlier
+    FROM dev
+    """,
+)
+def window_hampel_outliers(spark, sf_dir):
+    """Hampel outlier filter: a point is anomalous when it deviates
+    from its trailing-window MEDIAN by more than {HAMPEL_T}× the
+    window's MAD — the robust replacement for the z-score filter
+    (``anomaly_zscore_events``), immune to the outliers polluting
+    their own baseline (a spike inflates a mean+stddev gate but
+    barely moves median/MAD). The de-facto standard despiker for
+    sensor and metrics streams.
+
+    Integer-exact doubling cascade: med2 = 2·median,
+    d = |2x − med2| = 2|x − med|, mad4 = med2-of-d = 4·MAD, and the
+    flag is the cross-multiplied 2·d > {HAMPEL_T}·mad4 — no division
+    anywhere. Same constant-bounded frame argument as
+    ``window_rolling_median``: per-row state is O(frame), one hash
+    shuffle by user."""
+    e = t(spark, sf_dir, "events")
+    vq = F.floor(F.col("value") * 1000000 + F.lit(0.5)).cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-RM_FRAME, 0)
+    )
+    lst = F.sort_array(F.collect_list(vq).over(w))
+    base = e.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        vq.alias("vq"),
+        lst.alias("lst"),
+    )
+
+    def med2_of(arr):
+        n = F.size(arr)
+        hi = F.floor((n + 1) / 2).cast("int")
+        lo = F.floor(n / 2).cast("int")
+        return F.when(n % 2 == 1, 2 * F.element_at(arr, hi)).otherwise(
+            F.element_at(arr, lo) + F.element_at(arr, lo + 1)
+        )
+
+    med = base.withColumn("med2", med2_of(F.col("lst")))
+    dl = F.sort_array(
+        F.transform(F.col("lst"), lambda x: F.abs(2 * x - F.col("med2")))
+    )
+    dev = med.withColumn("mad4", med2_of(dl))
+    return dev.select(
+        "user_id",
+        "event_id",
+        "ts_s",
+        F.col("vq").cast("long").alias("vq_micro"),
+        F.col("med2").cast("long").alias("med2_micro"),
+        F.col("mad4").cast("long").alias("mad4_micro"),
+        (
+            2 * F.abs(2 * F.col("vq") - F.col("med2"))
+            > HAMPEL_T * F.col("mad4")
+        ).alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel report (end-to-end pipeline accounting)
+# ---------------------------------------------------------------------------
+
+_FUN_MIN_CHARS = 200
+_FUN_LANGS = ("en", "de", "es", "fr")
+_FUN_PREFIX = 40
+
+
+@query(
+    "curation_funnel_report",
+    oracle=f"""
+    WITH flags AS (
+      SELECT doc_id, lang,
+             n_chars >= {_FUN_MIN_CHARS} AS s2,
+             lang IN {_FUN_LANGS!r} AS s3,
+             substr(lower(trim(text)), 1, {_FUN_PREFIX}) AS pk
+      FROM documents
+    ), surv AS (
+      SELECT doc_id, pk FROM flags WHERE s2 AND s3
+    ), dedup AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY pk ORDER BY doc_id) AS rn
+      FROM surv
+    ), joined AS (
+      SELECT f.s2, f.s3, COALESCE(d.rn = 1, FALSE) AS s4
+      FROM flags f LEFT JOIN dedup d USING (doc_id)
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE s2) AS BIGINT) AS c2,
+             CAST(COUNT(*) FILTER (WHERE s2 AND s3) AS BIGINT) AS c3,
+             CAST(COUNT(*) FILTER (WHERE s2 AND s3 AND s4) AS BIGINT) AS c4
+      FROM joined
+    )
+    SELECT u.stage, u.n_remaining, u.n_dropped FROM agg, LATERAL (
+      VALUES ('1_ingested', c1, CAST(0 AS BIGINT)),
+             ('2_min_length', c2, c1 - c2),
+             ('3_lang_allowlist', c3, c2 - c3),
+             ('4_prefix_dedup', c4, c3 - c4)
+    ) AS u(stage, n_remaining, n_dropped)
+    """,
+)
+def curation_funnel_report(spark, sf_dir):
+    """End-to-end curation funnel accounting — the report every
+    training-data pipeline publishes next to its output: how many
+    documents survive each stage (ingest → minimum length → language
+    allowlist → normalized-prefix dedup) and how many each stage
+    dropped. The stages here are the engine's own graded operators
+    composed (``doc_length_pctl_filter``, ``text_langid``'s label
+    surface, ``text_dedup_prefix_key``), so the funnel is an
+    integration query over proven parts rather than new semantics.
+
+    Plan: ONE scan computes all per-doc stage flags; the dedup stage
+    is one window over stage-3 survivors; the funnel collapses to a
+    single 4-value aggregate unpivoted into labeled rows (the
+    `stack` form) — nothing rescans per stage, which is what makes
+    per-stage accounting affordable at 100 TB (5 sequential filtered
+    counts would be 5 scans)."""
+    d = t(spark, sf_dir, "documents")
+    flags = d.select(
+        "doc_id",
+        (F.col("n_chars") >= _FUN_MIN_CHARS).alias("s2"),
+        F.col("lang").isin(*_FUN_LANGS).alias("s3"),
+        F.substring(F.lower(F.trim("text")), 1, _FUN_PREFIX).alias("pk"),
+    )
+    surv = flags.filter(F.col("s2") & F.col("s3")).select("doc_id", "pk")
+    rn = F.row_number().over(W.partitionBy("pk").orderBy("doc_id"))
+    dedup = surv.withColumn("rn", rn).select(
+        "doc_id", (F.col("rn") == 1).alias("s4")
+    )
+    joined = flags.join(dedup, "doc_id", "left").select(
+        "s2", "s3", F.coalesce("s4", F.lit(False)).alias("s4")
+    )
+    agg = joined.agg(
+        F.count("*").cast("long").alias("c1"),
+        F.sum(F.col("s2").cast("int")).cast("long").alias("c2"),
+        F.sum((F.col("s2") & F.col("s3")).cast("int")).cast("long").alias("c3"),
+        F.sum((F.col("s2") & F.col("s3") & F.col("s4")).cast("int"))
+        .cast("long")
+        .alias("c4"),
+    )
+    return agg.selectExpr(
+        """stack(4,
+             '1_ingested', c1, cast(0 as bigint),
+             '2_min_length', c2, c1 - c2,
+             '3_lang_allowlist', c3, c2 - c3,
+             '4_prefix_dedup', c4, c3 - c4
+           ) AS (stage, n_remaining, n_dropped)"""
+    )

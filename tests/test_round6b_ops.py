@@ -961,3 +961,143 @@ class TestWeightedMedian:
             at_or_below = sum(w for p, w in pw if p <= med)
             tw = expect[fl][1]
             assert 2 * below < tw <= 2 * at_or_below
+
+
+class TestDecontamBloom:
+    def test_python_replica_and_fp_accounting(self, spark, sf_dir):
+        import re
+
+        from caliper_poc_data_etl_spark.queries.round6 import (
+            _DBL_BITS,
+            _DBL_K,
+            _DBL_MOD,
+            _DBL_N,
+        )
+
+        docs = _duck("SELECT doc_id, text FROM documents", sf_dir)
+        tok = re.compile(r"[^a-z]+")
+
+        def shingles(text):
+            tk = [w for w in tok.split(text.lower()) if w]
+            return [
+                " ".join(tk[i : i + _DBL_N])
+                for i in range(len(tk) - _DBL_N + 1)
+            ]
+
+        def bloom_positions(sh):
+            return {
+                _md5_prefix_int(f"{i}:{sh}", 15) % _DBL_BITS
+                for i in range(_DBL_K)
+            }
+
+        bench = set()
+        for doc_id, text in docs:
+            if doc_id % _DBL_MOD == 0:
+                bench.update(shingles(text))
+        bits = set()
+        for sh in bench:
+            bits |= bloom_positions(sh)
+        expect = {}
+        for doc_id, text in docs:
+            if doc_id % _DBL_MOD == 0:
+                continue
+            shs = set(shingles(text))
+            if not shs:
+                continue
+            nb = sum(1 for sh in shs if bloom_positions(sh) <= bits)
+            ne = sum(1 for sh in shs if sh in bench)
+            expect[doc_id] = (len(shs), nb, ne, nb > 0)
+        got = QUERIES["decontam_bloom_ngram"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        fp_total = 0
+        for r in got:
+            e = expect[r["doc_id"]]
+            assert e == (
+                r["n_shingles"],
+                r["n_bloom_hits"],
+                r["n_exact_hits"],
+                r["flagged"],
+            )
+            # filter never misses a true hit (no false negatives)
+            assert r["n_bloom_hits"] >= r["n_exact_hits"]
+            fp_total += r["n_bloom_hits"] - r["n_exact_hits"]
+        assert fp_total >= 0  # FPs are possible and accounted, never hidden
+
+
+class TestHampelOutliers:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import HAMPEL_T
+
+        rows = _duck(
+            "SELECT user_id, event_id, value FROM events"
+            " ORDER BY user_id, ts, event_id",
+            sf_dir,
+        )
+        by_user = defaultdict(list)
+        for uid, eid, val in rows:
+            by_user[uid].append((eid, math.floor(val * 1000000 + 0.5)))
+
+        def med2(sorted_vals):
+            n = len(sorted_vals)
+            return (
+                2 * sorted_vals[(n - 1) // 2]
+                if n % 2 == 1
+                else sorted_vals[n // 2 - 1] + sorted_vals[n // 2]
+            )
+
+        expect = {}
+        for uid, seq in by_user.items():
+            vals = [v for _, v in seq]
+            for i, (eid, vq) in enumerate(seq):
+                frame = sorted(vals[max(0, i - RM_FRAME) : i + 1])
+                m2 = med2(frame)
+                dl = sorted(abs(2 * x - m2) for x in frame)
+                m4 = med2(dl)
+                expect[eid] = (vq, m2, m4, 2 * abs(2 * vq - m2) > HAMPEL_T * m4)
+        got = QUERIES["window_hampel_outliers"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        n_out = 0
+        for r in got:
+            assert expect[r["event_id"]] == (
+                r["vq_micro"],
+                r["med2_micro"],
+                r["mad4_micro"],
+                r["is_outlier"],
+            )
+            n_out += int(r["is_outlier"])
+        # the filter flags something but not everything
+        assert 0 < n_out < len(got)
+
+
+class TestCurationFunnel:
+    def test_monotone_and_exact(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import (
+            _FUN_LANGS,
+            _FUN_MIN_CHARS,
+            _FUN_PREFIX,
+        )
+
+        docs = _duck("SELECT doc_id, lang, n_chars, text FROM documents", sf_dir)
+        c1 = len(docs)
+        s2 = [d for d in docs if d[2] >= _FUN_MIN_CHARS]
+        s3 = [d for d in s2 if d[1] in _FUN_LANGS]
+        seen, s4 = set(), []
+        for d in sorted(s3):
+            pk = d[3].strip().lower()[:_FUN_PREFIX]
+            if pk not in seen:
+                seen.add(pk)
+                s4.append(d)
+        got = {
+            r["stage"]: (r["n_remaining"], r["n_dropped"])
+            for r in QUERIES["curation_funnel_report"].spark(spark, sf_dir).collect()
+        }
+        assert got == {
+            "1_ingested": (c1, 0),
+            "2_min_length": (len(s2), c1 - len(s2)),
+            "3_lang_allowlist": (len(s3), len(s2) - len(s3)),
+            "4_prefix_dedup": (len(s4), len(s3) - len(s4)),
+        }
+        # every stage is monotone non-increasing and at least one bites
+        rem = [got[k][0] for k in sorted(got)]
+        assert rem == sorted(rem, reverse=True)
+        assert rem[-1] < rem[0]
