@@ -313,6 +313,8 @@ _NEXT: list[str] = [
     "decontam_bloom_ngram",
     "window_hampel_outliers",
     "curation_funnel_report",
+    "agg_log2_histogram",
+    "ts_backtest_wape",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

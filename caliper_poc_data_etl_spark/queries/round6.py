@@ -2797,3 +2797,115 @@ def curation_funnel_report(spark, sf_dir):
              '4_prefix_dedup', c4, c3 - c4
            ) AS (stage, n_remaining, n_dropped)"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Log2 (HdrHistogram-style) histogram
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_log2_histogram",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS centi
+      FROM orders WHERE o_totalprice > 0
+    )
+    SELECT CAST(length(bin(centi)) - 1 AS INT) AS bucket_log2,
+           CAST(1 << (length(bin(centi)) - 1) AS BIGINT) AS bucket_lo_centi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(centi) AS BIGINT) AS min_centi,
+           CAST(MAX(centi) AS BIGINT) AS max_centi
+    FROM q GROUP BY 1, 2
+    """,
+)
+def agg_log2_histogram(spark, sf_dir):
+    """Log-scaled (power-of-two-bucket) histogram — how latency and
+    money distributions are actually profiled at scale (HdrHistogram,
+    Prometheus exponential buckets): equal-width buckets
+    (``hist_order_totals``) waste resolution on heavy tails; log2
+    buckets give constant relative error with a handful of rows.
+    The bucket index is floor(log2(v)) computed EXACTLY as the binary
+    string length minus one (bin() is identical in both engines) — no
+    floating log anywhere, so no boundary-value divergence at exact
+    powers of two.
+
+    One partial-aggregated groupBy on a derived key; scan-bound at
+    any scale, output bounded at 64 rows."""
+    o = t(spark, sf_dir, "orders")
+    centi = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    q = o.filter(F.col("o_totalprice") > 0).select(centi.alias("centi"))
+    blog = (F.length(F.bin("centi")) - 1).cast("int")
+    return q.groupBy(
+        blog.alias("bucket_log2"),
+        F.expr(
+            "cast(shiftleft(cast(1 as bigint), length(bin(centi)) - 1) as bigint)"
+        ).alias("bucket_lo_centi"),
+    ).agg(
+        F.count("*").cast("long").alias("n"),
+        F.min("centi").cast("long").alias("min_centi"),
+        F.max("centi").cast("long").alias("max_centi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive backtest with WAPE (forecast evaluation)
+# ---------------------------------------------------------------------------
+
+_BT_SEASON = 7  # seasonal lag (days)
+
+
+@query(
+    "ts_backtest_wape",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v
+      FROM events GROUP BY event_type, day
+    ), lagged AS (
+      SELECT event_type, day, v,
+             LAG(v, {_BT_SEASON}) OVER (PARTITION BY event_type
+                                        ORDER BY day) AS pred
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(v - pred)) AS BIGINT) AS wape_num_centi,
+           CAST(SUM(abs(v)) AS BIGINT) AS wape_den_centi,
+           CAST(MAX(abs(v - pred)) AS BIGINT) AS worst_abs_err_centi
+    FROM lagged WHERE pred IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_backtest_wape(spark, sf_dir):
+    """Forecast backtesting: replay the seasonal-naive model
+    (ŷ(d) = y(d−{_BT_SEASON})) over the observed history and score it
+    with WAPE — Σ|err| / Σ|actual| — the accuracy gate that decides
+    whether ``ts_seasonal_naive_forecast``'s baseline is even worth
+    beating. Emitted as the exact integer ratio
+    (wape_num/wape_den in centi-units) plus the worst single-day
+    error; no float division in the graded output.
+
+    Plan: one daily pre-aggregation (the data-sized shuffle), one
+    per-series lag window over the bounded daily frame, one aggregate.
+    Backtests of any lag-based model share this exact shape — swap
+    the LAG expression for the model."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("v")
+    )
+    wlag = W.partitionBy("event_type").orderBy("day")
+    lagged = daily.withColumn("pred", F.lag("v", _BT_SEASON).over(wlag)).filter(
+        F.col("pred").isNotNull()
+    )
+    err = F.abs(F.col("v") - F.col("pred"))
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(err).cast("long").alias("wape_num_centi"),
+        F.sum(F.abs("v")).cast("long").alias("wape_den_centi"),
+        F.max(err).cast("long").alias("worst_abs_err_centi"),
+    )

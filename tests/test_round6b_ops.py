@@ -1101,3 +1101,68 @@ class TestCurationFunnel:
         rem = [got[k][0] for k in sorted(got)]
         assert rem == sorted(rem, reverse=True)
         assert rem[-1] < rem[0]
+
+
+class TestLog2Histogram:
+    def test_python_replica(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)"
+            " FROM '%s/orders.parquet' WHERE o_totalprice > 0" % sf_dir,
+            sf_dir,
+        )
+        from collections import defaultdict as dd
+
+        expect = dd(lambda: [0, None, None])
+        for (c,) in rows:
+            b = c.bit_length() - 1
+            e = expect[b]
+            e[0] += 1
+            e[1] = c if e[1] is None else min(e[1], c)
+            e[2] = c if e[2] is None else max(e[2], c)
+        got = QUERIES["agg_log2_histogram"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            e = expect[r["bucket_log2"]]
+            assert r["bucket_lo_centi"] == 1 << r["bucket_log2"]
+            assert [r["n"], r["min_centi"], r["max_centi"]] == e
+            assert (
+                r["bucket_lo_centi"]
+                <= r["min_centi"]
+                <= r["max_centi"]
+                < 2 * r["bucket_lo_centi"]
+            )
+
+
+class TestBacktestWape:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import _BT_SEASON
+
+        rows = _duck(
+            "SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'),"
+            " SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))"
+            " FROM events GROUP BY 1, 2 ORDER BY 1, 2",
+            sf_dir,
+        )
+        by_type = defaultdict(list)
+        for et, day, v in rows:
+            by_type[et].append(v)
+        expect = {}
+        for et, vs in by_type.items():
+            errs = [
+                abs(vs[i] - vs[i - _BT_SEASON])
+                for i in range(_BT_SEASON, len(vs))
+            ]
+            acts = [abs(vs[i]) for i in range(_BT_SEASON, len(vs))]
+            if errs:
+                expect[et] = (len(errs), sum(errs), sum(acts), max(errs))
+        got = QUERIES["ts_backtest_wape"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[r["event_type"]] == (
+                r["n_days"],
+                r["wape_num_centi"],
+                r["wape_den_centi"],
+                r["worst_abs_err_centi"],
+            )
+            # the naive backtest has real but bounded error on this data
+            assert 0 < r["wape_num_centi"] < 2 * r["wape_den_centi"]
