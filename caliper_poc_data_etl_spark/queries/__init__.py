@@ -315,6 +315,8 @@ _NEXT: list[str] = [
     "curation_funnel_report",
     "agg_log2_histogram",
     "ts_backtest_wape",
+    "training_batch_manifest",
+    "dedup_cross_source_priority",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

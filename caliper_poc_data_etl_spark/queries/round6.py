@@ -2909,3 +2909,164 @@ def ts_backtest_wape(spark, sf_dir):
         F.sum(F.abs("v")).cast("long").alias("wape_den_centi"),
         F.max(err).cast("long").alias("worst_abs_err_centi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-batch manifest (epoch expansion → sequence packing)
+# ---------------------------------------------------------------------------
+
+_TBM_BUDGET = 2048  # tokens per packed sequence
+
+
+@query(
+    "training_batch_manifest",
+    oracle=f"""
+    WITH ep AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS INT) % 3 + 1 AS epochs,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                 x -> x <> '')) AS n_tokens
+      FROM documents
+    ), expanded AS (
+      SELECT doc_id, source, n_tokens, CAST(u.i AS INT) AS copy_id
+      FROM ep, unnest(range(1, epochs + 1)) AS u(i)
+    ), offs AS (
+      SELECT source, doc_id, copy_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY copy_id, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM expanded
+    ), placed AS (
+      SELECT source, doc_id, copy_id, n_tokens,
+             CAST(FLOOR(cum_before / {_TBM_BUDGET}) AS BIGINT) AS seq_id
+      FROM offs
+    )
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_packed,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_docs
+    FROM placed GROUP BY source, seq_id
+    """,
+)
+def training_batch_manifest(spark, sf_dir):
+    """The training-data assembly manifest — the composition that
+    turns a curated corpus into trainer input: epoch-expand each
+    source by its mixing recipe (``mix_epoch_oversample``'s knob),
+    order copies epoch-major so repeats of a document land in
+    DIFFERENT packed sequences, then greedy-pack token counts into
+    {_TBM_BUDGET}-token sequences by running offset
+    (``pack_sequences``' cumsum placement). The manifest rows (one
+    per packed sequence per source) are what a loader shards across
+    data-parallel workers.
+
+    Plan: one map-side epoch explode, one per-source running-sum
+    window (source-partitioned — sources are the natural parallel
+    unit), one groupBy. Per-sequence token totals and distinct-doc
+    counts make over-repetition auditable at the sequence level."""
+    d = t(spark, sf_dir, "documents")
+    ep = d.select(
+        "doc_id",
+        "source",
+        (F.substring("source", 4, 10).cast("int") % 3 + 1).alias("epochs"),
+        F.size(
+            F.filter(F.split(F.trim("text"), "\\s+"), lambda x: x != "")
+        ).alias("n_tokens"),
+    )
+    expanded = ep.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(1), F.col("epochs"))).alias("copy_id"),
+    )
+    woff = (
+        W.partitionBy("source")
+        .orderBy("copy_id", "doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    placed = expanded.select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            F.coalesce(F.sum("n_tokens").over(woff), F.lit(0)) / _TBM_BUDGET
+        )
+        .cast("long")
+        .alias("seq_id"),
+    )
+    return placed.groupBy("source", "seq_id").agg(
+        F.count("*").cast("long").alias("n_items"),
+        F.sum("n_tokens").cast("long").alias("tokens_packed"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.countDistinct("doc_id").cast("long").alias("n_distinct_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source priority dedup (survivor = highest-priority source)
+# ---------------------------------------------------------------------------
+
+_XSD_PREFIX = 40
+
+
+@query(
+    "dedup_cross_source_priority",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, source,
+             CAST(substr(source, 4) AS INT) AS prio,
+             substr(lower(trim(text)), 1, {_XSD_PREFIX}) AS pk
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source, prio, pk,
+             ROW_NUMBER() OVER (PARTITION BY pk
+                                ORDER BY prio, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY pk) AS n_copies,
+             COUNT(DISTINCT source) OVER (PARTITION BY pk) AS n_sources
+      FROM keyed
+    )
+    SELECT pk, doc_id AS kept_doc_id, source AS kept_source,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(n_sources AS BIGINT) AS n_sources
+    FROM ranked WHERE rn = 1 AND n_copies > 1
+    """,
+)
+def dedup_cross_source_priority(spark, sf_dir):
+    """Cross-source dedup with source-priority survivorship: when the
+    same content arrives from multiple feeds, keep the copy from the
+    most trusted source (curated > crawled is the standard rule) —
+    the policy layer that plain keep-first dedup
+    (``dedup_exact_normalized``) lacks. Duplicate groups key on the
+    normalized {_XSD_PREFIX}-char prefix; the survivor is the
+    (priority, doc_id) argmin, and each kept row reports how many
+    copies and distinct sources it beat — the provenance audit trail.
+
+    One shuffle on the dedup key; windows reuse the same partitioning
+    (single Exchange under AQE). Output only the groups where dedup
+    actually fired, so the table reads as an action log."""
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        F.substring("source", 4, 10).cast("int").alias("prio"),
+        F.substring(F.lower(F.trim("text")), 1, _XSD_PREFIX).alias("pk"),
+    )
+    wpk = W.partitionBy("pk")
+    ranked = keyed.select(
+        "doc_id",
+        "source",
+        "pk",
+        F.row_number()
+        .over(wpk.orderBy("prio", "doc_id"))
+        .alias("rn"),
+        F.count("*").over(wpk).alias("n_copies"),
+        F.size(F.collect_set("source").over(wpk)).alias("n_sources"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("n_copies") > 1)).select(
+        "pk",
+        F.col("doc_id").alias("kept_doc_id"),
+        F.col("source").alias("kept_source"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("n_sources").cast("long").alias("n_sources"),
+    )

@@ -1166,3 +1166,78 @@ class TestBacktestWape:
             )
             # the naive backtest has real but bounded error on this data
             assert 0 < r["wape_num_centi"] < 2 * r["wape_den_centi"]
+
+
+class TestBatchManifest:
+    def test_python_replica_and_packing_invariants(self, spark, sf_dir):
+        import re
+
+        from caliper_poc_data_etl_spark.queries.round6 import _TBM_BUDGET
+
+        docs = _duck("SELECT doc_id, source, text FROM documents", sf_dir)
+        ws = re.compile(r"\s+")
+        by_source = defaultdict(list)
+        for doc_id, source, text in docs:
+            nt = len([w for w in ws.split(text.strip()) if w])
+            ep = int(source[3:]) % 3 + 1
+            for c in range(1, ep + 1):
+                by_source[source].append((c, doc_id, nt))
+        expect = defaultdict(lambda: [0, 0, None, set()])
+        for source, items in by_source.items():
+            items.sort()
+            cum = 0
+            for c, doc_id, nt in items:
+                seq = cum // _TBM_BUDGET
+                e = expect[(source, seq)]
+                e[0] += 1
+                e[1] += nt
+                e[2] = doc_id if e[2] is None else min(e[2], doc_id)
+                e[3].add(doc_id)
+                cum += nt
+        got = QUERIES["training_batch_manifest"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            e = expect[(r["source"], r["seq_id"])]
+            assert (r["n_items"], r["tokens_packed"], r["first_doc"]) == (
+                e[0],
+                e[1],
+                e[2],
+            )
+            assert r["n_distinct_docs"] == len(e[3])
+        # sequences are contiguous per source starting at 0
+        by_src = defaultdict(set)
+        for r in got:
+            by_src[r["source"]].add(r["seq_id"])
+        for src, seqs in by_src.items():
+            assert seqs == set(range(len(seqs)))
+
+
+class TestCrossSourcePriority:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import _XSD_PREFIX
+
+        docs = _duck("SELECT doc_id, source, text FROM documents", sf_dir)
+        groups = defaultdict(list)
+        for doc_id, source, text in docs:
+            pk = text.strip().lower()[:_XSD_PREFIX]
+            groups[pk].append((int(source[3:]), doc_id, source))
+        expect = {}
+        for pk, rows in groups.items():
+            if len(rows) > 1:
+                prio, doc_id, source = min(rows)
+                expect[pk] = (
+                    doc_id,
+                    source,
+                    len(rows),
+                    len({s for _, _, s in rows}),
+                )
+        got = QUERIES["dedup_cross_source_priority"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[r["pk"]] == (
+                r["kept_doc_id"],
+                r["kept_source"],
+                r["n_copies"],
+                r["n_sources"],
+            )
+        assert len(got) > 0  # the policy actually fires on this corpus
