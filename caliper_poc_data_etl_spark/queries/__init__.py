@@ -317,6 +317,10 @@ _NEXT: list[str] = [
     "ts_backtest_wape",
     "training_batch_manifest",
     "dedup_cross_source_priority",
+    "stream_distinct_users_replay",
+    "graph_clustering_coeff",
+    "dq_drift_bins",
+    "scan_binary_files",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

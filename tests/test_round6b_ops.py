@@ -1241,3 +1241,92 @@ class TestCrossSourcePriority:
                 r["n_sources"],
             )
         assert len(got) > 0  # the policy actually fires on this corpus
+
+
+class TestStreamDistinctUsers:
+    def test_equals_batch_distinct(self, spark, sf_dir):
+        expect = {
+            day: n
+            for day, n in _duck(
+                "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d'),"
+                " COUNT(DISTINCT user_id) FROM events GROUP BY 1",
+                sf_dir,
+            )
+        }
+        got = {
+            r["day"]: r["n_users"]
+            for r in QUERIES["stream_distinct_users_replay"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == expect
+        # the dedup state actually collapsed revisits: distinct < events
+        n_events = _duck("SELECT COUNT(*) FROM events", sf_dir)[0][0]
+        assert sum(got.values()) < n_events
+
+
+class TestClusteringCoeff:
+    def test_python_replica(self, spark, sf_dir):
+        rows = _duck("SELECT vec_id FROM embeddings", sf_dir)
+        n = len(rows)
+        edges = set()
+        for a, b in _LP_GEN:
+            for v in range(n):
+                d = (v * a + b) % n
+                if d != v:
+                    edges.add((v, d))
+                    edges.add((d, v))
+        neigh = defaultdict(set)
+        for s, d in edges:
+            neigh[s].add(d)
+        got = {
+            r["vec_id"]: r
+            for r in QUERIES["graph_clustering_coeff"].spark(spark, sf_dir).collect()
+        }
+        assert len(got) == len(neigh)
+        for v, nb in neigh.items():
+            tri = sum(
+                1
+                for a in nb
+                for b in nb
+                if a < b and (a, b) in edges
+            )
+            r = got[v]
+            assert r["degree"] == len(nb)
+            assert r["n_triangles"] == tri
+            assert r["cc_num"] == 2 * tri
+            assert r["cc_den"] == len(nb) * (len(nb) - 1)
+
+
+class TestDriftBins:
+    def test_totals_and_split(self, spark, sf_dir):
+        out = QUERIES["dq_drift_bins"].spark(spark, sf_dir).collect()
+        n, ne = _duck(
+            "SELECT COUNT(*), COUNT(*) FILTER (WHERE o_orderdate <"
+            " TIMESTAMP '1998-01-01 00:00:00')"
+            " FROM '%s/orders.parquet' WHERE o_totalprice > 0" % sf_dir,
+            sf_dir,
+        )[0]
+        assert sum(r["n_early"] + r["n_late"] for r in out) == n
+        assert sum(r["n_early"] for r in out) == ne
+        # both periods populate the histogram
+        assert any(r["n_early"] > 0 for r in out)
+        assert any(r["n_late"] > 0 for r in out)
+
+
+class TestScanBinaryFiles:
+    def test_roundtrip_md5(self, spark, sf_dir):
+        docs = _duck(
+            "SELECT doc_id, text FROM documents WHERE doc_id < 50", sf_dir
+        )
+        expect = {
+            doc_id: (
+                len(text.encode("utf-8")),
+                hashlib.md5(text.encode("utf-8")).hexdigest(),
+            )
+            for doc_id, text in docs
+        }
+        got = QUERIES["scan_binary_files"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[r["doc_id"]] == (r["n_bytes"], r["content_md5"])
