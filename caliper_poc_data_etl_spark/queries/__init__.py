@@ -276,6 +276,18 @@ _DEFERRED = [
 # it is empty when the declared surface fits (each future entry lands
 # here WITH semantic pytest evidence and a local check_oracle green
 # before it is queued).
+#
+# ROUND-6 ROTATION PLAN (execute at the start of round 6): move this
+# whole `_NEXT` queue into the front-50 and defer the r5-window greens
+# to `_DEFERRED`. The queue is sized to fill the window (44 entries +
+# room for regrades); every entry below is locally certified — oracle
+# hash-green at sf0.001/sf0.01/sf0.1 in BOTH default and vanilla
+# sessions, python/numpy-replica pytest evidence
+# (tests/test_round6_ops.py, tests/test_round6b_ops.py), plan_audit
+# clean, and K=100 (~sf10) soak lines recorded in NOTES_r05.md with
+# nothing superlinear. There are no known MUST-REGRADEs from the r5
+# window at queue time (nothing in the front-50 was re-implemented
+# after certification).
 _NEXT: list[str] = [
     "embed_kmeans_representatives",
     "q21_sole_late_supplier",

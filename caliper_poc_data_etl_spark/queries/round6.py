@@ -635,6 +635,35 @@ LP_ROUNDS = 3
 _LP_GEN = [(7, 1), (13, 2), (29, 3)]
 
 
+def _affine_undirected_edges(spark, sf_dir):
+    """The shared synthetic similarity graph over embedding ids:
+    three affine generators per node, symmetrized, self-loops and
+    duplicates removed, localCheckpoint'ed (it anchors iterative
+    loops). Used by label propagation, k-core, and the clustering
+    coefficient; mirrors the SSSP/CC generator on documents."""
+    e = t(spark, sf_dir, "embeddings")
+    nn = e.agg(F.count("*").alias("n"))
+    base = e.select(F.col("vec_id").alias("id")).crossJoin(F.broadcast(nn))
+    parts = [
+        base.select(
+            F.col("id").alias("src"),
+            ((F.col("id") * a + b) % F.col("n")).alias("dst"),
+        )
+        for a, b in _LP_GEN
+    ]
+    gen = parts[0]
+    for p in parts[1:]:
+        gen = gen.unionByName(p)
+    gen = gen.filter(F.col("src") != F.col("dst"))
+    return (
+        gen.unionByName(
+            gen.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+
 def _lp_oracle() -> str:
     gens = "\n      UNION ALL\n".join(
         f"""      SELECT id AS src, (id * {a} + {b}) % n AS dst
@@ -690,27 +719,8 @@ def graph_label_propagation(spark, sf_dir):
     ``graph_sssp_bellman_ford``. Fixed LP_ROUNDS keeps it
     driver-action-free; both engines run the identical integer
     schedule so the oracle is exact."""
+    edges = _affine_undirected_edges(spark, sf_dir)
     e = t(spark, sf_dir, "embeddings")
-    nn = e.agg(F.count("*").alias("n"))
-    base = e.select(F.col("vec_id").alias("id")).crossJoin(F.broadcast(nn))
-    parts = [
-        base.select(
-            F.col("id").alias("src"),
-            ((F.col("id") * a + b) % F.col("n")).alias("dst"),
-        )
-        for a, b in _LP_GEN
-    ]
-    gen = parts[0]
-    for p in parts[1:]:
-        gen = gen.unionByName(p)
-    gen = gen.filter(F.col("src") != F.col("dst"))
-    edges = (
-        gen.unionByName(
-            gen.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     labels = e.select(F.col("vec_id").alias("node"), F.col("label").alias("lab"))
     init = labels
     for _ in range(LP_ROUNDS):
@@ -2138,27 +2148,7 @@ def graph_kcore_decompose(spark, sf_dir):
     Each round: one degree groupBy + two semi-joins to keep edges
     between survivors — all hash-partitioned on node ids,
     localCheckpoint truncating lineage per round."""
-    e = t(spark, sf_dir, "embeddings")
-    nn = e.agg(F.count("*").alias("n"))
-    base = e.select(F.col("vec_id").alias("id")).crossJoin(F.broadcast(nn))
-    parts = [
-        base.select(
-            F.col("id").alias("src"),
-            ((F.col("id") * a + b) % F.col("n")).alias("dst"),
-        )
-        for a, b in _LP_GEN
-    ]
-    gen = parts[0]
-    for p in parts[1:]:
-        gen = gen.unionByName(p)
-    gen = gen.filter(F.col("src") != F.col("dst"))
-    edges = (
-        gen.unionByName(
-            gen.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _affine_undirected_edges(spark, sf_dir)
     for _ in range(KCORE_ROUNDS):
         keep = (
             edges.groupBy("src")
@@ -3177,27 +3167,7 @@ def graph_clustering_coeff(spark, sf_dir):
     triangle-free nodes. All joins hash on node ids — the compact
     relational triangle plan, per node instead of
     ``graph_triangle_count``'s global scalar."""
-    e = t(spark, sf_dir, "embeddings")
-    nn = e.agg(F.count("*").alias("n"))
-    base = e.select(F.col("vec_id").alias("id")).crossJoin(F.broadcast(nn))
-    parts = [
-        base.select(
-            F.col("id").alias("src"),
-            ((F.col("id") * a + b) % F.col("n")).alias("dst"),
-        )
-        for a, b in _LP_GEN
-    ]
-    gen = parts[0]
-    for p in parts[1:]:
-        gen = gen.unionByName(p)
-    gen = gen.filter(F.col("src") != F.col("dst"))
-    edges = (
-        gen.unionByName(
-            gen.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    edges = _affine_undirected_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("d")
     )
