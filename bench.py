@@ -76,6 +76,9 @@ HEADLINE = [
     "text_bpe_tokenize",         # subword BPE encode (zero-shuffle map)
     "embed_kmeans_assign",       # exact-integer Lloyd k-means
     "q3_bucketed_top_revenue",   # Q3 on bucketed layout (0 fact shuffles)
+    # round-6 queue flagships (same new-keys convention as above):
+    "sim_ivfpq_topk",            # IVF+PQ+re-rank composed ANN pipeline
+    "decontam_bloom_ngram",      # broadcast-Bloom decontamination
 ]
 
 
