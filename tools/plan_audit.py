@@ -63,6 +63,7 @@ EXPECTED_SCALAR_BNLJ = {
     "agg_kmv_set_ops",  # broadcast 1-row sketch/match/exact scalars combined
     "dq_freshness_lag",  # broadcast 1-row global-max-ts anchor
     "ml_calibration_bins",  # broadcast 1-row min/max bin-edge anchor
+    "dq_benford_digits",  # broadcast 1-row population total
 }
 # Deliberate probe-set × corpus broadcast join (tiny probe side, the
 # sim_cosine_topk posture): the corpus never shuffles.
