@@ -1637,7 +1637,9 @@ def text_paragraph_dedup_ratio(spark, sf_dir):
         FROM events GROUP BY user_id, event_type
       ) WHERE rn = 1
     ), latest AS (
-      SELECT user_id, value AS last_value FROM (
+      SELECT user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS last_value_centi
+      FROM (
         SELECT user_id, value,
                ROW_NUMBER() OVER (PARTITION BY user_id
                                   ORDER BY ts DESC, event_id DESC) AS rn
@@ -1652,7 +1654,7 @@ def text_paragraph_dedup_ratio(spark, sf_dir):
       FROM events GROUP BY user_id
     )
     SELECT a.user_id, m.mode_type,
-           ROUND(l.last_value, 2) AS last_value,
+           l.last_value_centi,
            CAST(a.n_events AS BIGINT) AS n_events,
            CAST(a.n_types AS BIGINT) AS n_types,
            a.first_seen, a.last_seen
@@ -1685,7 +1687,12 @@ def er_survivorship_golden_record(spark, sf_dir):
     latest = (
         e.withColumn("rn", F.row_number().over(wlat))
         .filter(F.col("rn") == 1)
-        .select("user_id", F.round("value", 2).alias("last_value"))
+        .select(
+            "user_id",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("last_value_centi"),
+        )
     )
     agg = e.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_events"),
@@ -1696,7 +1703,7 @@ def er_survivorship_golden_record(spark, sf_dir):
     return agg.join(mode_t, "user_id").join(latest, "user_id").select(
         "user_id",
         "mode_type",
-        "last_value",
+        "last_value_centi",
         "n_events",
         "n_types",
         "first_seen",

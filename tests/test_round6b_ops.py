@@ -682,7 +682,7 @@ class TestGoldenRecord:
             assert r["mode_type"] == mode_type
             assert r["n_events"] == len(evs)
             assert r["n_types"] == len(votes)
-            assert r["last_value"] == pytest.approx(round(latest[4], 2), abs=1e-9)
+            assert r["last_value_centi"] == math.floor(latest[4] * 100 + 0.5)
 
 
 class TestEpochOversample:
