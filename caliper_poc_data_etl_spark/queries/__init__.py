@@ -333,6 +333,8 @@ _NEXT: list[str] = [
     "graph_clustering_coeff",
     "dq_drift_bins",
     "scan_binary_files",
+    "fn_variant_pack",
+    "udtf_sentence_split",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

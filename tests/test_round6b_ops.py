@@ -1330,3 +1330,40 @@ class TestScanBinaryFiles:
         assert len(got) == len(expect)
         for r in got:
             assert expect[r["doc_id"]] == (r["n_bytes"], r["content_md5"])
+
+
+class TestVariantPack:
+    def test_python_replica(self, spark, sf_dir):
+        import json
+
+        rows = _duck(
+            "SELECT event_id, user_id, event_type, props FROM events", sf_dir
+        )
+        expect = {}
+        for eid, uid, et, props in rows:
+            k = json.loads(props)["k"]
+            expect[eid] = (k, et, eid, 2)
+        got = QUERIES["fn_variant_pack"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[r["event_id"]] == (
+                r["meta_k"],
+                r["t"],
+                r["second_id"],
+                r["n_ids"],
+            )
+
+
+class TestUdtfSentenceSplit:
+    def test_python_replica(self, spark, sf_dir):
+        import re
+
+        docs = _duck("SELECT doc_id, text FROM documents", sf_dir)
+        expect = {}
+        for doc_id, text in docs:
+            for i, p in enumerate(re.split(r"\.\s+", text)):
+                expect[(doc_id, i)] = len(p)
+        got = QUERIES["udtf_sentence_split"].spark(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            assert expect[(r["doc_id"], r["sent_idx"])] == r["n_chars_unit"]
