@@ -335,6 +335,8 @@ _NEXT: list[str] = [
     "scan_binary_files",
     "fn_variant_pack",
     "udtf_sentence_split",
+    "sql_pipe_syntax",
+    "fn_collation_pack",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

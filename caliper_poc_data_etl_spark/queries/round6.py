@@ -3419,3 +3419,88 @@ def udtf_sentence_split(spark, sf_dir):
         FROM docs_udtf_r6 d, LATERAL split_sentences_r6(d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+)
+def sql_pipe_syntax(spark, sf_dir):
+    """Spark 4's SQL pipe syntax (`|>`) — the linear query dialect
+    (FROM … |> WHERE … |> AGGREGATE … |> WHERE) that reads in dataflow
+    order instead of SQL's inside-out nesting; declared as a sql-text
+    entry like ``sql_q3_shipping_priority`` so the SURFACE is graded:
+    the oracle states the classic SELECT…GROUP BY…HAVING equivalent
+    and the hash match proves the two dialects produce the identical
+    plan semantics. Pipe operators compile to the same Catalyst
+    logical plan — zero runtime cost for the readability."""
+    from caliper_poc_data_etl_spark.sources import sf_table
+
+    sf_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_r6")
+    return spark.sql(
+        """
+        FROM orders_pipe_r6
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS total
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, CAST(n_orders AS BIGINT) AS n_orders, total
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Collation-aware comparison (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_collation_pack",
+    oracle="""
+    SELECT lower(o_orderpriority) AS prio_ci,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN lower(o_orderstatus) = 'o' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_open_ci
+    FROM orders GROUP BY 1
+    """,
+)
+def fn_collation_pack(spark, sf_dir):
+    """Collation-aware string semantics (Spark 4's collation support):
+    grouping and equality under the UTF8_LCASE collation — comparisons
+    become case-insensitive WITHOUT rewriting every expression through
+    lower() (the engine pushes collation into hashing, joins, and
+    sorts; this is the warehouse-grade CI-compare surface). The output
+    lowercases the group label only for cross-engine display parity —
+    the GROUPING itself runs on the collated column, which is what the
+    hash match certifies against the oracle's lower() formulation."""
+    o = t(spark, sf_dir, "orders")
+    ci = F.collate(F.col("o_orderpriority"), "UTF8_LCASE")
+    status_ci = F.collate(F.col("o_orderstatus"), "UTF8_LCASE")
+    return (
+        o.groupBy(ci.alias("prio_grp"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(status_ci == F.lit("O"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_open_ci"),
+        )
+        .select(
+            F.lower(F.col("prio_grp").cast("string")).alias("prio_ci"),
+            "n",
+            "n_open_ci",
+        )
+    )

@@ -1367,3 +1367,57 @@ class TestUdtfSentenceSplit:
         assert len(got) == len(expect)
         for r in got:
             assert expect[(r["doc_id"], r["sent_idx"])] == r["n_chars_unit"]
+
+
+class TestPipeSyntax:
+    def test_equals_classic_sql(self, spark, sf_dir):
+        expect = {
+            p: (n, t)
+            for p, n, t in _duck(
+                "SELECT o_orderpriority, COUNT(*),"
+                " ROUND(SUM(o_totalprice), 2)"
+                " FROM '%s/orders.parquet' WHERE o_orderstatus = 'O'"
+                " GROUP BY 1 HAVING COUNT(*) > 10" % sf_dir,
+                sf_dir,
+            )
+        }
+        got = {
+            r["o_orderpriority"]: (r["n_orders"], r["total"])
+            for r in QUERIES["sql_pipe_syntax"].spark(spark, sf_dir).collect()
+        }
+        assert set(got) == set(expect)
+        for k, (n, t) in expect.items():
+            assert got[k][0] == n
+            assert got[k][1] == pytest.approx(t, abs=1e-6)
+
+
+class TestCollationPack:
+    def test_ci_grouping_on_mixed_case(self, spark):
+        """The driver tables are single-case, so prove the collation
+        actually collapses case on constructed data."""
+        df = spark.createDataFrame(
+            [("Urgent", "o"), ("URGENT", "O"), ("urgent", "F"), ("Low", "o")],
+            ["prio", "status"],
+        )
+        ci = F.collate(F.col("prio"), "UTF8_LCASE")
+        status_ci = F.collate(F.col("status"), "UTF8_LCASE")
+        out = {
+            r["p"]: (r["n"], r["n_open"])
+            for r in df.groupBy(ci.alias("g"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.when(status_ci == F.lit("O"), 1).otherwise(0)).alias(
+                    "n_open"
+                ),
+            )
+            .select(F.lower(F.col("g").cast("string")).alias("p"), "n", "n_open")
+            .collect()
+        }
+        # three case variants of 'urgent' collapse into ONE group, and
+        # the CI equality counts both 'o' and 'O' as open
+        assert out == {"urgent": (3, 2), "low": (1, 1)}
+
+    def test_driver_table_parity(self, spark, sf_dir):
+        got = QUERIES["fn_collation_pack"].spark(spark, sf_dir).collect()
+        n_orders = _duck("SELECT COUNT(*) FROM '%s/orders.parquet'" % sf_dir, sf_dir)[0][0]
+        assert sum(r["n"] for r in got) == n_orders
