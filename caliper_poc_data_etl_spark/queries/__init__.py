@@ -43,6 +43,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     extended,
     round5,
     round6,
+    round7,
 )
 
 # ---------------------------------------------------------------------------
@@ -337,6 +338,18 @@ _NEXT: list[str] = [
     "udtf_sentence_split",
     "sql_pipe_syntax",
     "fn_collation_pack",
+    "join_lateral_topk",
+    "sample_stratified_fixed_n",
+    "ts_xcorr_lag_scan",
+    "ml_mrr_eval",
+    "text_winnowing_fingerprint",
+    "curation_chunk_dedup_rewrite",
+    "dedup_url_canonical",
+    "q12_late_line_priority",
+    "graph_link_prediction_ra",
+    "er_soundex_block",
+    "ts_theil_sen_slope",
+    "dq_column_profile",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1,0 +1,948 @@
+"""Round-5 additions, sixth batch (r6 grading queue): correlated
+LATERAL top-k join, deterministic stratified sampling, time-series
+cross-correlation lag scan, MRR ranking evaluation, MOSS winnowing
+document fingerprints, C4-style global chunk dedup with document
+rewrite, and web-crawl URL canonicalization dedup.
+
+Everything follows the registry conventions (__init__ docstring):
+identical aliases on both sides, exact integer arithmetic wherever a
+quotient or product crosses the engine boundary, and md5 as the only
+cross-engine hash primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+# ---------------------------------------------------------------------------
+# Correlated LATERAL top-k join
+# ---------------------------------------------------------------------------
+
+LATERAL_K = 3
+
+
+@query(
+    "join_lateral_topk",
+    oracle=f"""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT {LATERAL_K}
+    ) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery join (SQL:1999 LATERAL, Spark
+    SPARK-34382): for each BUILDING-segment customer, the top-3 orders
+    by price — the "top-k related rows per driving row" shape that
+    pre-LATERAL SQL needed window functions for. Both engines state
+    the IDENTICAL lateral syntax; the hash match proves Spark's
+    decorrelation (Catalyst rewrites the correlated limit into a
+    ranked join — no per-row re-execution) agrees with DuckDB's
+    dependent-join execution. Deterministic: price ties break on
+    o_orderkey. Scale shape: Catalyst decorrelates to a
+    window-over-join, so the plan is one shuffle on o_custkey, not
+    |customer| probe queries."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_r7")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_r7")
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS totalprice
+        FROM customer_lat_r7 c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders_lat_r7 o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT {LATERAL_K}
+        ) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (fixed n per stratum)
+# ---------------------------------------------------------------------------
+
+STRAT_N = 5
+
+
+@query(
+    "sample_stratified_fixed_n",
+    oracle=f"""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= {STRAT_N}
+    """,
+)
+def sample_stratified_fixed_n(spark, sf_dir):
+    """Stratified sample with a FIXED quota per stratum (the
+    eval-set / holdout construction next to `sample_sequential_poisson`'s
+    weighted global sample): exactly min(n, |stratum|) documents per
+    source, chosen by md5-hash priority so the draw is deterministic,
+    uniform within the stratum, and stable under re-runs and
+    repartitioning — no rand(), no seed plumbing. Scale shape: one
+    hash projection + a per-stratum window; strata partition the
+    shuffle, and a production variant bounds state with per-partition
+    top-n heaps exactly like ``text_tokenize_vocab_ids``."""
+    d = t(spark, sf_dir, "documents")
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        d.select("doc_id", "source", rn.alias("rn"))
+        .filter(F.col("rn") <= STRAT_N)
+        .select("doc_id", "source", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation lag scan between two event-type daily series
+# ---------------------------------------------------------------------------
+
+XCORR_MAX_LAG = 7
+
+
+@query(
+    "ts_xcorr_lag_scan",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN event_type = 'error'
+                 THEN CAST(FLOOR(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(0, {XCORR_MAX_LAG + 1})) AS lag),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN daily a ON true
+      JOIN daily b ON b.d = a.d + l.lag
+    ),
+    scored AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS score
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_days, score,
+           score = MAX(score) OVER () AS is_best
+    FROM scored
+    """,
+)
+def ts_xcorr_lag_scan(spark, sf_dir):
+    """Cross-correlation lag scan: which lag best aligns the daily
+    'click' series with the daily 'error' series? For each lag
+    0..7, the score is the n-scaled covariance n*Σxy − Σx·Σy of the
+    lag-joined day pairs — the numerator of Pearson r multiplied
+    through by n so the whole statistic stays in BIGINT (values are
+    centi-quantized per event before the daily sum, so no float ever
+    crosses the engine boundary). Scale shape: the daily
+    pre-aggregation reduces the fact table once (partial-agg groupBy);
+    the lag scan then runs over |days| × |lags| rows — bounded by the
+    calendar, not the data. is_best marks the argmax lag."""
+    e = t(spark, sf_dir, "events")
+    qv = F.floor(F.col("value") * 100).cast("long")
+    daily = e.groupBy(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "d"
+        )
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", qv).otherwise(F.lit(0))).alias(
+            "x"
+        ),
+        F.sum(F.when(F.col("event_type") == "error", qv).otherwise(F.lit(0))).alias(
+            "y"
+        ),
+    )
+    lags = spark.range(0, XCORR_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = daily.select("d", "x")
+    b = daily.select(F.col("d").alias("bd"), "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bd") == F.col("d") + F.col("lag"))
+    )
+    scored = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (
+            F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+            - F.sum("x") * F.sum("y")
+        )
+        .cast("long")
+        .alias("score"),
+    )
+    return scored.select(
+        F.col("lag").cast("long").alias("lag"),
+        "n_days",
+        "score",
+        (F.col("score") == F.max("score").over(W.partitionBy())).alias("is_best"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MRR ranking evaluation over exact integer dot-product retrieval
+# ---------------------------------------------------------------------------
+
+MRR_QUERIES = 10
+
+
+@query(
+    "ml_mrr_eval",
+    oracle=f"""
+    WITH qz AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM qz ORDER BY vec_id LIMIT {MRR_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS q_vec, q.label AS q_label,
+             c.vec_id AS c_vec, c.label AS c_label,
+             CAST(list_dot_product(q.e, c.e) AS BIGINT) AS dot
+      FROM q JOIN qz c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY q_vec ORDER BY dot DESC, c_vec) AS rnk
+      FROM scored
+    )
+    SELECT q_vec, q_label,
+           CAST(MIN(rnk) AS BIGINT) AS first_rel_rank,
+           CAST(1000000 // MIN(rnk) AS BIGINT) AS rr_micro
+    FROM ranked WHERE c_label = q_label
+    GROUP BY q_vec, q_label
+    """,
+)
+def ml_mrr_eval(spark, sf_dir):
+    """Mean-reciprocal-rank retrieval evaluation: for each of the 10
+    lowest-id query vectors, rank the whole corpus by exact integer
+    dot product (milli-quantized embeddings — the
+    ``sim_cosine_topk`` recipe) and report the rank of the first
+    same-label neighbor. The reciprocal is emitted in integer
+    micro-units via floor division (1e6 DIV rank) so no float
+    quotient crosses the engine boundary; MRR itself is
+    mean(rr_micro)/1e6, recoverable exactly. Scale shape: the query
+    side is tiny and broadcast; the corpus never shuffles for
+    scoring, and the per-query ranking partitions by q_vec — the
+    same plan as the production top-k retrieval it evaluates."""
+    emb = t(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    z = emb.select("vec_id", "label", qe.alias("e"))
+    q = (
+        z.orderBy("vec_id")
+        .limit(MRR_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_vec"),
+            F.col("label").alias("q_label"),
+            F.col("e").alias("q_e"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_e"), F.col("e"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        z.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec"))
+        .select(
+            "q_vec",
+            "q_label",
+            F.col("vec_id").alias("c_vec"),
+            F.col("label").alias("c_label"),
+            dot.alias("dot"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("q_vec").orderBy(F.col("dot").desc(), F.col("c_vec"))
+    )
+    ranked = scored.select("q_vec", "q_label", "c_label", rnk.alias("rnk"))
+    return (
+        ranked.filter(F.col("c_label") == F.col("q_label"))
+        .groupBy("q_vec", "q_label")
+        .agg(F.min("rnk").cast("long").alias("first_rel_rank"))
+        .select(
+            "q_vec",
+            "q_label",
+            "first_rel_rank",
+            F.expr("1000000 DIV first_rel_rank").cast("long").alias("rr_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MOSS winnowing document fingerprints
+# ---------------------------------------------------------------------------
+
+WIN_K = 8  # k-gram length (chars)
+WIN_W = 4  # winnowing window (hashes)
+
+
+@query(
+    "text_winnowing_fingerprint",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, u.i AS pos
+      FROM documents, unnest(range(1, length(text) - {WIN_K} + 2)) AS u(i)
+      WHERE length(text) >= {WIN_K + WIN_W - 1}
+    ),
+    hs AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(substr(text, CAST(pos AS INT), {WIN_K})), 1, 10))::BIGINT
+               AS h
+      FROM pos
+    ),
+    win AS (
+      SELECT doc_id, pos, list(h) OVER w AS hl, list(pos) OVER w AS pl
+      FROM hs
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND {WIN_W - 1} FOLLOWING)
+    ),
+    sel AS (
+      SELECT doc_id,
+             pl[len(hl) - list_position(list_reverse(hl), list_min(hl)) + 1]
+               AS fp_pos,
+             list_min(hl) AS fp
+      FROM win WHERE len(hl) = {WIN_W}
+    )
+    SELECT DISTINCT doc_id, CAST(fp_pos AS BIGINT) AS fp_pos,
+           CAST(fp AS BIGINT) AS fp
+    FROM sel
+    """,
+)
+def text_winnowing_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k=8-char gram, slide a
+    w=4 window over the hash sequence, and select the window minimum
+    (rightmost on ties — the paper's robust-winnowing rule, expressed
+    here as reverse+first-position so both engines pick the identical
+    occurrence); duplicate selections collapse via DISTINCT. The
+    guarantee: any shared substring of length ≥ k+w−1 produces at
+    least one shared fingerprint, making this the local-context
+    alternative to MinHash for plagiarism/near-dup detection. Scale
+    shape: per-doc windows partition by doc_id (documents process in
+    parallel, frames are w-bounded), and the char-gram explode is the
+    same linear blowup the shingling operators already carry."""
+    d = t(spark, sf_dir, "documents").filter(
+        F.length("text") >= WIN_K + WIN_W - 1
+    )
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - WIN_K + 1)).alias("pos"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.col("text").substr(F.col("pos"), F.lit(WIN_K))), 1, 10
+        ),
+        16,
+        10,
+    ).cast("long")
+    hs = pos.select("doc_id", "pos", h.alias("h"))
+    wspec = (
+        W.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WIN_W - 1)
+    )
+    win = hs.select(
+        "doc_id",
+        F.collect_list("h").over(wspec).alias("hl"),
+        F.collect_list("pos").over(wspec).alias("pl"),
+    ).filter(F.size("hl") == WIN_W)
+    mh = F.array_min("hl")
+    idx = F.size("hl") - F.array_position(F.reverse(F.col("hl")), mh) + 1
+    sel = win.select(
+        "doc_id",
+        F.element_at(F.col("pl"), idx.cast("int")).cast("long").alias("fp_pos"),
+        mh.cast("long").alias("fp"),
+    )
+    return sel.distinct()
+
+
+# ---------------------------------------------------------------------------
+# C4-style global chunk dedup with document rewrite
+# ---------------------------------------------------------------------------
+
+LD_CHUNK_WORDS = 8
+_LD_IDX_BASE = 100000  # doc-local chunk index < 1e5 by construction
+
+
+@query(
+    "curation_chunk_dedup_rewrite",
+    oracle=f"""
+    WITH ch AS MATERIALIZED (
+      SELECT doc_id, u.i AS idx,
+             array_to_string(
+               list_slice(string_split(text, ' '),
+                          CAST(u.i * {LD_CHUNK_WORDS} + 1 AS INT),
+                          CAST(u.i * {LD_CHUNK_WORDS} + {LD_CHUNK_WORDS} AS INT)),
+               ' ') AS chunk
+      FROM documents,
+           unnest(range(0, CAST(ceil(len(string_split(text, ' '))
+                                     / {LD_CHUNK_WORDS}.0) AS BIGINT))) AS u(i)
+    ),
+    surv AS (
+      SELECT chunk, MIN(doc_id * {_LD_IDX_BASE} + idx) AS mink
+      FROM ch GROUP BY chunk
+    ),
+    kept AS (
+      SELECT ch.doc_id, ch.idx, ch.chunk
+      FROM ch JOIN surv ON ch.chunk = surv.chunk
+       AND ch.doc_id * {_LD_IDX_BASE} + ch.idx = surv.mink
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id),
+    ka AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             array_to_string(list(chunk ORDER BY idx), ' ') AS new_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+           CAST(COALESCE(ka.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(ka.new_text, '') AS new_text
+    FROM tot t LEFT JOIN ka USING (doc_id)
+    """,
+)
+def curation_chunk_dedup_rewrite(spark, sf_dir):
+    """C4/RefinedWeb-style global line dedup with document REWRITE:
+    documents split into 8-word chunks (the corpus has no newlines, so
+    fixed-width word chunks stand in for lines); each distinct chunk
+    keeps exactly its first occurrence corpus-wide (lowest
+    (doc_id, idx)); every document is then reassembled from its
+    surviving chunks in order. Unlike ``text_paragraph_dedup_ratio``
+    (which only measures duplication), this emits the rewritten
+    corpus — the actual curation transform C4 applies before
+    training. Scale shape: explode → one hash-partitioned groupBy on
+    the chunk text for survivorship → join back on the same key →
+    per-doc reassembly; first-occurrence survivorship is a pure MIN
+    aggregate (no windows), so every stage partial-aggregates."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(words) / F.lit(LD_CHUNK_WORDS)).cast("int")
+    ch = d.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), nchunks - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * LD_CHUNK_WORDS + 1, LD_CHUNK_WORDS), " "
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    key = F.col("doc_id") * _LD_IDX_BASE + F.col("idx")
+    surv = ch.groupBy("chunk").agg(F.min(key).alias("mink"))
+    kept = ch.join(surv, "chunk").filter(key == F.col("mink"))
+    tot = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    ka = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )
+    return tot.join(ka, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Web-crawl URL canonicalization dedup
+# ---------------------------------------------------------------------------
+
+# Both sides synthesize the same messy URL per event (mixed-case hosts,
+# tracking params, trailing slashes, fragments), then canonicalize and
+# dedupe — the construction is part of the declared semantics so the
+# canonicalizer is exercised on every variation class.
+_URL_SYNTH_SQL = """
+  'https://'
+  || CASE WHEN event_id % 3 = 0 THEN 'WWW.Example.COM'
+          WHEN event_id % 3 = 1 THEN 'www.example.com'
+          ELSE 'Example.Com' END
+  || '/' || event_type || '/item' || CAST(user_id % 50 AS STRING)
+  || CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END
+  || CASE WHEN event_id % 4 = 0
+          THEN '?utm_source=feed&id=' || CAST(user_id % 100 AS STRING)
+          WHEN event_id % 4 = 1
+          THEN '?id=' || CAST(user_id % 100 AS STRING) || '&utm_campaign=x'
+          WHEN event_id % 4 = 2
+          THEN '?id=' || CAST(user_id % 100 AS STRING)
+          ELSE '' END
+  || CASE WHEN event_id % 7 = 0
+          THEN '#sec' || CAST(event_id % 3 AS STRING) ELSE '' END
+"""
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    WITH raw AS (
+      SELECT event_id, ({_URL_SYNTH_SQL}) AS url FROM events
+    ),
+    parts AS (
+      SELECT event_id,
+             lower(regexp_extract(url, '^https://([^/?#]+)', 1)) AS host,
+             regexp_replace(
+               regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1),
+               '/$', '') AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS qs
+      FROM raw
+    ),
+    canon AS (
+      SELECT event_id,
+             'https://' || host || path ||
+             CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical_url
+      FROM (
+        -- array_to_string([]) is NULL in DuckDB (Spark's array_join
+        -- gives ''), so the empty-params case needs a COALESCE.
+        SELECT event_id, host, path,
+               COALESCE(array_to_string(
+                 list_sort(list_filter(string_split(qs, '&'),
+                                       p -> NOT starts_with(p, 'utm_')
+                                            AND p <> '')),
+                 '&'), '') AS cq
+        FROM parts)
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_dupes,
+           CAST(MIN(event_id) AS BIGINT) AS first_event
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark, sf_dir):
+    """Web-crawl URL canonicalization + dedup — the first stage of
+    every crawl-based training-data pipeline (Common Crawl curation):
+    lowercase the host, strip the fragment, drop tracking parameters
+    (utm_*), sort the surviving query params, and trim trailing
+    slashes, then dedupe on the canonical form. The messy input URLs
+    are synthesized deterministically from events (mixed-case hosts,
+    utm params in both positions, trailing slashes, fragments) so
+    every canonicalization rule is exercised and hash-graded. Scale
+    shape: pure per-row Column/regexp work (zero shuffle) followed by
+    one partial-aggregating groupBy on the canonical key — the exact
+    ``dedup_exact_normalized`` plan with a richer normalizer."""
+    e = t(spark, sf_dir, "events")
+    url = F.expr(_URL_SYNTH_SQL)
+    raw = e.select("event_id", url.alias("url"))
+    host = F.lower(F.regexp_extract("url", r"^https://([^/?#]+)", 1))
+    path = F.regexp_replace(
+        F.regexp_extract("url", r"^https://[^/?#]+([^?#]*)", 1), r"/$", ""
+    )
+    qs = F.regexp_extract("url", r"\?([^#]*)", 1)
+    parts = raw.select(
+        "event_id", host.alias("host"), path.alias("path"), qs.alias("qs")
+    )
+    cq = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.col("qs"), "&"),
+                lambda p: (~p.startswith("utm_")) & (p != ""),
+            )
+        ),
+        "&",
+    )
+    canon = parts.select(
+        "event_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("host"),
+            F.col("path"),
+            F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
+        ).alias("canonical_url"),
+    )
+    return canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dupes"),
+        F.min("event_id").cast("long").alias("first_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: join + conditional priority aggregation + date window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_late_line_priority",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_late_line_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes and order priority) adapted to
+    the driver's slimmed lineitem: the synthetic tables carry no
+    l_shipmode/l_commitdate/l_receiptdate (the same documented
+    adaptation as q3/q4), so the "late shipment" predicate becomes
+    shipdate ≥ orderdate + 60 days and l_linestatus stands in for the
+    mode dimension. The graded semantics are Q12's: fact-to-fact
+    equi-join, a join-crossing date predicate, a calendar window, and
+    the two-way conditional priority rollup. Scale shape: filters push
+    into the lineitem scan; one shuffle on l_orderkey; the conditional
+    SUMs partial-aggregate map-side to |l_linestatus| rows."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Resource-allocation link prediction over the shared affine graph
+# ---------------------------------------------------------------------------
+
+
+def _ra_oracle() -> str:
+    from caliper_poc_data_etl_spark.queries.round6 import _LP_GEN
+
+    gens = "\n      UNION ALL\n".join(
+        f"""      SELECT id AS src, (id * {a} + {b}) % n AS dst
+      FROM nodes, nn""" for a, b in _LP_GEN
+    )
+    return f"""
+    WITH nodes AS (SELECT vec_id AS id FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    gen AS (
+{gens}
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM gen WHERE src <> dst
+        UNION ALL
+        SELECT dst, src FROM gen WHERE src <> dst)
+    ),
+    deg AS (SELECT src AS z, COUNT(*) AS dz FROM edges GROUP BY src),
+    wedge AS (
+      SELECT a.dst AS u, a.src AS z, b.dst AS v
+      FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+    ),
+    cand AS (
+      SELECT w.u, w.z, w.v FROM wedge w
+      WHERE NOT EXISTS (SELECT 1 FROM edges e
+                        WHERE e.src = w.u AND e.dst = w.v)
+    )
+    SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST(SUM(1000000 // dz) AS BIGINT) AS ra_micro
+    FROM cand JOIN deg USING (z)
+    GROUP BY u, v
+    """
+
+
+@query("graph_link_prediction_ra", oracle=_ra_oracle())
+def graph_link_prediction_ra(spark, sf_dir):
+    """Resource-allocation link prediction (Zhou, Lü & Zhang 2009):
+    score every NON-adjacent pair (u,v) by Σ_{z ∈ N(u)∩N(v)} 1/deg(z)
+    — common neighbors weighted down by how promiscuous they are, the
+    strongest of the classic local link predictors (and the integer-
+    friendly cousin of Adamic-Adar, whose 1/log deg would drag libm
+    into the comparison path). Reciprocals are emitted in micro-units
+    via integer floor division so the score is BIGINT-exact on both
+    engines; n_common rides alongside (= the common-neighbors
+    baseline predictor). Plan: wedges enumerate via one self-join on
+    the center node (Σ deg² — the ``graph_clustering_coeff`` cost),
+    existing edges drop by one anti-join, scores reduce in one
+    partial-aggregating groupBy on (u, v). Everything hashes on node
+    ids; degree is a broadcast-sized dimension at any scale where
+    deg ≪ n."""
+    from caliper_poc_data_etl_spark.queries.round6 import (
+        _affine_undirected_edges,
+    )
+
+    edges = _affine_undirected_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("dz"))
+    ea = edges.select(F.col("src").alias("z"), F.col("dst").alias("u"))
+    eb = edges.select(F.col("src").alias("z"), F.col("dst").alias("v"))
+    wedge = ea.join(eb, "z").filter(F.col("u") < F.col("v"))
+    cand = wedge.join(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    return (
+        cand.join(deg, "z")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr("1000000 DIV dz")).cast("long").alias("ra_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable Soundex blocking for entity resolution
+# ---------------------------------------------------------------------------
+
+# American Soundex letter→digit classes (vowels/H/W/Y → 0).
+_SDX_FROM = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_SDX_TO = "01230120022455012623010202"
+
+
+def _soundex_sql(col: str) -> str:
+    """Portable Soundex as a translate + run-collapse chain — written
+    once, pasted verbatim into BOTH engines (no backreferences: RE2 on
+    the DuckDB side has none, so runs collapse per-digit). Documented
+    simplification vs the classic algorithm: H/W are treated like
+    vowels (run separators) rather than transparent."""
+    s = f"translate(upper({col}), '{_SDX_FROM}', '{_SDX_TO}')"
+    for d in range(7):
+        s = f"regexp_replace({s}, '{d}{{2,}}', '{d}')"
+    # drop the first letter's own code, remove vowel markers, pad to 3
+    return (
+        f"substr(upper({col}), 1, 1) || "
+        f"rpad(substr(translate(substr({s}, 2), '0', ''), 1, 3), 3, '0')"
+    )
+
+
+@query(
+    "er_soundex_block",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        UNION ALL
+        SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+      WHERE length(w) >= 3
+    ),
+    coded AS (SELECT w, {_soundex_sql('w')} AS sdx FROM vocab)
+    SELECT a.sdx, a.w AS w1, b.w AS w2,
+           CAST(levenshtein(a.w, b.w) AS BIGINT) AS lev
+    FROM coded a JOIN coded b ON a.sdx = b.sdx AND a.w < b.w
+    """,
+)
+def er_soundex_block(spark, sf_dir):
+    """Phonetic blocking for entity resolution: Soundex codes as the
+    blocking key (the classic ER recipe — candidate pairs only WITHIN
+    a block, never all-pairs), then Levenshtein distance as the
+    verify stage on the candidates. Soundex is implemented portably
+    (``_soundex_sql``) — one translate + per-digit run-collapse chain
+    pasted verbatim into both engines, because DuckDB has no soundex
+    builtin and RE2 has no backreferences; H/W are treated as run
+    separators (documented simplification). Complements
+    ``er_blocked_name_match`` (first-letter blocking): phonetic blocks
+    catch sound-alike spellings that prefix blocks miss. Scale shape:
+    the vocabulary extraction is one partial-aggregating DISTINCT;
+    pairs form per block (Σ block², never n²), the same bucketed
+    posture as every dedup family."""
+    docs = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    parts = t(spark, sf_dir, "part").select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("w")
+    )
+    vocab = (
+        docs.unionByName(parts).filter(F.length("w") >= 3).distinct()
+    )
+    coded = vocab.select("w", F.expr(_soundex_sql("w")).alias("sdx"))
+    a = coded.select(F.col("sdx"), F.col("w").alias("w1"))
+    b = coded.select(F.col("sdx"), F.col("w").alias("w2"))
+    return (
+        a.join(b, "sdx")
+        .filter(F.col("w1") < F.col("w2"))
+        .select(
+            "sdx",
+            "w1",
+            "w2",
+            F.levenshtein("w1", "w2").cast("long").alias("lev"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend slope
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, b.y - a.y AS dy, b.d - a.d AS dx
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    ranked AS (
+      SELECT event_type, dy, dx,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY CAST(dy AS DOUBLE) / dx, dy, dx) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM pairs
+    )
+    SELECT event_type, CAST(cnt AS BIGINT) AS n_pairs,
+           CAST(dy AS BIGINT) AS med_dy, CAST(dx AS BIGINT) AS med_dx,
+           CAST(FLOOR(1000000.0 * dy / dx) AS BIGINT) AS slope_micro
+    FROM ranked WHERE rn = (cnt + 1) // 2
+    """,
+)
+def ts_theil_sen_slope(spark, sf_dir):
+    """Theil-Sen robust trend estimator per event-type daily series:
+    the slope is the MEDIAN of all pairwise slopes (dy/dx over day
+    pairs) — up to ~29% contamination tolerance vs OLS's zero
+    (``agg_regr_slope`` is the fragile baseline alongside). The
+    median pair is selected by ordering on the IEEE double quotient
+    (one division — bit-identical on both engines) with (dy, dx) as
+    the deterministic tiebreak, and the reported slope is
+    floor-quantized to integer micro-units so nothing fractional
+    crosses the comparison boundary. Scale shape: the daily
+    pre-aggregation bounds the pair explosion by the CALENDAR
+    (31 days → ≤465 pairs per series), the same
+    bounded-by-construction posture as ``ts_trend_mann_kendall`` —
+    at 100 TB the pairs grow with days², not rows."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+    ).agg(F.sum(F.floor(F.col("value") * 100).cast("long")).alias("y"))
+    a = daily.select("event_type", F.col("d").alias("d1"), F.col("y").alias("y1"))
+    b = daily.select("event_type", F.col("d").alias("d2"), F.col("y").alias("y2"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("d2") > F.col("d1"))
+        .select(
+            "event_type",
+            (F.col("y2") - F.col("y1")).alias("dy"),
+            (F.col("d2") - F.col("d1")).alias("dx"),
+        )
+    )
+    wspec = W.partitionBy("event_type").orderBy(
+        F.col("dy").cast("double") / F.col("dx"), F.col("dy"), F.col("dx")
+    )
+    ranked = pairs.select(
+        "event_type",
+        "dy",
+        "dx",
+        F.row_number().over(wspec).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("cnt"),
+    )
+    return ranked.filter(F.col("rn") == (F.col("cnt") + 1) / 2).select(
+        "event_type",
+        F.col("cnt").cast("long").alias("n_pairs"),
+        F.col("dy").cast("long").alias("med_dy"),
+        F.col("dx").cast("long").alias("med_dx"),
+        F.floor(F.lit(1000000.0) * F.col("dy") / F.col("dx"))
+        .cast("long")
+        .alias("slope_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# One-pass column profiler
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+]
+
+
+@query(
+    "dq_column_profile",
+    oracle=f"""
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             {', '.join(
+                 f'COUNT(DISTINCT {c}) AS d_{c}, '
+                 f'SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS z_{c}'
+                 for c in _PROFILE_COLS)}
+      FROM orders
+    )
+    {' UNION ALL '.join(
+        f"SELECT '{c}' AS column_name, CAST(d_{c} AS BIGINT) AS n_distinct, "
+        f"CAST(z_{c} AS BIGINT) AS n_null, CAST(n_rows AS BIGINT) AS n_rows "
+        f"FROM agg"
+        for c in _PROFILE_COLS)}
+    """,
+)
+def dq_column_profile(spark, sf_dir):
+    """One-pass column profiler — the table-profiling primitive every
+    DQ suite (Deequ, GE) runs first: per-column exact distinct count,
+    null count, and row count over a SINGLE scan, unpivoted to one row
+    per column. Multiple COUNT(DISTINCT) in one aggregate is the
+    declared surface: Catalyst plans it as one Expand (row per
+    distinct-column) + two-level aggregate — one scan, no per-column
+    re-reads; the same plan DuckDB picks. Scale posture: Expand
+    multiplies rows by |profiled columns| before the partial
+    aggregate — for very wide tables the two-level
+    ``agg_two_level_count_distinct`` rewrite per column-group caps
+    the blowup; both shapes are declared."""
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.countDistinct(F.col(c)).alias(f"d_{c}"))
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"z_{c}")
+        )
+    agg = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', d_{c}, z_{c}" for c in _PROFILE_COLS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) "
+            "AS (column_name, n_distinct, n_null)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )

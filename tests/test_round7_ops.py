@@ -1,0 +1,460 @@
+"""Semantic tests for the round-7 batch (queries/round7.py): python /
+numpy replicas for the LATERAL top-k join, stratified sampling,
+cross-correlation lag scan, MRR evaluation, winnowing fingerprints,
+global chunk dedup rewrite, and URL canonicalization."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import defaultdict
+from urllib.parse import urlsplit
+
+import duckdb
+import numpy as np
+
+from caliper_poc_data_etl_spark.queries import QUERIES
+from caliper_poc_data_etl_spark.queries.round7 import (
+    LATERAL_K,
+    LD_CHUNK_WORDS,
+    MRR_QUERIES,
+    STRAT_N,
+    WIN_K,
+    WIN_W,
+    XCORR_MAX_LAG,
+)
+
+
+def _duck(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings", "customer", "orders", "part", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.sql(sql).fetchall()
+
+
+class TestLateralTopk:
+    def test_window_function_replica(self, spark, sf_dir):
+        """LATERAL (ORDER BY ... LIMIT k) ≡ the window-rank formulation."""
+        expect = {
+            (c, o): p
+            for c, o, p in _duck(
+                f"""
+                SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE)
+                FROM (
+                  SELECT c.c_custkey, o.o_orderkey, o.o_totalprice,
+                         ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                           ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+                  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+                  WHERE c.c_mktsegment = 'BUILDING')
+                WHERE rn <= {LATERAL_K}
+                """,
+                sf_dir,
+            )
+        }
+        got = {
+            (r["c_custkey"], r["o_orderkey"]): r["totalprice"]
+            for r in QUERIES["join_lateral_topk"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+    def test_at_most_k_per_customer(self, spark, sf_dir):
+        rows = QUERIES["join_lateral_topk"].spark(spark, sf_dir).collect()
+        per_cust = defaultdict(int)
+        for r in rows:
+            per_cust[r["c_custkey"]] += 1
+        assert per_cust and max(per_cust.values()) <= LATERAL_K
+
+
+class TestStratifiedSample:
+    def test_md5_priority_replica(self, spark, sf_dir):
+        docs = _duck("SELECT doc_id, source FROM documents", sf_dir)
+        by_src = defaultdict(list)
+        for doc_id, source in docs:
+            pri = hashlib.md5(str(doc_id).encode()).hexdigest()
+            by_src[source].append((pri, doc_id))
+        expect = set()
+        for source, items in by_src.items():
+            for rn, (_, doc_id) in enumerate(sorted(items), start=1):
+                if rn <= STRAT_N:
+                    expect.add((doc_id, source, rn))
+        got = {
+            (r["doc_id"], r["source"], r["rn"])
+            for r in QUERIES["sample_stratified_fixed_n"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+
+class TestXcorrLagScan:
+    def test_python_replica(self, spark, sf_dir):
+        import math
+
+        rows = _duck("SELECT ts, event_type, value FROM events", sf_dir)
+        daily_x: dict[int, int] = defaultdict(int)
+        daily_y: dict[int, int] = defaultdict(int)
+        for ts, et, v in rows:
+            d = (ts.date() - __import__("datetime").date(2024, 1, 1)).days
+            q = math.floor(v * 100)
+            if et == "click":
+                daily_x[d] += q
+            if et == "error":
+                daily_y[d] += q
+        days = sorted(set(daily_x) | set(daily_y))
+        expect = {}
+        for lag in range(XCORR_MAX_LAG + 1):
+            pairs = [
+                (daily_x.get(d, 0), daily_y.get(d + lag, 0))
+                for d in days
+                if d + lag in set(days)
+            ]
+            n = len(pairs)
+            sxy = sum(x * y for x, y in pairs)
+            sx = sum(x for x, _ in pairs)
+            sy = sum(y for _, y in pairs)
+            expect[lag] = (n, n * sxy - sx * sy)
+        best = max(v[1] for v in expect.values())
+        got = QUERIES["ts_xcorr_lag_scan"].spark(spark, sf_dir).collect()
+        assert len(got) == XCORR_MAX_LAG + 1
+        for r in got:
+            n, score = expect[r["lag"]]
+            assert (r["n_days"], r["score"]) == (n, score)
+            assert r["is_best"] == (score == best)
+
+
+class TestMrrEval:
+    def test_numpy_replica(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id",
+            sf_dir,
+        )
+        ids = np.array([r[0] for r in rows])
+        labels = np.array([r[1] for r in rows])
+        emb = np.array([r[2] for r in rows], dtype=np.float64)
+        z = np.round(emb * 1000).astype(np.int64)
+        expect = {}
+        for qi in range(MRR_QUERIES):
+            dots = z @ z[qi]
+            order = sorted(
+                (j for j in range(len(ids)) if j != qi),
+                key=lambda j: (-dots[j], ids[j]),
+            )
+            for rank, j in enumerate(order, start=1):
+                if labels[j] == labels[qi]:
+                    expect[int(ids[qi])] = (rank, 1000000 // rank)
+                    break
+        got = {
+            r["q_vec"]: (r["first_rel_rank"], r["rr_micro"])
+            for r in QUERIES["ml_mrr_eval"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+
+def _winnow_doc(text: str) -> set[tuple[int, int]]:
+    """Reference winnowing: k-gram md5 hashes, rightmost-min window."""
+    n = len(text)
+    if n < WIN_K + WIN_W - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(text[i : i + WIN_K].encode()).hexdigest()[:10], 16)
+        for i in range(n - WIN_K + 1)
+    ]
+    out = set()
+    for s in range(len(hs) - WIN_W + 1):
+        frame = hs[s : s + WIN_W]
+        mh = min(frame)
+        # rightmost occurrence of the min
+        j = max(i for i, h in enumerate(frame) if h == mh)
+        out.add((s + j + 1, mh))  # 1-based position
+    return out
+
+
+class TestWinnowing:
+    def test_python_replica_sample_docs(self, spark, sf_dir):
+        docs = dict(
+            _duck("SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 25", sf_dir)
+        )
+        got = defaultdict(set)
+        for r in QUERIES["text_winnowing_fingerprint"].spark(spark, sf_dir).collect():
+            got[r["doc_id"]].add((r["fp_pos"], r["fp"]))
+        for doc_id, text in docs.items():
+            assert got[doc_id] == _winnow_doc(text), f"doc {doc_id}"
+
+    def test_shared_substring_guarantee(self, spark):
+        """Any shared substring of length >= k+w-1 shares a fingerprint."""
+        base = "the quick brown fox jumps over the lazy dog again"
+        a = "PREFIXA " + base
+        b = base + " SUFFIXB"
+        fa = {fp for _, fp in _winnow_doc(a)}
+        fb = {fp for _, fp in _winnow_doc(b)}
+        assert fa & fb
+
+
+class TestChunkDedupRewrite:
+    def test_python_replica(self, spark, sf_dir):
+        docs = _duck("SELECT doc_id, text FROM documents", sf_dir)
+        chunks = []  # (doc_id, idx, chunk)
+        for doc_id, text in docs:
+            words = text.split(" ")
+            n = -(-len(words) // LD_CHUNK_WORDS)
+            for i in range(n):
+                chunks.append(
+                    (
+                        doc_id,
+                        i,
+                        " ".join(
+                            words[i * LD_CHUNK_WORDS : (i + 1) * LD_CHUNK_WORDS]
+                        ),
+                    )
+                )
+        first = {}
+        for doc_id, idx, ch in chunks:
+            key = doc_id * 100000 + idx
+            if ch not in first or key < first[ch]:
+                first[ch] = key
+        expect = {}
+        for doc_id, text in docs:
+            words = text.split(" ")
+            n = -(-len(words) // LD_CHUNK_WORDS)
+            kept = [
+                " ".join(words[i * LD_CHUNK_WORDS : (i + 1) * LD_CHUNK_WORDS])
+                for i in range(n)
+                if first[
+                    " ".join(words[i * LD_CHUNK_WORDS : (i + 1) * LD_CHUNK_WORDS])
+                ]
+                == doc_id * 100000 + i
+            ]
+            expect[doc_id] = (n, len(kept), " ".join(kept))
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_kept"], r["new_text"])
+            for r in QUERIES["curation_chunk_dedup_rewrite"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == expect
+
+    def test_kept_chunks_globally_unique(self, spark, sf_dir):
+        rows = (
+            QUERIES["curation_chunk_dedup_rewrite"].spark(spark, sf_dir).collect()
+        )
+        # every distinct chunk survives exactly once corpus-wide
+        total_kept = sum(r["n_kept"] for r in rows)
+        distinct_chunks = _duck(
+            f"""
+            SELECT COUNT(DISTINCT array_to_string(
+                     list_slice(string_split(text, ' '),
+                                CAST(u.i * {LD_CHUNK_WORDS} + 1 AS INT),
+                                CAST(u.i * {LD_CHUNK_WORDS} + {LD_CHUNK_WORDS} AS INT)), ' '))
+            FROM documents,
+                 unnest(range(0, CAST(ceil(len(string_split(text, ' '))
+                                           / {LD_CHUNK_WORDS}.0) AS BIGINT))) AS u(i)
+            """,
+            sf_dir,
+        )[0][0]
+        assert total_kept == distinct_chunks
+
+
+class TestUrlCanonical:
+    def test_urllib_replica(self, spark, sf_dir):
+        rows = _duck("SELECT event_id, user_id, event_type FROM events", sf_dir)
+        counts = defaultdict(int)
+        firsts = {}
+        for eid, uid, et in rows:
+            host = ["WWW.Example.COM", "www.example.com", "Example.Com"][eid % 3]
+            path = f"/{et}/item{uid % 50}" + ("/" if eid % 5 == 0 else "")
+            q = [
+                f"?utm_source=feed&id={uid % 100}",
+                f"?id={uid % 100}&utm_campaign=x",
+                f"?id={uid % 100}",
+                "",
+            ][eid % 4]
+            frag = f"#sec{eid % 3}" if eid % 7 == 0 else ""
+            url = f"https://{host}{path}{q}{frag}"
+            sp = urlsplit(url)
+            params = sorted(
+                p
+                for p in sp.query.split("&")
+                if p and not p.startswith("utm_")
+            )
+            canon = (
+                "https://"
+                + sp.netloc.lower()
+                + sp.path.rstrip("/")
+                + ("?" + "&".join(params) if params else "")
+            )
+            counts[canon] += 1
+            if canon not in firsts or eid < firsts[canon]:
+                firsts[canon] = eid
+        got = {
+            r["canonical_url"]: (r["n_dupes"], r["first_event"])
+            for r in QUERIES["dedup_url_canonical"].spark(spark, sf_dir).collect()
+        }
+        assert got == {c: (counts[c], firsts[c]) for c in counts}
+
+
+def _soundex_py(w: str) -> str:
+    """Replica of the portable soundex (H/W as run separators)."""
+    table = str.maketrans(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202"
+    )
+    u = w.upper()
+    digits = u.translate(table)
+    collapsed = []
+    for ch in digits:
+        if not collapsed or collapsed[-1] != ch:
+            collapsed.append(ch)
+    tail = "".join(collapsed)[1:].replace("0", "")
+    return u[0] + (tail[:3] + "000")[:3]
+
+
+class TestSoundexBlock:
+    def test_python_replica(self, spark, sf_dir):
+        words = {
+            w
+            for (w,) in _duck(
+                """SELECT DISTINCT w FROM (
+                     SELECT unnest(string_split(text,' ')) AS w FROM documents
+                     UNION ALL
+                     SELECT unnest(string_split(p_name,' ')) AS w FROM part)
+                   WHERE length(w) >= 3""",
+                sf_dir,
+            )
+        }
+        import itertools
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        expect = set()
+        by_code = defaultdict(list)
+        for w in words:
+            by_code[_soundex_py(w)].append(w)
+        for code, ws in by_code.items():
+            for w1, w2 in itertools.combinations(sorted(ws), 2):
+                expect.add((code, w1, w2, lev(w1, w2)))
+        got = {
+            (r["sdx"], r["w1"], r["w2"], r["lev"])
+            for r in QUERIES["er_soundex_block"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+    def test_known_codes(self):
+        # classic published soundex examples that our H/W-as-vowel
+        # simplification does not disturb
+        assert _soundex_py("Robert") == "R163"
+        assert _soundex_py("Rupert") == "R163"
+        assert _soundex_py("Euler") == "E460"
+        assert _soundex_py("Gauss") == "G200"
+
+
+class TestTheilSen:
+    def test_python_replica(self, spark, sf_dir):
+        import math
+
+        rows = _duck("SELECT ts, event_type, value FROM events", sf_dir)
+        daily = defaultdict(lambda: defaultdict(int))
+        for ts, et, v in rows:
+            d = (ts.date() - __import__("datetime").date(2024, 1, 1)).days
+            daily[et][d] += math.floor(v * 100)
+        got = {
+            r["event_type"]: (
+                r["n_pairs"],
+                r["med_dy"],
+                r["med_dx"],
+                r["slope_micro"],
+            )
+            for r in QUERIES["ts_theil_sen_slope"].spark(spark, sf_dir).collect()
+        }
+        for et, series in daily.items():
+            days = sorted(series)
+            pairs = [
+                (series[d2] - series[d1], d2 - d1)
+                for i, d1 in enumerate(days)
+                for d2 in days[i + 1 :]
+            ]
+            pairs.sort(key=lambda p: (p[0] / p[1], p[0], p[1]))
+            n = len(pairs)
+            dy, dx = pairs[(n + 1) // 2 - 1]
+            assert got[et] == (n, dy, dx, math.floor(1000000.0 * dy / dx))
+
+
+class TestLinkPredictionRa:
+    def test_python_replica(self, spark, sf_dir):
+        n = _duck("SELECT COUNT(*) FROM embeddings", sf_dir)[0][0]
+        ids = [r[0] for r in _duck("SELECT vec_id FROM embeddings", sf_dir)]
+        gens = [(7, 1), (13, 2), (29, 3)]
+        edges = set()
+        for i in ids:
+            for a, b in gens:
+                j = (i * a + b) % n
+                if i != j:
+                    edges.add((i, j))
+                    edges.add((j, i))
+        adj = defaultdict(set)
+        for s, d in edges:
+            adj[s].add(d)
+        expect = {}
+        for z in adj:
+            nz = sorted(adj[z])
+            for i, u in enumerate(nz):
+                for v in nz[i + 1 :]:
+                    if (u, v) in edges:
+                        continue
+                    cn, ra = expect.get((u, v), (0, 0))
+                    expect[(u, v)] = (cn + 1, ra + 1000000 // len(adj[z]))
+        got = {
+            (r["u"], r["v"]): (r["n_common"], r["ra_micro"])
+            for r in QUERIES["graph_link_prediction_ra"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == expect
+
+    def test_candidates_are_nonedges(self, spark, sf_dir):
+        rows = QUERIES["graph_link_prediction_ra"].spark(spark, sf_dir).collect()
+        assert rows and all(r["u"] < r["v"] for r in rows)
+
+
+class TestColumnProfile:
+    def test_duckdb_replica(self, spark, sf_dir):
+        got = {
+            r["column_name"]: (r["n_distinct"], r["n_null"], r["n_rows"])
+            for r in QUERIES["dq_column_profile"].spark(spark, sf_dir).collect()
+        }
+        for col in got:
+            d, z, n = _duck(
+                f"""SELECT COUNT(DISTINCT {col}),
+                           SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END),
+                           COUNT(*) FROM orders""",
+                sf_dir,
+            )[0]
+            assert got[col] == (d, z, n)
+
+
+class TestQ12Shape:
+    def test_duckdb_replica(self, spark, sf_dir):
+        expect = {
+            r[0]: (r[1], r[2])
+            for r in _duck(
+                """SELECT l_linestatus,
+                          SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 1 ELSE 0 END),
+                          SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                              THEN 0 ELSE 1 END)
+                   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+                   WHERE l_shipdate >= o_orderdate + INTERVAL 60 DAY
+                     AND l_shipdate >= TIMESTAMP '1996-01-01'
+                     AND l_shipdate < TIMESTAMP '1997-01-01'
+                   GROUP BY 1""",
+                sf_dir,
+            )
+        }
+        got = {
+            r["l_linestatus"]: (r["high_line_count"], r["low_line_count"])
+            for r in QUERIES["q12_late_line_priority"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect

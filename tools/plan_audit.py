@@ -72,6 +72,10 @@ EXPECTED_NLJ.add("embed_prefix_nn_fidelity")
 EXPECTED_NLJ.add("sim_ivfpq_topk")
 # Deliberate broadcast containment join (tiny snippet table).
 EXPECTED_NLJ.add("decontam_exact_substring")
+# corpus × broadcast 10-query probe set (the sim_cosine_topk posture).
+EXPECTED_NLJ.add("ml_mrr_eval")
+# bounded-calendar daily series × broadcast 8-row lag table.
+EXPECTED_NLJ.add("ts_xcorr_lag_scan")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
 
 # Driver-action carve-out (documented, not flagged here): the ONLY
