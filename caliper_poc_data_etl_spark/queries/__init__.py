@@ -350,6 +350,11 @@ _NEXT: list[str] = [
     "er_soundex_block",
     "ts_theil_sen_slope",
     "dq_column_profile",
+    "window_time_range_frame",
+    "agg_argminmax_pack",
+    "training_span_loss_mask",
+    "er_phonetic_cluster_cc",
+    "agg_quantile_binned",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -946,3 +946,346 @@ def dq_column_profile(spark, sf_dir):
         F.col("n_null").cast("long").alias("n_null"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE window frame
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT)
+             AS sum_centi_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_frame(spark, sf_dir):
+    """Time-interval RANGE window frame — the rolling trailing-hour
+    aggregate stated as a frame bound (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING), not a self-join: per user, how many events and how
+    much quantized value landed in the 60 minutes up to each event.
+    This is the sliding-window primitive behind rate limiting and
+    velocity features; unlike ROWS frames the bound is a TIME span,
+    so bursty users get wide frames and quiet users narrow ones, and
+    timestamp peers enter the frame together (identical peer
+    semantics on both engines). Scale shape: one shuffle on user_id,
+    one per-partition time sort, frames advance with a two-pointer
+    scan — no self-join blowup; the value is centi-quantized before
+    the frame SUM so the aggregate is BIGINT-exact."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_trf_r7")
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               date_format(ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS ts_s,
+               CAST(COUNT(*) OVER w AS BIGINT) AS cnt_1h,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS BIGINT)
+                 AS sum_centi_1h
+        FROM events_trf_r7
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# argmin/argmax aggregate pack (deterministic composite ordering)
+# ---------------------------------------------------------------------------
+
+# min_by/arg_min tie-break nondeterministically in BOTH engines, so the
+# ordering key embeds the tiebreak: centi-price and orderkey padded into
+# one lexicographically-ordered string.
+_ARGKEY_SQL = (
+    "lpad(CAST(CAST(o_totalprice * 100 AS BIGINT) AS STRING), 14, '0') || "
+    "lpad(CAST(o_orderkey AS STRING), 12, '0')"
+)
+
+
+@query(
+    "agg_argminmax_pack",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             {_ARGKEY_SQL.replace("AS STRING", "AS VARCHAR")} AS k
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(arg_min(o_orderkey, k) AS BIGINT) AS cheapest_order,
+           CAST(arg_max(o_orderkey, k) AS BIGINT) AS priciest_order,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM keyed GROUP BY o_orderpriority
+    """,
+)
+def agg_argminmax_pack(spark, sf_dir):
+    """min_by / max_by (SQL:2023 ANY_VALUE-family "arg" aggregates):
+    which ORDER is cheapest / priciest per priority class — the
+    argmin/argmax shape that pre-min_by SQL needed a window + filter
+    for, here one partial-aggregating pass. Both engines tie-break
+    arbitrarily on equal ordering values, so the declared ordering
+    key is a composite STRING embedding (centi-price, orderkey) —
+    lexicographic on the padded concatenation ≡ ordering on the pair,
+    making the winner deterministic and hash-gradeable. Scale shape:
+    min_by partial-aggregates map-side like MIN (carry the current
+    best (key, value) pair per group) — no window, no sort, no
+    shuffle beyond the group-by."""
+    o = t(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.expr(_ARGKEY_SQL).alias("k"),
+    )
+    return keyed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("min_by(o_orderkey, k)").cast("long").alias("cheapest_order"),
+        F.expr("max_by(o_orderkey, k)").cast("long").alias("priciest_order"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SFT loss-mask construction
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "training_span_loss_mask",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(p AS BIGINT) AS prompt_tokens,
+           CAST(n_tokens - p AS BIGINT) AS completion_tokens,
+           repeat('0', CAST(p AS INT))
+             || repeat('1', CAST(n_tokens - p AS INT)) AS loss_mask
+    FROM (SELECT doc_id, n_tokens,
+                 greatest(1, CAST(FLOOR(n_tokens / 3.0) AS BIGINT)) AS p
+          FROM tok)
+    """,
+)
+def training_span_loss_mask(spark, sf_dir):
+    """SFT loss-mask construction — the supervised-fine-tuning data
+    prep stage that marks which token positions contribute to the
+    loss: the first third of each document stands in for the prompt
+    (masked out, '0') and the remainder for the completion (trained,
+    '1'), emitted as a position-aligned mask string plus the span
+    counts the packer needs. Serialized as a string rather than an
+    array<int> per the registry's array-canonicalization convention.
+    Scale shape: pure per-row Column arithmetic and repeat() — zero
+    shuffle, no explode; the mask length is bounded by the document's
+    own token count."""
+    d = t(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    p = F.greatest(F.lit(1), F.floor(n / 3.0).cast("long"))
+    tok = d.select(
+        "doc_id", n.cast("long").alias("n_tokens"), p.alias("p")
+    )
+    return tok.select(
+        "doc_id",
+        "n_tokens",
+        F.col("p").alias("prompt_tokens"),
+        (F.col("n_tokens") - F.col("p")).alias("completion_tokens"),
+        F.concat(
+            F.repeat(F.lit("0"), F.col("p").cast("int")),
+            F.repeat(F.lit("1"), (F.col("n_tokens") - F.col("p")).cast("int")),
+        ).alias("loss_mask"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phonetic ER clustering: soundex block -> levenshtein verify -> CC
+# ---------------------------------------------------------------------------
+
+PHON_LEV_MAX = 2
+PHON_ROUNDS = 4
+
+
+def _phon_cluster_oracle() -> str:
+    head = f"""
+    WITH vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        UNION ALL
+        SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+      WHERE length(w) >= 3
+    ),
+    coded AS (SELECT w, {_soundex_sql('w')} AS sdx FROM vocab),
+    matched AS (
+      SELECT a.w AS w1, b.w AS w2
+      FROM coded a JOIN coded b ON a.sdx = b.sdx AND a.w < b.w
+      WHERE levenshtein(a.w, b.w) <= {PHON_LEV_MAX}
+    ),
+    edges AS MATERIALIZED (
+      SELECT w1 AS src, w2 AS dst FROM matched
+      UNION ALL
+      SELECT w2, w1 FROM matched
+    ),
+    l0 AS (SELECT w, w AS lbl FROM vocab)"""
+    steps = []
+    for i in range(1, PHON_ROUNDS + 1):
+        steps.append(f"""l{i} AS MATERIALIZED (
+      SELECT l.w, least(l.lbl, COALESCE(MIN(n.lbl), l.lbl)) AS lbl
+      FROM l{i-1} l
+      LEFT JOIN edges e ON e.src = l.w
+      LEFT JOIN l{i-1} n ON n.w = e.dst
+      GROUP BY l.w, l.lbl
+    )""")
+    tail = f"""
+    SELECT w, lbl AS cluster_label,
+           CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS cluster_size
+    FROM l{PHON_ROUNDS}"""
+    return head + ",\n    " + ",\n    ".join(steps) + tail
+
+
+@query("er_phonetic_cluster_cc", oracle=_phon_cluster_oracle())
+def er_phonetic_cluster_cc(spark, sf_dir):
+    """The full fuzzy-ER composition as ONE declared operator:
+    phonetic blocking (portable Soundex) → Levenshtein verify on the
+    block candidates (≤ {PHON_LEV_MAX}) → connected components over
+    the verified match graph via {PHON_ROUNDS} fixed rounds of
+    min-label propagation — the blocking/verify/cluster pipeline
+    every MDM dedup deploys, with cluster id = lexicographic-min
+    member so labels are engine-portable strings. Fixed rounds keep
+    both engines on an identical schedule (the convergence-loop
+    variant is ``dedup_cluster_cc`` with its documented driver
+    scalar); the pytest asserts the fixpoint is reached within the
+    rounds on this corpus. The 8th iterative operator (CC, PageRank,
+    power iteration, k-means, SSSP, label propagation, k-core, this).
+    Scale shape: candidates form per soundex block (Σ block², never
+    n²); each round is one join + one min-groupBy, all
+    hash-partitioned on the word key."""
+    docs = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    parts = t(spark, sf_dir, "part").select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("w")
+    )
+    vocab = docs.unionByName(parts).filter(F.length("w") >= 3).distinct()
+    coded = vocab.select("w", F.expr(_soundex_sql("w")).alias("sdx"))
+    a = coded.select("sdx", F.col("w").alias("w1"))
+    b = coded.select("sdx", F.col("w").alias("w2"))
+    matched = (
+        a.join(b, "sdx")
+        .filter(F.col("w1") < F.col("w2"))
+        .filter(F.levenshtein("w1", "w2") <= PHON_LEV_MAX)
+        .select("w1", "w2")
+    )
+    edges = matched.unionByName(
+        matched.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"))
+    ).localCheckpoint(eager=True)
+    labels = vocab.select("w", F.col("w").alias("lbl"))
+    for _ in range(PHON_ROUNDS):
+        nbr = (
+            edges.join(labels, edges.w2 == labels.w)
+            .groupBy(F.col("w1").alias("w"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nbr, "w", "left")
+            .select(
+                "w",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        "w",
+        F.col("lbl").alias("cluster_label"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("lbl"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable binned quantile estimate (log2 buckets + threshold crossing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_quantile_binned",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS centi
+      FROM orders WHERE o_totalprice > 0
+    ),
+    bins AS (
+      SELECT CAST(length(bin(centi)) - 1 AS INT) AS bucket_log2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM q GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket_log2, n,
+             SUM(n) OVER (ORDER BY bucket_log2) AS cum_n,
+             SUM(n) OVER () AS total_n
+      FROM bins
+    )
+    SELECT bucket_log2, n, CAST(cum_n AS BIGINT) AS cum_n,
+           (cum_n - n) * 2 < total_n AND cum_n * 2 >= total_n AS is_p50,
+           (cum_n - n) * 10 < total_n * 9 AND cum_n * 10 >= total_n * 9
+             AS is_p90,
+           (cum_n - n) * 100 < total_n * 99 AND cum_n * 100 >= total_n * 99
+             AS is_p99
+    FROM cum
+    """,
+)
+def agg_quantile_binned(spark, sf_dir):
+    """Mergeable binned quantile sketch — the histogram-based
+    quantile estimator (HdrHistogram / Prometheus native-histogram
+    architecture): exact power-of-two bucket counts (the
+    ``agg_log2_histogram`` primitive), cumulative totals, and the
+    bucket where each target quantile's rank falls, flagged by exact
+    integer cross-multiplication (rank·q tests — no division, no
+    interpolation float). Unlike percentile_disc over raw rows
+    (``agg_percentiles``), the bucket counts MERGE associatively —
+    per-partition, per-day, per-shard sketches add element-wise, the
+    property that makes this the 100 TB quantile plan; accuracy is
+    one bucket width (factor 2 here, any base generalizes). All
+    integer; the flags pin the p50/p90/p99 crossing buckets."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    centi = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    bins = (
+        o.select(centi.alias("centi"))
+        .select(
+            (F.length(F.bin(F.col("centi"))) - 1).cast("int").alias("bucket_log2")
+        )
+        .groupBy("bucket_log2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wcum = W.partitionBy().orderBy("bucket_log2")
+    wall = W.partitionBy()
+    cum = bins.select(
+        "bucket_log2",
+        "n",
+        F.sum("n").over(wcum).alias("cum_n"),
+        F.sum("n").over(wall).alias("total_n"),
+    )
+
+    def crossing(mul: int, num: int):
+        return (
+            ((F.col("cum_n") - F.col("n")) * mul < F.col("total_n") * num)
+            & (F.col("cum_n") * mul >= F.col("total_n") * num)
+        )
+
+    return cum.select(
+        "bucket_log2",
+        "n",
+        F.col("cum_n").cast("long").alias("cum_n"),
+        crossing(2, 1).alias("is_p50"),
+        crossing(10, 9).alias("is_p90"),
+        crossing(100, 99).alias("is_p99"),
+    )

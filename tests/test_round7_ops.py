@@ -458,3 +458,168 @@ class TestQ12Shape:
             for r in QUERIES["q12_late_line_priority"].spark(spark, sf_dir).collect()
         }
         assert got == expect
+
+
+class TestTimeRangeFrame:
+    def test_python_two_pointer_replica(self, spark, sf_dir):
+        import math
+        from datetime import timedelta
+
+        rows = _duck(
+            "SELECT event_id, user_id, ts, value FROM events", sf_dir
+        )
+        by_user = defaultdict(list)
+        for eid, uid, ts, v in rows:
+            by_user[uid].append((ts, eid, math.floor(v * 100)))
+        expect = {}
+        for uid, evs in by_user.items():
+            evs.sort()
+            for i, (ts, eid, _) in enumerate(evs):
+                lo = ts - timedelta(hours=1)
+                # RANGE frame: peers with identical ts are included
+                in_frame = [e for e in evs if lo <= e[0] <= ts]
+                expect[eid] = (len(in_frame), sum(e[2] for e in in_frame))
+        got = {
+            r["event_id"]: (r["cnt_1h"], r["sum_centi_1h"])
+            for r in QUERIES["window_time_range_frame"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+
+class TestArgMinMaxPack:
+    def test_duckdb_window_replica(self, spark, sf_dir):
+        expect = {
+            r[0]: tuple(r[1:])
+            for r in _duck(
+                """
+                WITH ranked AS (
+                  SELECT o_orderpriority, o_orderkey, o_totalprice,
+                         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice, o_orderkey) AS rn_lo,
+                         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_hi,
+                         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+                  FROM orders)
+                SELECT o_orderpriority,
+                       MAX(n),
+                       MAX(CASE WHEN rn_lo = 1 THEN o_orderkey END),
+                       MAX(CASE WHEN rn_hi = 1 THEN o_orderkey END)
+                FROM ranked GROUP BY 1
+                """,
+                sf_dir,
+            )
+        }
+        got = {
+            r["o_orderpriority"]: (r["n"], r["cheapest_order"], r["priciest_order"])
+            for r in QUERIES["agg_argminmax_pack"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+
+class TestLossMask:
+    def test_python_replica(self, spark, sf_dir):
+        docs = _duck("SELECT doc_id, text FROM documents", sf_dir)
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["prompt_tokens"],
+                r["completion_tokens"],
+                r["loss_mask"],
+            )
+            for r in QUERIES["training_span_loss_mask"].spark(spark, sf_dir).collect()
+        }
+        for doc_id, text in docs:
+            n = len(text.split(" "))
+            p = max(1, n // 3)
+            assert got[doc_id] == (n, p, n - p, "0" * p + "1" * (n - p))
+            # mask aligns with token positions
+            assert len(got[doc_id][3]) == n
+
+
+class TestPhoneticClusterCc:
+    def test_fixpoint_reached_and_replica(self, spark, sf_dir):
+        words = {
+            w
+            for (w,) in _duck(
+                """SELECT DISTINCT w FROM (
+                     SELECT unnest(string_split(text,' ')) AS w FROM documents
+                     UNION ALL
+                     SELECT unnest(string_split(p_name,' ')) AS w FROM part)
+                   WHERE length(w) >= 3""",
+                sf_dir,
+            )
+        }
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return dp[len(b)]
+
+        by_code = defaultdict(list)
+        for w in words:
+            by_code[_soundex_py(w)].append(w)
+        adj = defaultdict(set)
+        import itertools
+
+        for ws in by_code.values():
+            for w1, w2 in itertools.combinations(sorted(ws), 2):
+                if lev(w1, w2) <= 2:
+                    adj[w1].add(w2)
+                    adj[w2].add(w1)
+        # min-label propagation to FIXPOINT
+        label = {w: w for w in words}
+        changed = True
+        iters = 0
+        while changed:
+            changed = False
+            iters += 1
+            new = {}
+            for w in words:
+                m = min(
+                    [label[w]] + [label[n] for n in adj[w]]
+                )
+                new[w] = m
+                if m != label[w]:
+                    changed = True
+            label = new
+        from caliper_poc_data_etl_spark.queries.round7 import PHON_ROUNDS
+
+        assert iters - 1 <= PHON_ROUNDS, (
+            f"fixpoint needs {iters - 1} rounds > declared {PHON_ROUNDS}"
+        )
+        from collections import Counter
+
+        sizes = Counter(label.values())
+        got = {
+            r["w"]: (r["cluster_label"], r["cluster_size"])
+            for r in QUERIES["er_phonetic_cluster_cc"].spark(spark, sf_dir).collect()
+        }
+        assert got == {w: (label[w], sizes[label[w]]) for w in words}
+
+
+class TestQuantileBinned:
+    def test_python_replica_and_bucket_accuracy(self, spark, sf_dir):
+        import math
+
+        vals = sorted(
+            math.floor(v * 100 + 0.5)
+            for (v,) in _duck(
+                "SELECT o_totalprice FROM orders WHERE o_totalprice > 0", sf_dir
+            )
+        )
+        rows = QUERIES["agg_quantile_binned"].spark(spark, sf_dir).collect()
+        total = sum(r["n"] for r in rows)
+        assert total == len(vals)
+        for q, flag in ((0.5, "is_p50"), (0.9, "is_p90"), (0.99, "is_p99")):
+            marked = [r for r in rows if r[flag]]
+            assert len(marked) == 1
+            b = marked[0]["bucket_log2"]
+            # the exact discrete quantile falls inside the flagged bucket
+            rank = math.ceil(q * len(vals))
+            exact = vals[rank - 1]
+            assert b == exact.bit_length() - 1
