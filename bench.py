@@ -79,6 +79,8 @@ HEADLINE = [
     # round-6 queue flagships (same new-keys convention as above):
     "sim_ivfpq_topk",            # IVF+PQ+re-rank composed ANN pipeline
     "decontam_bloom_ngram",      # broadcast-Bloom decontamination
+    "text_winnowing_fingerprint",  # MOSS winnowing (char-gram explode + window)
+    "er_phonetic_cluster_cc",    # soundex block -> verify -> fixed-round CC
 ]
 
 

@@ -278,13 +278,15 @@ _DEFERRED = [
 # here WITH semantic pytest evidence and a local check_oracle green
 # before it is queued).
 #
-# ROUND-6 ROTATION PLAN (execute at the start of round 6): move this
-# whole `_NEXT` queue into the front-50 and defer the r5-window greens
-# to `_DEFERRED`. The queue is sized to fill the window (44 entries +
-# room for regrades); every entry below is locally certified — oracle
-# hash-green at sf0.001/sf0.01/sf0.1 in BOTH default and vanilla
-# sessions, python/numpy-replica pytest evidence
-# (tests/test_round6_ops.py, tests/test_round6b_ops.py), plan_audit
+# ROUND-6 ROTATION PLAN (execute at the start of round 6): move the
+# FIRST 50 entries of this `_NEXT` queue into the front-50 and defer
+# the r5-window greens to `_DEFERRED`; the queue now exceeds one
+# window (the round kept building past 50), so the remainder stays
+# queued for round 7 in the same order. Every entry below is locally
+# certified — oracle hash-green at sf0.001/sf0.01/sf0.1 in vanilla
+# sessions (earlier entries also in default sessions),
+# python/numpy-replica pytest evidence (tests/test_round6_ops.py,
+# tests/test_round6b_ops.py, tests/test_round7_ops.py), plan_audit
 # clean, and K=100 (~sf10) soak lines recorded in NOTES_r05.md with
 # nothing superlinear. There are no known MUST-REGRADEs from the r5
 # window at queue time (nothing in the front-50 was re-implemented
@@ -355,6 +357,9 @@ _NEXT: list[str] = [
     "training_span_loss_mask",
     "er_phonetic_cluster_cc",
     "agg_quantile_binned",
+    "scan_parquet_merge_schema",
+    "dedup_token_sort",
+    "ts_calendar_dim_join",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

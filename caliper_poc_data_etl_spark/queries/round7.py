@@ -1289,3 +1289,159 @@ def agg_quantile_binned(spark, sf_dir):
         crossing(10, 9).alias("is_p90"),
         crossing(100, 99).alias("is_p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution parquet scan (mergeSchema)
+# ---------------------------------------------------------------------------
+
+_MS_CACHE: dict[str, tuple[str, str]] = {}
+
+
+@query(
+    "scan_parquet_merge_schema",
+    oracle="""
+    SELECT doc_id, md5(text) AS text_md5, CAST(NULL AS VARCHAR) AS lang
+    FROM documents WHERE doc_id < 100
+    UNION ALL
+    SELECT doc_id, md5(text) AS text_md5, lang
+    FROM documents WHERE doc_id >= 100 AND doc_id < 200
+    """,
+)
+def scan_parquet_merge_schema(spark, sf_dir):
+    """Schema-evolution scan: two parquet generations — v1 written
+    before the `lang` column existed, v2 after — read together with
+    ``mergeSchema``, the additive-evolution contract every long-lived
+    lakehouse table depends on (columns absent from older files
+    surface as NULL, never as a read error). The fixture stages both
+    generations as REAL parquet writes once per session (the graded
+    query is the merged SCAN, not the setup); the oracle states the
+    expected merged relation directly. At 100 TB the same option
+    powers in-place column adds with no backfill rewrite — footer
+    schemas merge at planning time; per-file pushdown and pruning
+    are unaffected."""
+    cache_key = f"{sf_dir}:mergeschema"
+    if cache_key not in _MS_CACHE:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="scan_mergeschema_")
+        d = t(spark, sf_dir, "documents")
+        p1, p2 = f"{base}/gen1", f"{base}/gen2"
+        d.filter(F.col("doc_id") < 100).select("doc_id", "text").coalesce(
+            1
+        ).write.mode("overwrite").parquet(p1)
+        d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+            "doc_id", "text", "lang"
+        ).coalesce(1).write.mode("overwrite").parquet(p2)
+        _MS_CACHE[cache_key] = (p1, p2)
+    p1, p2 = _MS_CACHE[cache_key]
+    df = spark.read.option("mergeSchema", "true").parquet(p1, p2)
+    return df.select(
+        "doc_id", F.md5("text").alias("text_md5"), F.col("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-sort dedup (bag-of-words canonical key)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_token_sort",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+             AS norm_key,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_variants
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_token_sort(spark, sf_dir):
+    """Token-sort dedup (the fuzzywuzzy token_sort_ratio=100 class):
+    the canonical key is the document's SORTED lowercase token bag, so
+    word-order shuffles — the cheapest paraphrase/spam transformation,
+    invisible to ``dedup_exact_normalized``'s character normalizer —
+    collapse into one group. n_exact_variants counts how many distinct
+    raw texts share the bag (n_copies > n_exact_variants = byte-dup;
+    n_exact_variants > 1 = true reorderings). Scale shape: the key is
+    pure per-row Column work (split → sort → join → md5, no shuffle),
+    then one partial-aggregating groupBy — the exact-dedup plan with a
+    permutation-invariant key."""
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(
+        F.array_join(F.array_sort(F.split(F.lower(F.col("text")), " ")), " ")
+    )
+    return d.groupBy(key.alias("norm_key")).agg(
+        F.min("doc_id").cast("long").alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.countDistinct(F.md5("text")).cast("long").alias("n_exact_variants"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generated calendar dimension join
+# ---------------------------------------------------------------------------
+
+_CAL_START = "2024-01-01"  # a Monday: dow 0 = Monday
+_CAL_END = "2024-02-04"
+
+
+@query(
+    "ts_calendar_dim_join",
+    oracle=f"""
+    WITH cal AS (
+      SELECT CAST(u.d AS DATE) AS d
+      FROM unnest(generate_series(DATE '{_CAL_START}', DATE '{_CAL_END}',
+                                  INTERVAL 1 DAY)) AS u(d)
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n_events,
+             SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_centi
+      FROM events GROUP BY 1
+    )
+    SELECT strftime(cal.d, '%Y-%m-%d') AS day,
+           CAST(date_diff('day', DATE '{_CAL_START}', cal.d) % 7 AS INT)
+             AS dow,
+           date_diff('day', DATE '{_CAL_START}', cal.d) % 7 >= 5 AS is_weekend,
+           CAST(COALESCE(daily.n_events, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(daily.sum_centi, 0) AS BIGINT) AS sum_centi
+    FROM cal LEFT JOIN daily ON daily.d = cal.d
+    """,
+)
+def ts_calendar_dim_join(spark, sf_dir):
+    """Generated calendar dimension — the date-dim star-schema pattern
+    stated without any physical dim table: a sequence-generated
+    calendar (day, day-of-week, weekend flag) LEFT-joined to the daily
+    fact rollup, so days with zero events appear explicitly (the
+    gap-preservation property reporting needs and bare GROUP BY
+    loses). Day-of-week is computed portably as days-since-a-known-
+    Monday mod 7 (Spark's dayofweek() and DuckDB's dayofweek() number
+    weekdays differently — integer arithmetic sidesteps the engine
+    convention entirely). Scale shape: the calendar is broadcast-sized
+    by construction (it grows with TIME, not data); the fact side
+    reduces in one partial-aggregating groupBy before the join."""
+    e = t(spark, sf_dir, "events")
+    cal = spark.sql(
+        f"SELECT explode(sequence(DATE '{_CAL_START}', DATE '{_CAL_END}', "
+        "INTERVAL 1 DAY)) AS d"
+    )
+    daily = e.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias("sum_centi"),
+    )
+    dow = F.datediff(F.col("cal.d"), F.lit(_CAL_START).cast("date")) % 7
+    return (
+        cal.alias("cal")
+        .join(daily.alias("f"), F.col("cal.d") == F.col("f.d"), "left")
+        .select(
+            F.date_format(F.col("cal.d"), "yyyy-MM-dd").alias("day"),
+            dow.cast("int").alias("dow"),
+            (dow >= 5).alias("is_weekend"),
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+            F.coalesce(F.col("sum_centi"), F.lit(0))
+            .cast("long")
+            .alias("sum_centi"),
+        )
+    )

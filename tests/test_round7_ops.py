@@ -623,3 +623,87 @@ class TestQuantileBinned:
             rank = math.ceil(q * len(vals))
             exact = vals[rank - 1]
             assert b == exact.bit_length() - 1
+
+
+class TestMergeSchemaScaN:
+    def test_old_generation_lang_is_null(self, spark, sf_dir):
+        rows = (
+            QUERIES["scan_parquet_merge_schema"].spark(spark, sf_dir).collect()
+        )
+        v1 = [r for r in rows if r["doc_id"] < 100]
+        v2 = [r for r in rows if r["doc_id"] >= 100]
+        assert v1 and v2
+        assert all(r["lang"] is None for r in v1)
+        assert all(r["lang"] is not None for r in v2)
+        # content round-trips byte-exactly through the staged files
+        import hashlib
+
+        texts = dict(
+            _duck("SELECT doc_id, text FROM documents WHERE doc_id < 200", sf_dir)
+        )
+        for r in rows:
+            assert r["text_md5"] == hashlib.md5(
+                texts[r["doc_id"]].encode()
+            ).hexdigest()
+
+
+class TestTokenSortDedup:
+    def test_python_replica(self, spark, sf_dir):
+        import hashlib
+
+        docs = _duck("SELECT doc_id, text FROM documents", sf_dir)
+        groups = defaultdict(lambda: [10**18, 0, set()])
+        for doc_id, text in docs:
+            key = hashlib.md5(
+                " ".join(sorted(text.lower().split(" "))).encode()
+            ).hexdigest()
+            g = groups[key]
+            g[0] = min(g[0], doc_id)
+            g[1] += 1
+            g[2].add(hashlib.md5(text.encode()).hexdigest())
+        got = {
+            r["norm_key"]: (r["keeper_doc_id"], r["n_copies"], r["n_exact_variants"])
+            for r in QUERIES["dedup_token_sort"].spark(spark, sf_dir).collect()
+        }
+        assert got == {k: (g[0], g[1], len(g[2])) for k, g in groups.items()}
+
+    def test_reordering_collapses(self, spark):
+        # the invariant the operator exists for
+        import hashlib
+
+        a = "alpha beta gamma"
+        b = "gamma alpha beta"
+        ka = hashlib.md5(" ".join(sorted(a.split())).encode()).hexdigest()
+        kb = hashlib.md5(" ".join(sorted(b.split())).encode()).hexdigest()
+        assert ka == kb
+
+
+class TestCalendarDimJoin:
+    def test_python_replica_with_gap_days(self, spark, sf_dir):
+        import datetime as dt
+        import math
+
+        rows = _duck("SELECT ts, value FROM events", sf_dir)
+        daily = defaultdict(lambda: [0, 0])
+        for ts, v in rows:
+            d = ts.date()
+            daily[d][0] += 1
+            daily[d][1] += math.floor(v * 100)
+        start = dt.date(2024, 1, 1)
+        end = dt.date(2024, 2, 4)
+        got = {
+            r["day"]: (r["dow"], r["is_weekend"], r["n_events"], r["sum_centi"])
+            for r in QUERIES["ts_calendar_dim_join"].spark(spark, sf_dir).collect()
+        }
+        n_days = (end - start).days + 1
+        assert len(got) == n_days
+        d = start
+        while d <= end:
+            dow = (d - start).days % 7
+            n, s = daily.get(d, (0, 0))
+            assert got[d.isoformat()] == (dow, dow >= 5, n, s)
+            # portable dow convention: 2024-01-01 was a Monday
+            assert dow == d.weekday()
+            d += dt.timedelta(days=1)
+        # the calendar preserves zero-event gap days
+        assert any(v[2] == 0 for v in got.values())
