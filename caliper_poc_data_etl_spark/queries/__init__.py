@@ -360,6 +360,10 @@ _NEXT: list[str] = [
     "scan_parquet_merge_schema",
     "dedup_token_sort",
     "ts_calendar_dim_join",
+    "fn_try_pack",
+    "graph_bipartite_projection",
+    "scan_csv_multiline_quoted",
+    "curation_blocklist_filter",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1445,3 +1445,241 @@ def ts_calendar_dim_join(spark, sf_dir):
             .alias("sum_centi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-mode error-safe arithmetic pack (try_* family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fn_try_pack",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN user_id % 5 = 0 THEN NULL
+                ELSE CAST(FLOOR(value * 100) AS BIGINT) // (user_id % 5)
+           END AS safe_div,
+           CASE WHEN event_id % 16 > 7 THEN NULL
+                ELSE 9223372036854775800 + event_id % 16 END AS safe_add,
+           TRY_CAST(CASE WHEN event_id % 3 = 0
+                         THEN 'x' || CAST(user_id AS STRING)
+                         ELSE CAST(user_id AS STRING) END AS INT) AS safe_cast,
+           string_split(event_type, ',')[2] AS safe_elem
+    FROM events
+    """,
+)
+def fn_try_pack(spark, sf_dir):
+    """Spark's ANSI-mode error-safe function family — try_divide,
+    try_add, try_cast, try_element_at. Spark 4 runs ANSI SQL by
+    default (division by zero, integer overflow, bad casts, and
+    out-of-bounds indexing all RAISE), and the try_* family is the
+    declared per-expression opt-out that degrades to NULL instead —
+    the lakehouse-ingest idiom for quarantining bad values without
+    failing the job. The oracle twin states the equivalent guards
+    explicitly (DuckDB's integer division and list indexing already
+    yield NULL on zero/out-of-range; overflow needs a CASE guard;
+    TRY_CAST is common to both). The overflow case is REAL: the probe
+    value sits 8 below int64 max so half the residues overflow. Zero
+    shuffle — pure per-row Column work."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.expr(
+            "try_divide(CAST(FLOOR(value * 100) AS BIGINT), user_id % 5)"
+        )
+        .cast("long")
+        .alias("safe_div"),
+        F.expr("try_add(9223372036854775800L, event_id % 16)").alias(
+            "safe_add"
+        ),
+        F.expr(
+            "try_cast(CASE WHEN event_id % 3 = 0 "
+            "THEN concat('x', CAST(user_id AS STRING)) "
+            "ELSE CAST(user_id AS STRING) END AS INT)"
+        ).alias("safe_cast"),
+        F.expr("try_element_at(split(event_type, ','), 2)").alias(
+            "safe_elem"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite co-occurrence projection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "graph_bipartite_projection",
+    oracle="""
+    WITH ut AS MATERIALIZED (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    deg AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type)
+    SELECT a.event_type AS t1, b.event_type AS t2,
+           CAST(COUNT(*) AS BIGINT) AS n_common_users,
+           CAST(d1.n AS BIGINT) AS n_t1,
+           CAST(d2.n AS BIGINT) AS n_t2,
+           CAST(COUNT(*) AS BIGINT) AS jac_num,
+           CAST(d1.n + d2.n - COUNT(*) AS BIGINT) AS jac_den
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN deg d1 ON d1.event_type = a.event_type
+    JOIN deg d2 ON d2.event_type = b.event_type
+    GROUP BY a.event_type, b.event_type, d1.n, d2.n
+    """,
+)
+def graph_bipartite_projection(spark, sf_dir):
+    """Bipartite graph projection — the user↔event-type two-mode
+    graph projected onto event types: edge weight = users engaging
+    with BOTH types, plus per-type degrees and the Jaccard overlap as
+    an exact integer ratio (jac_num/jac_den). This is the
+    co-occurrence/co-engagement construction behind
+    market-basket-style affinity, collaborative filtering
+    neighborhoods, and topic co-usage graphs. Scale shape: the
+    two-mode edge list dedupes in one partial-aggregating DISTINCT;
+    the projection self-joins on the shared USER key (Σ per-user
+    deg², never |users|²) — the standard guard is capping per-user
+    fan-out, and here deg(user) ≤ |event types| bounds it by
+    construction; degrees broadcast."""
+    e = t(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct().localCheckpoint(
+        eager=True
+    )
+    deg = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("t1"))
+    b = ut.select("user_id", F.col("event_type").alias("t2"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    d1 = deg.select(F.col("event_type").alias("t1"), F.col("n").alias("n_t1"))
+    d2 = deg.select(F.col("event_type").alias("t2"), F.col("n").alias("n_t2"))
+    return (
+        pairs.join(F.broadcast(d1), "t1")
+        .join(F.broadcast(d2), "t2")
+        .select(
+            "t1",
+            "t2",
+            F.col("w").cast("long").alias("n_common_users"),
+            F.col("n_t1").cast("long").alias("n_t1"),
+            F.col("n_t2").cast("long").alias("n_t2"),
+            F.col("w").cast("long").alias("jac_num"),
+            (F.col("n_t1") + F.col("n_t2") - F.col("w"))
+            .cast("long")
+            .alias("jac_den"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiline quoted CSV scan
+# ---------------------------------------------------------------------------
+
+_MLCSV_CACHE: dict[str, str] = {}
+_MLCSV_DOCS = 120
+
+
+@query(
+    "scan_csv_multiline_quoted",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+             AS n_spaces_restored,
+           md5(text) AS text_md5
+    FROM documents WHERE doc_id < {_MLCSV_DOCS}
+    """,
+)
+def scan_csv_multiline_quoted(spark, sf_dir):
+    """Multiline quoted-field CSV ingestion — the parser surface flat
+    readers break on: every staged record's text field is
+    double-quoted, contains commas-adjacent content, embedded QUOTES
+    (doubled per RFC 4180), and an embedded NEWLINE (every space in
+    the first 80 chars becomes \\n at staging; restored after the
+    scan), so one logical record spans many physical lines. The scan
+    runs with multiLine=true + quote/escape '"' — the configuration
+    that makes Spark parse records, not lines. Graded evidence: the
+    restored text md5-matches the source table byte-exactly, and the
+    restored-space count rides along. Scale note: multiLine CSV
+    files are NOT splittable (a record boundary cannot be found
+    mid-file), so at 100 TB this path is for many medium files —
+    parallelism comes from file count, which the docstring declares
+    rather than hides."""
+    cache_key = f"{sf_dir}:mlcsv"
+    if cache_key not in _MLCSV_CACHE:
+        import csv
+        import os
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="scan_mlcsv_")
+        rows = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _MLCSV_DOCS)
+            .select("doc_id", "text")
+            .collect()
+        )
+        with open(os.path.join(out, "docs.csv"), "w", newline="") as f:
+            w = csv.writer(f, quoting=csv.QUOTE_ALL)
+            w.writerow(["doc_id", "payload"])
+            for r in rows:
+                head, tail = r["text"][:80], r["text"][80:]
+                w.writerow([r["doc_id"], head.replace(" ", "\n") + tail])
+        _MLCSV_CACHE[cache_key] = out
+    df = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(_MLCSV_CACHE[cache_key])
+    )
+    restored = F.replace(F.col("payload"), F.lit("\n"), F.lit(" "))
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.length(restored) - F.length(F.replace(restored, F.lit(" "), F.lit(""))))
+        .cast("long")
+        .alias("n_spaces_restored"),
+        F.md5(restored).alias("text_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist curation gate
+# ---------------------------------------------------------------------------
+
+BLOCKLIST = ["spark", "merge", "window"]
+
+
+@query(
+    "curation_blocklist_filter",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                w -> list_contains({BLOCKLIST!r}, w))) AS BIGINT)
+             AS n_blocked,
+           len(list_filter(string_split(text, ' '),
+                w -> list_contains({BLOCKLIST!r}, w))) * 10
+             >= len(string_split(text, ' ')) AS dropped
+    FROM documents
+    """,
+)
+def curation_blocklist_filter(spark, sf_dir):
+    """Blocklist curation gate — the wordlist-based content filter
+    (profanity/boilerplate/PII-keyword lists) every web-corpus
+    pipeline runs: count blocked-token occurrences per document and
+    drop documents whose blocked fraction crosses the threshold
+    (≥ 10% here, tested by integer cross-multiplication — no float
+    ratio). The blocklist is a LITERAL array on both sides (the
+    production shape is a broadcast join against a list table —
+    ``decontam_exact_substring`` declares that variant); counting
+    uses a higher-order filter over the token array, zero shuffle,
+    zero explode."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bl = F.array(*[F.lit(w) for w in BLOCKLIST])
+    n_blocked = F.size(F.filter(toks, lambda w: F.array_contains(bl, w)))
+    return d.select(
+        "doc_id",
+        n_blocked.cast("long").alias("n_blocked"),
+        (n_blocked * 10 >= F.size(toks)).alias("dropped"),
+    )

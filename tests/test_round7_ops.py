@@ -707,3 +707,126 @@ class TestCalendarDimJoin:
             d += dt.timedelta(days=1)
         # the calendar preserves zero-event gap days
         assert any(v[2] == 0 for v in got.values())
+
+
+class TestTryPack:
+    def test_python_replica(self, spark, sf_dir):
+        import math
+
+        rows = _duck(
+            "SELECT event_id, user_id, event_type, value FROM events", sf_dir
+        )
+        got = {
+            r["event_id"]: (
+                r["safe_div"],
+                r["safe_add"],
+                r["safe_cast"],
+                r["safe_elem"],
+            )
+            for r in QUERIES["fn_try_pack"].spark(spark, sf_dir).collect()
+        }
+        for eid, uid, et, v in rows:
+            centi = math.floor(v * 100)
+            div = None if uid % 5 == 0 else centi // (uid % 5)
+            add = None if eid % 16 > 7 else 9223372036854775800 + eid % 16
+            cast = None if eid % 3 == 0 else uid
+            assert got[eid] == (div, add, cast, None)
+
+    def test_overflow_cases_are_real(self, spark, sf_dir):
+        rows = QUERIES["fn_try_pack"].spark(spark, sf_dir).collect()
+        assert any(r["safe_add"] is None for r in rows)
+        assert any(r["safe_add"] is not None for r in rows)
+        assert any(r["safe_div"] is None for r in rows)
+        assert any(r["safe_cast"] is None for r in rows)
+
+
+class TestBipartiteProjection:
+    def test_python_replica(self, spark, sf_dir):
+        import itertools
+
+        rows = _duck("SELECT DISTINCT user_id, event_type FROM events", sf_dir)
+        users = defaultdict(set)
+        types = defaultdict(set)
+        for uid, et in rows:
+            users[uid].add(et)
+            types[et].add(uid)
+        weights = defaultdict(int)
+        for uid, ets in users.items():
+            for t1, t2 in itertools.combinations(sorted(ets), 2):
+                weights[(t1, t2)] += 1
+        got = {
+            (r["t1"], r["t2"]): (
+                r["n_common_users"],
+                r["n_t1"],
+                r["n_t2"],
+                r["jac_num"],
+                r["jac_den"],
+            )
+            for r in QUERIES["graph_bipartite_projection"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == {
+            (t1, t2): (
+                w,
+                len(types[t1]),
+                len(types[t2]),
+                w,
+                len(types[t1]) + len(types[t2]) - w,
+            )
+            for (t1, t2), w in weights.items()
+        }
+
+
+class TestMultilineCsv:
+    def test_roundtrip_md5(self, spark, sf_dir):
+        import hashlib
+
+        from caliper_poc_data_etl_spark.queries.round7 import _MLCSV_DOCS
+
+        texts = dict(
+            _duck(
+                f"SELECT doc_id, text FROM documents WHERE doc_id < {_MLCSV_DOCS}",
+                sf_dir,
+            )
+        )
+        rows = (
+            QUERIES["scan_csv_multiline_quoted"].spark(spark, sf_dir).collect()
+        )
+        assert len(rows) == len(texts)
+        for r in rows:
+            src = texts[r["doc_id"]]
+            assert r["text_md5"] == hashlib.md5(src.encode()).hexdigest()
+            assert r["n_spaces_restored"] == src.count(" ")
+
+    def test_staged_records_really_span_lines(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round7 import _MLCSV_CACHE
+
+        # staging happened during the scan above
+        [path] = [v for k, v in _MLCSV_CACHE.items() if k.startswith(sf_dir)]
+        import os
+
+        with open(os.path.join(path, "docs.csv")) as f:
+            physical_lines = sum(1 for _ in f)
+        rows = (
+            QUERIES["scan_csv_multiline_quoted"].spark(spark, sf_dir).collect()
+        )
+        assert physical_lines > len(rows) + 1  # records span >1 line each
+
+
+class TestBlocklistFilter:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round7 import BLOCKLIST
+
+        docs = _duck("SELECT doc_id, text FROM documents", sf_dir)
+        got = {
+            r["doc_id"]: (r["n_blocked"], r["dropped"])
+            for r in QUERIES["curation_blocklist_filter"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        for doc_id, text in docs:
+            toks = text.split(" ")
+            nb = sum(1 for w in toks if w in BLOCKLIST)
+            assert got[doc_id] == (nb, nb * 10 >= len(toks))
+        assert any(v[0] > 0 for v in got.values())
