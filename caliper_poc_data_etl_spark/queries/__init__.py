@@ -364,6 +364,8 @@ _NEXT: list[str] = [
     "graph_bipartite_projection",
     "scan_csv_multiline_quoted",
     "curation_blocklist_filter",
+    "sim_hard_negative_mining",
+    "curation_gopher_rules",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

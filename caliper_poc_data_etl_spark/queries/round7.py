@@ -1683,3 +1683,175 @@ def curation_blocklist_filter(spark, sf_dir):
         n_blocked.cast("long").alias("n_blocked"),
         (n_blocked * 10 >= F.size(toks)).alias("dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive-training hard-negative mining
+# ---------------------------------------------------------------------------
+
+HNEG_QUERIES = 10
+HNEG_K = 3
+
+
+@query(
+    "sim_hard_negative_mining",
+    oracle=f"""
+    WITH qz AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM qz ORDER BY vec_id LIMIT {HNEG_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS q_vec, q.label AS q_label,
+             c.vec_id AS neg_vec, c.label AS neg_label,
+             CAST(list_dot_product(q.e, c.e) AS BIGINT) AS dot
+      FROM q JOIN qz c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY q_vec ORDER BY dot DESC, neg_vec) AS neg_rank
+      FROM scored
+    )
+    SELECT q_vec, q_label, neg_vec, neg_label,
+           CAST(neg_rank AS BIGINT) AS neg_rank, dot
+    FROM ranked WHERE neg_rank <= {HNEG_K}
+    """,
+)
+def sim_hard_negative_mining(spark, sf_dir):
+    """Hard-negative mining for contrastive training (the
+    DPR/sentence-transformers data prep stage): for each query vector,
+    the top-k most-similar WRONG-label candidates — the negatives
+    that actually move a contrastive loss, as opposed to random
+    negatives the model already separates. Scoring is the exact
+    integer dot product (milli-quantized, the ``ml_mrr_eval``/
+    ``sim_cosine_topk`` recipe) so ranks are engine-exact; ties break
+    on candidate id. Scale shape: the query side broadcasts, the
+    corpus never shuffles for scoring, and per-query ranking
+    partitions by q_vec — mining cost is one corpus scan per query
+    batch, exactly the production retrieval plan run offline."""
+    emb = t(spark, sf_dir, "embeddings")
+    qe = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+    z = emb.select("vec_id", "label", qe.alias("e"))
+    q = (
+        z.orderBy("vec_id")
+        .limit(HNEG_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_vec"),
+            F.col("label").alias("q_label"),
+            F.col("e").alias("q_e"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_e"), F.col("e"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        z.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("vec_id") != F.col("q_vec"))
+            & (F.col("label") != F.col("q_label"))
+        )
+        .select(
+            "q_vec",
+            "q_label",
+            F.col("vec_id").alias("neg_vec"),
+            F.col("label").alias("neg_label"),
+            dot.alias("dot"),
+        )
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("q_vec").orderBy(F.col("dot").desc(), F.col("neg_vec"))
+    )
+    return (
+        scored.select(
+            "q_vec",
+            "q_label",
+            "neg_vec",
+            "neg_label",
+            rnk.cast("long").alias("neg_rank"),
+            "dot",
+        )
+        .filter(F.col("neg_rank") <= HNEG_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality-rule pack
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "a", "of", "to", "and"]
+GOPHER_MIN_WORDS = 30
+GOPHER_MIN_STOPWORDS = 1
+
+
+@query(
+    "curation_gopher_rules",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) AS n_word_chars,
+             len(list_filter(string_split(text, ' '),
+                 w -> list_contains({GOPHER_STOPWORDS!r}, w))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_word_chars AS BIGINT) AS n_word_chars,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           n_words >= {GOPHER_MIN_WORDS} AS pass_min_words,
+           n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+             AS pass_mean_word_len,
+           n_stop >= {GOPHER_MIN_STOPWORDS} AS pass_stopwords,
+           n_words >= {GOPHER_MIN_WORDS}
+             AND n_word_chars >= 3 * n_words AND n_word_chars <= 10 * n_words
+             AND n_stop >= {GOPHER_MIN_STOPWORDS} AS keep
+    FROM m
+    """,
+)
+def curation_gopher_rules(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021, §A1.1) as a composite
+    curation gate — the published heuristic stack most web-corpus
+    pipelines start from: minimum word count, mean word length in
+    [3, 10], and stop-word presence (the "contains common English
+    words" rule), each emitted as its own flag plus the conjunctive
+    keep decision. Mean word length is tested by integer
+    cross-multiplication (3·n ≤ chars ≤ 10·n) so no float ratio
+    crosses the engine boundary; thresholds are adapted to the
+    synthetic corpus scale and declared as constants. Scale shape:
+    pure per-row Column arithmetic over the token array — zero
+    shuffle, the measurement composes with ``text_quality_score``'s
+    continuous scoring and ``curation_funnel_report``'s accounting."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sw = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_words = F.size(toks)
+    n_chars = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(sw, w)))
+    m = d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_chars.cast("long").alias("n_word_chars"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    p_words = F.col("n_words") >= GOPHER_MIN_WORDS
+    p_mwl = (F.col("n_word_chars") >= 3 * F.col("n_words")) & (
+        F.col("n_word_chars") <= 10 * F.col("n_words")
+    )
+    p_stop = F.col("n_stopwords") >= GOPHER_MIN_STOPWORDS
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_word_chars",
+        "n_stopwords",
+        p_words.alias("pass_min_words"),
+        p_mwl.alias("pass_mean_word_len"),
+        p_stop.alias("pass_stopwords"),
+        (p_words & p_mwl & p_stop).alias("keep"),
+    )

@@ -830,3 +830,82 @@ class TestBlocklistFilter:
             nb = sum(1 for w in toks if w in BLOCKLIST)
             assert got[doc_id] == (nb, nb * 10 >= len(toks))
         assert any(v[0] > 0 for v in got.values())
+
+
+class TestHardNegativeMining:
+    def test_numpy_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round7 import HNEG_K, HNEG_QUERIES
+
+        rows = _duck(
+            "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id",
+            sf_dir,
+        )
+        ids = [r[0] for r in rows]
+        labels = [r[1] for r in rows]
+        z = np.round(np.array([r[2] for r in rows], dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        expect = set()
+        for qi in range(HNEG_QUERIES):
+            dots = z @ z[qi]
+            cands = [
+                j
+                for j in range(len(ids))
+                if j != qi and labels[j] != labels[qi]
+            ]
+            cands.sort(key=lambda j: (-dots[j], ids[j]))
+            for rank, j in enumerate(cands[:HNEG_K], start=1):
+                expect.add(
+                    (ids[qi], labels[qi], ids[j], labels[j], rank, int(dots[j]))
+                )
+        got = {
+            (
+                r["q_vec"],
+                r["q_label"],
+                r["neg_vec"],
+                r["neg_label"],
+                r["neg_rank"],
+                r["dot"],
+            )
+            for r in QUERIES["sim_hard_negative_mining"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # negatives are genuinely wrong-label
+        assert all(t[1] != t[3] for t in got)
+
+
+class TestGopherRules:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round7 import (
+            GOPHER_MIN_STOPWORDS,
+            GOPHER_MIN_WORDS,
+            GOPHER_STOPWORDS,
+        )
+
+        docs = _duck("SELECT doc_id, text FROM documents", sf_dir)
+        got = {
+            r["doc_id"]: r
+            for r in QUERIES["curation_gopher_rules"].spark(spark, sf_dir).collect()
+        }
+        n_dropped = 0
+        for doc_id, text in docs:
+            toks = text.split(" ")
+            nw = len(toks)
+            nc = len(text.replace(" ", ""))
+            ns = sum(1 for w in toks if w in GOPHER_STOPWORDS)
+            r = got[doc_id]
+            pw = nw >= GOPHER_MIN_WORDS
+            pm = 3 * nw <= nc <= 10 * nw
+            ps = ns >= GOPHER_MIN_STOPWORDS
+            assert (
+                r["n_words"],
+                r["n_word_chars"],
+                r["n_stopwords"],
+                r["pass_min_words"],
+                r["pass_mean_word_len"],
+                r["pass_stopwords"],
+                r["keep"],
+            ) == (nw, nc, ns, pw, pm, ps, pw and pm and ps)
+            n_dropped += 0 if (pw and pm and ps) else 1
+        # the gate actually discriminates on this corpus
+        assert 0 < n_dropped < len(docs)

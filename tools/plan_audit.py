@@ -74,6 +74,7 @@ EXPECTED_NLJ.add("sim_ivfpq_topk")
 EXPECTED_NLJ.add("decontam_exact_substring")
 # corpus × broadcast 10-query probe set (the sim_cosine_topk posture).
 EXPECTED_NLJ.add("ml_mrr_eval")
+EXPECTED_NLJ.add("sim_hard_negative_mining")
 # bounded-calendar daily series × broadcast 8-row lag table.
 EXPECTED_NLJ.add("ts_xcorr_lag_scan")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
