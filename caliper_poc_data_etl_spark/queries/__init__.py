@@ -366,6 +366,9 @@ _NEXT: list[str] = [
     "curation_blocklist_filter",
     "sim_hard_negative_mining",
     "curation_gopher_rules",
+    "geo_grid_point_in_box",
+    "geo_nearest_poi",
+    "scan_jsonl_nested",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

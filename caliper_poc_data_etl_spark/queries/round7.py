@@ -1855,3 +1855,220 @@ def curation_gopher_rules(spark, sf_dir):
         p_stop.alias("pass_stopwords"),
         (p_words & p_mwl & p_stop).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geospatial: grid-bucketed point-in-box join
+# ---------------------------------------------------------------------------
+
+# Synthetic geography in integer centi-degrees: every event becomes a
+# point, every nation a rectangular region. Identical construction on
+# both sides (part of the declared semantics).
+_GEO_POINT_SQL = """
+  SELECT event_id,
+         (user_id * 7919) % 18000 - 9000 AS lat_c,
+         (event_id * 104729) % 36000 - 18000 AS lon_c
+  FROM events
+"""
+_GEO_BOX_SQL = """
+  SELECT n_nationkey AS box_id,
+         ((n_nationkey * 3571) % 15000) - 9000 AS lat_lo,
+         ((n_nationkey * 3571) % 15000) - 9000 + 2400 AS lat_hi,
+         ((n_nationkey * 7927) % 30000) - 18000 AS lon_lo,
+         ((n_nationkey * 7927) % 30000) - 18000 + 4800 AS lon_hi
+  FROM nation
+"""
+GEO_CELL = 1200  # grid cell size in centi-degrees
+
+
+@query(
+    "geo_grid_point_in_box",
+    oracle=f"""
+    WITH pts AS ({_GEO_POINT_SQL}),
+    boxes AS ({_GEO_BOX_SQL})
+    SELECT p.event_id, b.box_id,
+           CAST(p.lat_c AS BIGINT) AS lat_c, CAST(p.lon_c AS BIGINT) AS lon_c
+    FROM pts p JOIN boxes b
+      ON p.lat_c >= b.lat_lo AND p.lat_c < b.lat_hi
+     AND p.lon_c >= b.lon_lo AND p.lon_c < b.lon_hi
+    """,
+)
+def geo_grid_point_in_box(spark, sf_dir):
+    """Geospatial containment join — points-in-regions — executed as
+    the GRID-BUCKETED plan every spatial engine uses at scale: points
+    key to their grid cell, each region explodes to the (bounded) set
+    of cells its bounding box covers, the join is a plain EQUI-join on
+    the cell key, and an exact containment re-filter removes the
+    cell-overlap false positives. The oracle states the naive
+    theta-join semantics; the pytest pins ZERO nested-loop joins in
+    the executed plan (the ``join_interval_bucketed`` recipe lifted to
+    2D). Coordinates are integer centi-degrees end to end. Scale
+    shape: cost is |points| + Σ cells(region) with per-cell locality —
+    never |points| × |regions|; skewed cells (cities) salt exactly
+    like any hot equi-join key."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_geo_r7")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_geo_r7")
+    pts = spark.sql(
+        _GEO_POINT_SQL.replace("FROM events", "FROM events_geo_r7")
+    ).withColumn(
+        "cell_lat", F.floor(F.col("lat_c") / GEO_CELL)
+    ).withColumn("cell_lon", F.floor(F.col("lon_c") / GEO_CELL))
+    boxes = spark.sql(
+        _GEO_BOX_SQL.replace("FROM nation", "FROM nation_geo_r7")
+    )
+    box_cells = boxes.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lat_lo") / GEO_CELL),
+                F.floor((F.col("lat_hi") - 1) / GEO_CELL),
+            )
+        ).alias("cell_lat"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lon_lo") / GEO_CELL),
+                F.floor((F.col("lon_hi") - 1) / GEO_CELL),
+            )
+        ).alias("cell_lon"),
+    )
+    joined = pts.join(box_cells, ["cell_lat", "cell_lon"]).filter(
+        (F.col("lat_c") >= F.col("lat_lo"))
+        & (F.col("lat_c") < F.col("lat_hi"))
+        & (F.col("lon_c") >= F.col("lon_lo"))
+        & (F.col("lon_c") < F.col("lon_hi"))
+    )
+    return joined.select(
+        "event_id",
+        "box_id",
+        F.col("lat_c").cast("long").alias("lat_c"),
+        F.col("lon_c").cast("long").alias("lon_c"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Geospatial: nearest POI by exact integer squared distance
+# ---------------------------------------------------------------------------
+
+_GEO_POI_SQL = """
+  SELECT s_suppkey AS poi_id,
+         ((s_suppkey * 4241) % 18000) - 9000 AS plat,
+         ((s_suppkey * 9001) % 36000) - 18000 AS plon
+  FROM supplier
+"""
+
+
+@query(
+    "geo_nearest_poi",
+    oracle=f"""
+    WITH pts AS ({_GEO_POINT_SQL}),
+    pois AS ({_GEO_POI_SQL}),
+    scored AS (
+      SELECT p.event_id, q.poi_id,
+             (p.lat_c - q.plat) * (p.lat_c - q.plat)
+             + (p.lon_c - q.plon) * (p.lon_c - q.plon) AS d2
+      FROM pts p JOIN pois q ON true
+    )
+    SELECT event_id,
+           CAST(arg_min(poi_id, d2 * 100 + poi_id) AS BIGINT) AS poi_id,
+           CAST(MIN(d2) AS BIGINT) AS d2
+    FROM scored GROUP BY event_id
+    """,
+)
+def geo_nearest_poi(spark, sf_dir):
+    """Nearest-POI assignment — every point labeled with its closest
+    point-of-interest by EXACT integer squared planar distance
+    (centi-degree coordinates; ties break on poi_id via the composite
+    d2·100+id ordering key, valid because poi_id < 100). The POI side
+    is broadcast (the realistic shape: POI catalogs are
+    dimension-sized) and the argmin is a map-side-combining min_by —
+    the corpus never shuffles. At true scale the broadcast scan
+    becomes the grid-pruned candidate join of
+    ``geo_grid_point_in_box`` (probe only nearby cells) — both plans
+    are declared; this one is exact and the grid one is the pruning
+    recipe."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_geo_r7")
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_geo_r7")
+    pts = spark.sql(
+        _GEO_POINT_SQL.replace("FROM events", "FROM events_geo_r7")
+    )
+    pois = spark.sql(
+        _GEO_POI_SQL.replace("FROM supplier", "FROM supplier_geo_r7")
+    )
+    d2 = (F.col("lat_c") - F.col("plat")) * (F.col("lat_c") - F.col("plat")) + (
+        F.col("lon_c") - F.col("plon")
+    ) * (F.col("lon_c") - F.col("plon"))
+    scored = pts.crossJoin(F.broadcast(pois)).select(
+        "event_id", "poi_id", d2.alias("d2")
+    )
+    return scored.groupBy("event_id").agg(
+        F.expr("min_by(poi_id, d2 * 100 + poi_id)").cast("long").alias("poi_id"),
+        F.min("d2").cast("long").alias("d2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Nested JSONL ingestion
+# ---------------------------------------------------------------------------
+
+_JSONL_CACHE: dict[str, str] = {}
+_JSONL_DOCS = 200
+
+
+@query(
+    "scan_jsonl_nested",
+    oracle=f"""
+    SELECT doc_id, lang AS meta_lang, source AS meta_source,
+           CAST(least(3, len(string_split(text, ' '))) AS BIGINT) AS n_tags,
+           string_split(text, ' ')[1] AS first_tag
+    FROM documents WHERE doc_id < {_JSONL_DOCS}
+    """,
+)
+def scan_jsonl_nested(spark, sf_dir):
+    """Nested JSONL ingestion — the crawl-dump shape every training
+    pipeline reads first: one JSON object per line with a nested
+    metadata struct and a variable-length tag array, staged as a REAL
+    file and read back through Spark's json source with schema
+    inference. The graded projection drills into the nested struct
+    (meta.lang, meta.source) and the array (size, first element) —
+    the flatten step downstream operators consume. At 100 TB the same
+    reader runs with an explicit schema (inference samples the data —
+    declared here, avoided in production) over partitioned directories;
+    JSONL is line-splittable so parallelism is by byte range, unlike
+    ``scan_csv_multiline_quoted``'s whole-file records."""
+    cache_key = f"{sf_dir}:jsonl"
+    if cache_key not in _JSONL_CACHE:
+        import json
+        import os
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="scan_jsonl_")
+        rows = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < _JSONL_DOCS)
+            .select("doc_id", "text", "lang", "source")
+            .collect()
+        )
+        with open(os.path.join(out, "docs.jsonl"), "w") as f:
+            for r in rows:
+                words = r["text"].split(" ")
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "meta": {"lang": r["lang"], "source": r["source"]},
+                            "tags": words[:3],
+                        }
+                    )
+                    + "\n"
+                )
+        _JSONL_CACHE[cache_key] = out
+    df = spark.read.json(_JSONL_CACHE[cache_key])
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.source").alias("meta_source"),
+        F.size("tags").cast("long").alias("n_tags"),
+        F.element_at(F.col("tags"), 1).alias("first_tag"),
+    )

@@ -26,7 +26,7 @@ from caliper_poc_data_etl_spark.queries.round7 import (
 
 def _duck(sql: str, sf_dir: str):
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings", "customer", "orders", "part", "lineitem"):
+    for t in ("events", "documents", "embeddings", "customer", "orders", "part", "lineitem", "nation", "supplier"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     return con.sql(sql).fetchall()
 
@@ -909,3 +909,77 @@ class TestGopherRules:
             n_dropped += 0 if (pw and pm and ps) else 1
         # the gate actually discriminates on this corpus
         assert 0 < n_dropped < len(docs)
+
+
+def _geo_point(eid: int, uid: int) -> tuple[int, int]:
+    return (uid * 7919) % 18000 - 9000, (eid * 104729) % 36000 - 18000
+
+
+class TestGeoPointInBox:
+    def test_python_replica(self, spark, sf_dir):
+        events = _duck("SELECT event_id, user_id FROM events", sf_dir)
+        nations = [r[0] for r in _duck("SELECT n_nationkey FROM nation", sf_dir)]
+        boxes = {}
+        for nk in nations:
+            lat_lo = (nk * 3571) % 15000 - 9000
+            lon_lo = (nk * 7927) % 30000 - 18000
+            boxes[nk] = (lat_lo, lat_lo + 2400, lon_lo, lon_lo + 4800)
+        expect = set()
+        for eid, uid in events:
+            lat, lon = _geo_point(eid, uid)
+            for nk, (la, lb, na, nb) in boxes.items():
+                if la <= lat < lb and na <= lon < nb:
+                    expect.add((eid, nk, lat, lon))
+        got = {
+            (r["event_id"], r["box_id"], r["lat_c"], r["lon_c"])
+            for r in QUERIES["geo_grid_point_in_box"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect and expect
+
+    def test_no_nested_loop_in_plan(self, spark, sf_dir):
+        df = QUERIES["geo_grid_point_in_box"].spark(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestGeoNearestPoi:
+    def test_python_replica(self, spark, sf_dir):
+        events = _duck("SELECT event_id, user_id FROM events", sf_dir)
+        pois = {
+            sk: ((sk * 4241) % 18000 - 9000, (sk * 9001) % 36000 - 18000)
+            for (sk,) in _duck("SELECT s_suppkey FROM supplier", sf_dir)
+        }
+        got = {
+            r["event_id"]: (r["poi_id"], r["d2"])
+            for r in QUERIES["geo_nearest_poi"].spark(spark, sf_dir).collect()
+        }
+        for eid, uid in events:
+            lat, lon = _geo_point(eid, uid)
+            best = min(
+                (
+                    ((lat - pla) ** 2 + (lon - plo) ** 2, pid)
+                    for pid, (pla, plo) in pois.items()
+                )
+            )
+            assert got[eid] == (best[1], best[0])
+
+
+class TestJsonlNested:
+    def test_nested_projection_roundtrip(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round7 import _JSONL_DOCS
+
+        docs = _duck(
+            f"SELECT doc_id, text, lang, source FROM documents "
+            f"WHERE doc_id < {_JSONL_DOCS}",
+            sf_dir,
+        )
+        got = {
+            r["doc_id"]: (r["meta_lang"], r["meta_source"], r["n_tags"], r["first_tag"])
+            for r in QUERIES["scan_jsonl_nested"].spark(spark, sf_dir).collect()
+        }
+        assert len(got) == len(docs)
+        for doc_id, text, lang, source in docs:
+            words = text.split(" ")
+            assert got[doc_id] == (lang, source, min(3, len(words)), words[0])

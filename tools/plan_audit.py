@@ -75,6 +75,9 @@ EXPECTED_NLJ.add("decontam_exact_substring")
 # corpus × broadcast 10-query probe set (the sim_cosine_topk posture).
 EXPECTED_NLJ.add("ml_mrr_eval")
 EXPECTED_NLJ.add("sim_hard_negative_mining")
+# points × broadcast dimension-sized POI catalog (argmin over 100 POIs);
+# the grid-pruned variant is geo_grid_point_in_box.
+EXPECTED_NLJ.add("geo_nearest_poi")
 # bounded-calendar daily series × broadcast 8-row lag table.
 EXPECTED_NLJ.add("ts_xcorr_lag_scan")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
