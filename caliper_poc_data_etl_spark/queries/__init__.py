@@ -369,6 +369,10 @@ _NEXT: list[str] = [
     "geo_grid_point_in_box",
     "geo_nearest_poi",
     "scan_jsonl_nested",
+    "graph_random_walk_deterministic",
+    "ts_event_pattern_detect",
+    "text_bpe_train_merges",
+    "agg_skyline_pareto",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -2072,3 +2072,370 @@ def scan_jsonl_nested(spark, sf_dir):
         F.size("tags").cast("long").alias("n_tags"),
         F.element_at(F.col("tags"), 1).alias("first_tag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks over the shared affine graph
+# ---------------------------------------------------------------------------
+
+WALK_STEPS = 4
+
+
+def _walk_oracle() -> str:
+    from caliper_poc_data_etl_spark.queries.round6 import _LP_GEN
+
+    gens = "\n      UNION ALL\n".join(
+        f"""      SELECT id AS src, (id * {a} + {b}) % n AS dst
+      FROM nodes, nn""" for a, b in _LP_GEN
+    )
+    head = f"""
+    WITH nodes AS (SELECT vec_id AS id FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    gen AS (
+{gens}
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM gen WHERE src <> dst
+        UNION ALL
+        SELECT dst, src FROM gen WHERE src <> dst)
+    ),
+    ranked AS MATERIALIZED (
+      SELECT src, dst,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+      FROM edges
+    ),
+    w0 AS (SELECT id AS start_id, id AS cur,
+                  CAST(id AS VARCHAR) AS path FROM nodes)"""
+    steps = []
+    for s in range(1, WALK_STEPS + 1):
+        steps.append(f"""w{s} AS MATERIALIZED (
+      SELECT w.start_id, r.dst AS cur, w.path || '->' || r.dst AS path
+      FROM w{s-1} w
+      JOIN ranked r ON r.src = w.cur
+       AND r.rn = ('0x' || substr(md5(CAST(w.cur AS VARCHAR)
+                                      || '_{s}_'
+                                      || CAST(w.start_id AS VARCHAR)),
+                                  1, 10))::BIGINT % r.deg + 1
+    )""")
+    tail = f"""
+    SELECT start_id, CAST(cur AS BIGINT) AS end_id, path
+    FROM w{WALK_STEPS}"""
+    return head + ",\n    " + ",\n    ".join(steps) + tail
+
+
+@query("graph_random_walk_deterministic", oracle=_walk_oracle())
+def graph_random_walk_deterministic(spark, sf_dir):
+    """Graph random walks — the DeepWalk/node2vec training-data
+    generator — made engine-exact: one walk per start node, 4 steps,
+    where the step-s choice at node v is neighbor rank
+    md5(v, s, start) mod deg(v) over the id-sorted adjacency list. A
+    seeded PRNG would be engine-specific; the hash-indexed choice is
+    the declared deterministic equivalent (uniform over neighbors,
+    independent across steps/walks to md5 quality). Output: start,
+    end, and the full '->'-joined path string. Plan: the ranked
+    adjacency list builds once (one window over edges, checkpointed);
+    each step is ONE equi-join of the walk frontier against it —
+    hash-partitioned on the current node, |walks| rows per step, the
+    Pregel frontier shape. The walk corpus feeds skip-gram embedding
+    training exactly as documents feed ``text_bigram_lm``."""
+    from caliper_poc_data_etl_spark.queries.round6 import (
+        _affine_undirected_edges,
+    )
+
+    edges = _affine_undirected_edges(spark, sf_dir)
+    ranked = edges.select(
+        "src",
+        "dst",
+        F.row_number()
+        .over(W.partitionBy("src").orderBy("dst"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy("src")).alias("deg"),
+    ).localCheckpoint(eager=True)
+    nodes = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("start_id")
+    )
+    walk = nodes.select(
+        "start_id",
+        F.col("start_id").alias("cur"),
+        F.col("start_id").cast("string").alias("path"),
+    )
+    for s in range(1, WALK_STEPS + 1):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "_",
+                            F.col("cur").cast("string"),
+                            F.lit(str(s)),
+                            F.col("start_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    10,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+            + 1
+        )
+        walk = (
+            walk.join(ranked, walk.cur == ranked.src)
+            .filter(F.col("rn") == pick)
+            .select(
+                "start_id",
+                F.col("dst").alias("cur"),
+                F.concat(F.col("path"), F.lit("->"), F.col("dst").cast("string")).alias(
+                    "path"
+                ),
+            )
+        )
+    return walk.select(
+        "start_id", F.col("cur").cast("long").alias("end_id"), "path"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern detection (CEP adjacency)
+# ---------------------------------------------------------------------------
+
+PATTERN = ("view", "click", "purchase")
+
+
+@query(
+    "ts_event_pattern_detect",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             LEAD(event_type, 1) OVER w AS t2,
+             LEAD(event_type, 2) OVER w AS t3,
+             LEAD(ts, 2) OVER w AS ts3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS t_start,
+           strftime(ts3, '%Y-%m-%d %H:%M:%S.%f') AS t_end,
+           CAST(epoch_us(ts3) - epoch_us(ts) AS BIGINT) AS span_us
+    FROM seq
+    WHERE event_type = '{PATTERN[0]}' AND t2 = '{PATTERN[1]}'
+      AND t3 = '{PATTERN[2]}'
+    """,
+)
+def ts_event_pattern_detect(spark, sf_dir):
+    """Event-sequence pattern detection — the MATCH_RECOGNIZE / CEP
+    shape (view → click → purchase as three CONSECUTIVE events in a
+    user's stream) expressed with LEAD over the time-ordered per-user
+    window: no self-joins, no state machine UDF, one shuffle on
+    user_id. Strictly-adjacent semantics are the declared contract
+    (intervening events break the match — the difference from
+    ``funnel_conversion``'s eventually-follows semantics); ordering
+    ties break on event_id so both engines walk the identical
+    sequence. Emits the match span in exact integer microseconds.
+    Scale: per-user windows partition the shuffle; pattern length
+    extends by adding LEAD offsets, not joins."""
+    e = t(spark, sf_dir, "events")
+    wspec = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type", 1).over(wspec).alias("t2"),
+        F.lead("event_type", 2).over(wspec).alias("t3"),
+        F.lead("ts", 2).over(wspec).alias("ts3"),
+    )
+    m = seq.filter(
+        (F.col("event_type") == PATTERN[0])
+        & (F.col("t2") == PATTERN[1])
+        & (F.col("t3") == PATTERN[2])
+    )
+    return m.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t_start"),
+        F.date_format("ts3", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t_end"),
+        (
+            F.unix_micros(F.col("ts3")) - F.unix_micros(F.col("ts"))
+        ).cast("long").alias("span_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE trainer: learn the merge table itself (iterative)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 3
+_BPE_TRAIN_SWEEPS = 3
+
+
+def _bpe_train_oracle() -> str:
+    head = """
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(lower(text), '[^a-z]+', '|', 'g'),
+                            '^\\||\\|$', '', 'g') AS w
+      FROM documents
+    ),
+    e0 AS MATERIALIZED (
+      SELECT doc_id, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+      FROM base WHERE w <> ''
+    )"""
+    steps = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        rep = "e.s"
+        for _ in range(_BPE_TRAIN_SWEEPS):
+            rep = (
+                f"replace({rep}, ' ' || m.a || ' ' || m.b || ' ', "
+                f"' ' || m.a || m.b || ' ')"
+            )
+        steps.append(f"""p{r} AS (
+      SELECT sy[u.i] AS a, sy[u.i + 1] AS b, COUNT(*) AS n
+      FROM (SELECT string_split(trim(s), ' ') AS sy FROM e{r-1}) t,
+           unnest(range(1, len(sy))) AS u(i)
+      WHERE sy[u.i] <> '|' AND sy[u.i + 1] <> '|'
+      GROUP BY 1, 2
+    ), m{r} AS MATERIALIZED (
+      SELECT {r} AS rank, a, b, n FROM p{r}
+      ORDER BY n DESC, a, b LIMIT 1
+    ), e{r} AS MATERIALIZED (
+      SELECT e.doc_id, {rep} AS s FROM e{r-1} e, m{r} m
+    )""")
+    tail = "\n    UNION ALL ".join(
+        f"SELECT CAST(rank AS BIGINT) AS rank, a AS left_sym, "
+        f"b AS right_sym, CAST(n AS BIGINT) AS n FROM m{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1)
+    )
+    return head + ",\n    " + ",\n    ".join(steps) + "\n    " + tail
+
+
+@query("text_bpe_train_merges", oracle=_bpe_train_oracle())
+def text_bpe_train_merges(spark, sf_dir):
+    """The BPE TRAINING loop itself — learn the first 3 merges from
+    raw characters (``text_bpe_pair_stats`` declares one iteration's
+    statistic; this runs the actual loop): each round counts adjacent
+    symbol pairs corpus-wide, picks the argmax pair (count desc, pair
+    asc — the deterministic tiebreak real trainers use), applies the
+    merge to every document, and recounts. The learned table is what
+    ``text_bpe_tokenize`` consumes frozen. 9th iterative operator.
+
+    Plan per round: pair counts reduce through ONE partial-aggregated
+    groupBy (the word-count shape); the argmax is a 1-ROW limit
+    carried as a broadcast cross join into the merge application (a
+    plan node, not a driver collect — the documented
+    ``EXPECTED_SCALAR_BNLJ`` pattern); the merge applies as a
+    per-row column replace, zero shuffle; localCheckpoint truncates
+    the growing lineage. Overlapping-pair counting and left-to-right
+    non-overlapping replace are the declared semantics, identical in
+    both engines."""
+    d = t(spark, sf_dir, "documents")
+    w = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", "|"),
+        "^\\||\\|$",
+        "",
+    )
+    docs = d.select(
+        "doc_id",
+        F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 ")).alias("s"),
+    ).filter(F.trim("s") != "").localCheckpoint(eager=True)
+    merges = None
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        sy = F.split(F.trim(F.col("s")), " ")
+        pairs = docs.select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(sy) - 1),
+                        lambda i: F.struct(
+                            F.element_at(sy, i).alias("a"),
+                            F.element_at(sy, i + 1).alias("b"),
+                        ),
+                    ),
+                    lambda p: (p["a"] != "|") & (p["b"] != "|"),
+                )
+            ).alias("p")
+        ).select("p.a", "p.b")
+        top = (
+            pairs.groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .select(F.lit(r).alias("rank"), "a", "b", "n")
+        )
+        applied = docs.crossJoin(F.broadcast(top))
+        s = F.col("s")
+        search = F.concat(F.lit(" "), F.col("a"), F.lit(" "), F.col("b"), F.lit(" "))
+        repl = F.concat(F.lit(" "), F.col("a"), F.col("b"), F.lit(" "))
+        for _ in range(_BPE_TRAIN_SWEEPS):
+            s = F.replace(s, search, repl)
+        docs = applied.select("doc_id", s.alias("s")).localCheckpoint(
+            eager=True
+        )
+        m = top.select(
+            F.col("rank").cast("long").alias("rank"),
+            F.col("a").alias("left_sym"),
+            F.col("b").alias("right_sym"),
+            F.col("n").cast("long").alias("n"),
+        )
+        merges = m if merges is None else merges.unionByName(m)
+    return merges
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_skyline_pareto",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             MIN(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS best_centi
+      FROM orders GROUP BY 1
+    ),
+    flagged AS (
+      SELECT day, best_centi,
+             MIN(best_centi) OVER (ORDER BY day DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS later_min
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           best_centi
+    FROM flagged
+    WHERE later_min IS NULL OR best_centi < later_min
+    """,
+)
+def agg_skyline_pareto(spark, sf_dir):
+    """Skyline (Pareto frontier) operator — Börzsönyi et al. ICDE'01:
+    the days that are not DOMINATED on (recency ↑, best price ↓): a
+    day survives iff no later day achieved an equal-or-lower minimum
+    price. The naive skyline is an O(n²) self-anti-join; the declared
+    plan is the scalable two-stage form — reduce the fact table to
+    the per-day partial (one partial-aggregating groupBy, the only
+    data-sized shuffle), then a single running-min window over the
+    CALENDAR-bounded daily frame answers dominance in one pass
+    (sorted-skyline for 2 dimensions). The unpartitioned window is
+    bounded by construction: |days|, not |orders|. All integer
+    centi-units."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.min(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("best_centi")
+    )
+    # bounded-by-construction: one row per calendar day post-agg
+    wspec = (
+        W.partitionBy()
+        .orderBy(F.col("day").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = daily.select(
+        "day", "best_centi", F.min("best_centi").over(wspec).alias("later_min")
+    )
+    return flagged.filter(
+        F.col("later_min").isNull() | (F.col("best_centi") < F.col("later_min"))
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "best_centi"
+    )

@@ -983,3 +983,153 @@ class TestJsonlNested:
         for doc_id, text, lang, source in docs:
             words = text.split(" ")
             assert got[doc_id] == (lang, source, min(3, len(words)), words[0])
+
+
+class TestRandomWalk:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round7 import WALK_STEPS
+
+        n = _duck("SELECT COUNT(*) FROM embeddings", sf_dir)[0][0]
+        ids = [r[0] for r in _duck("SELECT vec_id FROM embeddings", sf_dir)]
+        gens = [(7, 1), (13, 2), (29, 3)]
+        edges = set()
+        for i in ids:
+            for a, b in gens:
+                j = (i * a + b) % n
+                if i != j:
+                    edges.add((i, j))
+                    edges.add((j, i))
+        adj = defaultdict(list)
+        for s, d in sorted(edges):
+            adj[s].append(d)
+        expect = {}
+        for start in ids:
+            cur, path = start, str(start)
+            for s in range(1, WALK_STEPS + 1):
+                nbrs = adj[cur]
+                h = int(
+                    hashlib.md5(f"{cur}_{s}_{start}".encode()).hexdigest()[:10],
+                    16,
+                )
+                cur = nbrs[h % len(nbrs)]
+                path += f"->{cur}"
+            expect[start] = (cur, path)
+        got = {
+            r["start_id"]: (r["end_id"], r["path"])
+            for r in QUERIES["graph_random_walk_deterministic"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == expect
+
+    def test_walks_are_dispersed(self, spark, sf_dir):
+        # hash-indexed choice should not collapse all walks onto a ring
+        rows = (
+            QUERIES["graph_random_walk_deterministic"].spark(spark, sf_dir).collect()
+        )
+        ends = {r["end_id"] for r in rows}
+        assert len(ends) > len(rows) // 10
+
+
+class TestEventPatternDetect:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round7 import PATTERN
+
+        rows = _duck(
+            "SELECT user_id, ts, event_id, event_type FROM events", sf_dir
+        )
+        by_user = defaultdict(list)
+        for uid, ts, eid, et in rows:
+            by_user[uid].append((ts, eid, et))
+        expect = set()
+        for uid, evs in by_user.items():
+            evs.sort()
+            for i in range(len(evs) - 2):
+                if (
+                    evs[i][2] == PATTERN[0]
+                    and evs[i + 1][2] == PATTERN[1]
+                    and evs[i + 2][2] == PATTERN[2]
+                ):
+                    span = int(
+                        (evs[i + 2][0] - evs[i][0]).total_seconds() * 1e6
+                    )
+                    expect.add((uid, span))
+        got = {
+            (r["user_id"], r["span_us"])
+            for r in QUERIES["ts_event_pattern_detect"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect and expect
+
+
+class TestBpeTrainMerges:
+    def test_python_trainer_replica(self, spark, sf_dir):
+        import re
+
+        from caliper_poc_data_etl_spark.queries.round7 import (
+            BPE_TRAIN_ROUNDS,
+            _BPE_TRAIN_SWEEPS,
+        )
+
+        docs = [r[0] for r in _duck("SELECT text FROM documents", sf_dir)]
+        states = []
+        for text in docs:
+            w = re.sub(r"^\||\|$", "", re.sub(r"[^a-z]+", "|", text.lower()))
+            if not w:
+                continue
+            states.append(" " + "".join(c + " " for c in w))
+        expect = []
+        for r in range(1, BPE_TRAIN_ROUNDS + 1):
+            from collections import Counter
+
+            counts = Counter()
+            for s in states:
+                sy = s.strip().split(" ")
+                for i in range(len(sy) - 1):
+                    if sy[i] != "|" and sy[i + 1] != "|":
+                        counts[(sy[i], sy[i + 1])] += 1
+            (a, b), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            expect.append((r, a, b, n))
+            for _ in range(_BPE_TRAIN_SWEEPS):
+                states = [
+                    s.replace(f" {a} {b} ", f" {a}{b} ") for s in states
+                ]
+        got = sorted(
+            (r["rank"], r["left_sym"], r["right_sym"], r["n"])
+            for r in QUERIES["text_bpe_train_merges"].spark(spark, sf_dir).collect()
+        )
+        assert got == expect
+        # learned merges are genuinely compositional (later ranks may
+        # build on earlier products) or at minimum all distinct
+        assert len({(a, b) for _, a, b, _ in got}) == BPE_TRAIN_ROUNDS
+
+
+class TestSkylinePareto:
+    def test_python_replica_and_dominance(self, spark, sf_dir):
+        import math
+
+        rows = _duck(
+            "SELECT CAST(o_orderdate AS DATE), o_totalprice FROM orders", sf_dir
+        )
+        daily = {}
+        for d, p in rows:
+            c = math.floor(p * 100 + 0.5)
+            daily[d] = min(daily.get(d, 10**18), c)
+        days = sorted(daily)
+        skyline = []
+        later_min = None
+        for d in reversed(days):
+            if later_min is None or daily[d] < later_min:
+                skyline.append((d.isoformat(), daily[d]))
+            later_min = min(later_min, daily[d]) if later_min else daily[d]
+        got = {
+            (r["day"], r["best_centi"])
+            for r in QUERIES["agg_skyline_pareto"].spark(spark, sf_dir).collect()
+        }
+        assert got == set(skyline)
+        # no skyline member dominates another
+        for d1, p1 in got:
+            for d2, p2 in got:
+                if d1 < d2:
+                    assert p1 < p2
