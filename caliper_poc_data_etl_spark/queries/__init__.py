@@ -44,6 +44,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     round5,
     round6,
     round7,
+    round8,
 )
 
 # ---------------------------------------------------------------------------
@@ -373,6 +374,9 @@ _NEXT: list[str] = [
     "ts_event_pattern_detect",
     "text_bpe_train_merges",
     "agg_skyline_pareto",
+    "sim_mmr_select",
+    "text_collocation_pmi",
+    "dq_schema_contract",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1,0 +1,376 @@
+"""Round-5 additions, thirteenth batch (r6 grading queue): MMR
+diverse exemplar selection, PMI collocation mining, and declarative
+schema-contract validation.
+
+Everything follows the registry conventions (__init__ docstring):
+identical aliases on both sides, exact integer arithmetic wherever a
+quotient or product crosses the engine boundary, and md5 as the only
+cross-engine hash primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+# ---------------------------------------------------------------------------
+# MMR diverse exemplar selection
+# ---------------------------------------------------------------------------
+
+MMR_CAND = 20
+MMR_K = 5
+MMR_W_REL = 7  # lambda = 0.7 carried as integer weights 7 / 3
+MMR_W_DIV = 3
+
+
+def _mmr_oracle() -> str:
+    head = f"""
+    WITH qz AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    qv AS (SELECT vec_id AS q_id, e AS q_e FROM qz ORDER BY vec_id LIMIT 1),
+    rel AS MATERIALIZED (
+      SELECT c.vec_id,
+             CAST(list_dot_product(qv.q_e, c.e) AS BIGINT) AS rel
+      FROM qz c, qv WHERE c.vec_id <> qv.q_id
+      ORDER BY rel DESC, c.vec_id LIMIT {MMR_CAND}
+    ),
+    pair AS MATERIALIZED (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             CAST(list_dot_product(az.e, bz.e) AS BIGINT) AS s
+      FROM rel a JOIN rel b ON a.vec_id <> b.vec_id
+      JOIN qz az ON az.vec_id = a.vec_id
+      JOIN qz bz ON bz.vec_id = b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT vec_id, rel, {MMR_W_REL} * rel AS score
+      FROM rel ORDER BY score DESC, vec_id LIMIT 1
+    )"""
+    steps = []
+    for r in range(2, MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, r)
+        )
+        steps.append(f"""sel{r} AS MATERIALIZED (
+      SELECT r.vec_id, r.rel,
+             {MMR_W_REL} * r.rel - {MMR_W_DIV} * MAX(p.s) AS score
+      FROM rel r
+      JOIN pair p ON p.ia = r.vec_id AND p.ib IN ({prev})
+      WHERE r.vec_id NOT IN ({prev})
+      GROUP BY r.vec_id, r.rel
+      ORDER BY score DESC, r.vec_id LIMIT 1
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS sel_rank, vec_id, rel, score FROM sel{i}"
+        for i in range(1, MMR_K + 1)
+    )
+    return head + ",\n    " + ",\n    ".join(steps) + "\n    " + selects
+
+
+@query("sim_mmr_select", oracle=_mmr_oracle())
+def sim_mmr_select(spark, sf_dir):
+    """Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    diverse exemplar selection — the retrieval/curation step that
+    picks items both RELEVANT to a query and DISSIMILAR to what is
+    already picked (diverse few-shot exemplars, dedup-aware RAG
+    context packing, coreset seeds). Greedy: first pick = argmax
+    relevance; each next pick maximizes W_REL·rel − W_DIV·max-sim-to-
+    selected (λ=0.7 as integer weights, milli-quantized integer dot
+    products throughout → engine-exact, ties break on vec_id).
+
+    Plan shape: ONE corpus scan scores relevance against the
+    broadcast 1-row query vector (the ``sim_cosine_topk`` posture —
+    the corpus never shuffles); the greedy loop then runs entirely on
+    the 20-candidate shortlist (20×20 pairwise sims computed once,
+    checkpointed) — K fixed 1-row argmax plan nodes, no driver
+    collects. At 100 TB the shortlist stage is unchanged: MMR cost is
+    bounded by the candidate count, not the corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    ze = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    z = emb.select("vec_id", ze.alias("e"))
+    qv = (
+        z.orderBy("vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("q_id"), F.col("e").alias("q_e"))
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    rel = (
+        z.crossJoin(F.broadcast(qv))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("vec_id", dot(F.col("q_e"), F.col("e")).alias("rel"), "e")
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(MMR_CAND)
+        .localCheckpoint(eager=True)
+    )
+    pa = rel.select(F.col("vec_id").alias("ia"), F.col("e").alias("ea"))
+    pb = rel.select(F.col("vec_id").alias("ib"), F.col("e").alias("eb"))
+    pair = (
+        pa.crossJoin(pb)
+        .filter(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", dot(F.col("ea"), F.col("eb")).alias("s"))
+        .localCheckpoint(eager=True)
+    )
+    relc = rel.select("vec_id", "rel")
+    picked = (
+        relc.select(
+            F.lit(1).cast("long").alias("sel_rank"),
+            "vec_id",
+            "rel",
+            (F.lit(MMR_W_REL) * F.col("rel")).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(1)
+        .localCheckpoint(eager=True)
+    )
+    for r in range(2, MMR_K + 1):
+        seln = picked.select(F.col("vec_id").alias("ib"))
+        msim = (
+            pair.join(F.broadcast(seln), "ib")
+            .groupBy("ia")
+            .agg(F.max("s").alias("ms"))
+        )
+        cand = relc.join(
+            picked.select("vec_id"), "vec_id", "left_anti"
+        )
+        pick = (
+            cand.join(msim, cand.vec_id == msim.ia)
+            .select(
+                F.lit(r).cast("long").alias("sel_rank"),
+                cand.vec_id.alias("vec_id"),
+                "rel",
+                (
+                    F.lit(MMR_W_REL) * F.col("rel")
+                    - F.lit(MMR_W_DIV) * F.col("ms")
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), "vec_id")
+            .limit(1)
+        )
+        picked = picked.unionByName(pick).localCheckpoint(eager=True)
+    return picked
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining
+# ---------------------------------------------------------------------------
+
+PMI_MIN_C12 = 20
+PMI_MICRO = 1_000_000
+
+
+@query(
+    "text_collocation_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(lower(trim(text)), ' ') AS tk
+      FROM documents WHERE trim(text) <> ''
+    ),
+    uni AS MATERIALIZED (
+      SELECT u.w, COUNT(*) AS c
+      FROM toks, unnest(tk) AS u(w)
+      GROUP BY u.w
+    ),
+    tot AS (SELECT SUM(c) AS n_tot FROM uni),
+    big AS (
+      SELECT tk[u.i] AS w1, tk[u.i + 1] AS w2, COUNT(*) AS c12
+      FROM toks, unnest(range(1, len(tk))) AS u(i)
+      WHERE len(tk) >= 2
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {PMI_MIN_C12}
+    )
+    SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS c12,
+           CAST(u1.c AS BIGINT) AS c1, CAST(u2.c AS BIGINT) AS c2,
+           CAST((b.c12 * t.n_tot * {PMI_MICRO}) // (u1.c * u2.c)
+                AS BIGINT) AS lift_micro
+    FROM big b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    CROSS JOIN tot t
+    """,
+)
+def text_collocation_pmi(spark, sf_dir):
+    """PMI collocation mining — which word pairs co-occur MORE than
+    their unigram frequencies predict (the word2vec-style phrase
+    detection statistic; log-free: since log is monotone, ranking by
+    the inside-the-log lift ratio P(w1,w2)/(P(w1)P(w2)) =
+    c12·N/(c1·c2) is equivalent, and the integer-floored micro-unit
+    lift crosses engines exactly — no libm). Distinct from
+    ``text_bigram_lm``: TRUE unigram counts from their own aggregation
+    (not row-marginals of the bigram table), and a symmetric
+    association score rather than a directional conditional.
+
+    Plan: two partial-aggregating token groupBys (unigrams, bigrams);
+    the tiny vocab table broadcasts back onto the thresholded bigram
+    table twice, and the corpus token total rides along as a
+    broadcast 1-row scalar — one data-sized shuffle per aggregation,
+    nothing quadratic. BIGINT bound: c12·N·1e6 needs N² ≲ 9.2e12,
+    fine through the graded SFs; at larger corpora drop PMI_MICRO to
+    1e3 or compute the lift on per-million-token rates."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), " ")
+    toks = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(tk.alias("tk"))
+    )
+    uni = (
+        toks.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_tot"))
+    tkc = F.col("tk")
+    big = (
+        toks.filter(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tkc) - 1),
+                    lambda i: F.struct(
+                        F.element_at(tkc, i).alias("w1"),
+                        F.element_at(tkc, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= PMI_MIN_C12)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.col("c1").cast("long").alias("c1"),
+            F.col("c2").cast("long").alias("c2"),
+            F.expr(
+                f"(c12 * n_tot * {PMI_MICRO}) div (c1 * c2)"
+            ).cast("long").alias("lift_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative schema-contract validation
+# ---------------------------------------------------------------------------
+
+# (rule name, Spark violation predicate, DuckDB violation predicate) —
+# predicates are null-safe: a NULL check result counts as a violation
+# for value rules, and rule r01 is the explicit null check.
+_CONTRACT_RULES = [
+    (
+        "r01_custkey_not_null",
+        "o_custkey IS NULL",
+        "o_custkey IS NULL",
+    ),
+    (
+        "r02_totalprice_positive",
+        "NOT coalesce(o_totalprice > 0, false)",
+        "NOT COALESCE(o_totalprice > 0, FALSE)",
+    ),
+    (
+        "r03_totalprice_upper_bound",
+        "NOT coalesce(o_totalprice <= 400000, false)",
+        "NOT COALESCE(o_totalprice <= 400000, FALSE)",
+    ),
+    (
+        "r04_status_domain",
+        "NOT coalesce(o_orderstatus IN ('O','F'), false)",
+        "NOT COALESCE(o_orderstatus IN ('O','F'), FALSE)",
+    ),
+    (
+        "r05_priority_format",
+        "NOT coalesce(o_orderpriority rlike '^[1-5]-', false)",
+        "NOT COALESCE(regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)",
+    ),
+    (
+        "r06_date_range",
+        "NOT coalesce(o_orderdate >= timestamp'1992-01-01' "
+        "AND o_orderdate < timestamp'1999-01-01', false)",
+        "NOT COALESCE(o_orderdate >= TIMESTAMP '1992-01-01' "
+        "AND o_orderdate < TIMESTAMP '1999-01-01', FALSE)",
+    ),
+]
+
+
+def _contract_oracle() -> str:
+    agg = ",\n             ".join(
+        f"COUNT(*) FILTER (WHERE {pred}) AS v{i}"
+        for i, (_, _, pred) in enumerate(_CONTRACT_RULES, 1)
+    )
+    branches = "\n    UNION ALL ".join(
+        f"""SELECT '{name}' AS rule, CAST(n AS BIGINT) AS n_checked,
+               CAST(v{i} AS BIGINT) AS n_violations, v{i} = 0 AS passed
+    FROM a"""
+        for i, (name, _, _) in enumerate(_CONTRACT_RULES, 1)
+    )
+    return f"""
+    WITH a AS (
+      SELECT COUNT(*) AS n,
+             {agg}
+      FROM orders
+    )
+    {branches}
+    """
+
+
+@query("dq_schema_contract", oracle=_contract_oracle())
+def dq_schema_contract(spark, sf_dir):
+    """Declarative schema-contract validation — the Great-Expectations
+    / dbt-test / Deequ shape: a table of named rules (null checks,
+    value bounds, domain membership, format regex, date range), each
+    graded in ONE shared scan via conditional aggregation, emitted as
+    one row per rule with checked/violation counts and a pass flag.
+    Rules are null-safe (a NULL value violates every value rule; the
+    explicit null rule owns nullness), and the rule set includes
+    genuinely-failing rules (the tight price bound, the O/F status
+    domain) so the operator's discrimination is graded, not just its
+    plumbing. Plan: a single parquet scan → one partial aggregate →
+    a literal-array explode; zero joins, zero extra passes however
+    many rules the contract carries. Companion to
+    ``dq_constraint_check`` (which cross-checks aggregates against a
+    second table) — this one is the per-column contract surface."""
+    o = t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.count_if(F.expr(pred)).alias(f"v{i}")
+        for i, (_, pred, _) in enumerate(_CONTRACT_RULES, 1)
+    ]
+    a = o.agg(*aggs)
+    rules = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.col("n").cast("long").alias("n_checked"),
+                F.col(f"v{i}").cast("long").alias("n_violations"),
+            )
+            for i, (name, _, _) in enumerate(_CONTRACT_RULES, 1)
+        ]
+    )
+    return (
+        a.select(F.explode(rules).alias("r"))
+        .select(
+            "r.rule",
+            "r.n_checked",
+            "r.n_violations",
+            (F.col("r.n_violations") == 0).alias("passed"),
+        )
+    )

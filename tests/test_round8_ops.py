@@ -1,0 +1,191 @@
+"""Semantic tests for the round-8 batch (queries/round8.py): python /
+numpy replicas for MMR diverse selection, PMI collocation mining, and
+the declarative schema contract."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import duckdb
+import numpy as np
+
+from caliper_poc_data_etl_spark.queries import QUERIES
+from caliper_poc_data_etl_spark.queries.round8 import (
+    MMR_CAND,
+    MMR_K,
+    MMR_W_DIV,
+    MMR_W_REL,
+    PMI_MICRO,
+    PMI_MIN_C12,
+)
+
+
+def _duck(sql: str, sf_dir: str):
+    con = duckdb.connect()
+    for t in ("events", "documents", "embeddings", "customer", "orders",
+              "part", "lineitem", "nation", "supplier"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con.sql(sql).fetchall()
+
+
+class TestMmrSelect:
+    def _numpy_mmr(self, sf_dir):
+        rows = _duck(
+            "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id", sf_dir
+        )
+        ids = [r[0] for r in rows]
+        z = {
+            i: np.array([round(float(x) * 1000) for x in e], dtype=np.int64)
+            for i, e in rows
+        }
+        qid = ids[0]
+        rel = sorted(
+            ((int(z[qid] @ z[i]), i) for i in ids if i != qid),
+            key=lambda t: (-t[0], t[1]),
+        )[:MMR_CAND]
+        relmap = {i: r for r, i in rel}
+        cand = [i for _, i in rel]
+        picked = []
+        expect = []
+        for rank in range(1, MMR_K + 1):
+            best = None
+            for c in cand:
+                if c in picked:
+                    continue
+                ms = max((int(z[c] @ z[s]) for s in picked), default=0)
+                score = (
+                    MMR_W_REL * relmap[c]
+                    if not picked
+                    else MMR_W_REL * relmap[c] - MMR_W_DIV * ms
+                )
+                key = (-score, c)
+                if best is None or key < best[0]:
+                    best = (key, c, score)
+            picked.append(best[1])
+            expect.append((rank, best[1], relmap[best[1]], best[2]))
+        return expect
+
+    def test_python_replica(self, spark, sf_dir):
+        expect = self._numpy_mmr(sf_dir)
+        got = sorted(
+            (r["sel_rank"], r["vec_id"], r["rel"], r["score"])
+            for r in QUERIES["sim_mmr_select"].spark(spark, sf_dir).collect()
+        )
+        assert got == expect
+
+    def test_diversity_changes_the_selection(self, spark, sf_dir):
+        """MMR must differ from plain top-k relevance — otherwise the
+        diversity term is inert on this corpus."""
+        rows = QUERIES["sim_mmr_select"].spark(spark, sf_dir).collect()
+        mmr_ids = [r["vec_id"] for r in sorted(rows, key=lambda r: r["sel_rank"])]
+        by_rel = [r["vec_id"] for r in sorted(rows, key=lambda r: (-r["rel"], r["vec_id"]))]
+        # the first pick is pure relevance by definition
+        assert mmr_ids[0] == by_rel[0]
+        # scores are non-increasing in selection order only for ties of
+        # construction; the real invariant: every later pick's MMR score
+        # was maximal among the then-remaining candidates (replica above
+        # proves it); here just pin that the set is not the naive top-5
+        top5 = self._top5_relevance(sf_dir)
+        assert set(mmr_ids) != top5 or mmr_ids != sorted(top5)
+
+    def _top5_relevance(self, sf_dir):
+        rows = _duck(
+            "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id", sf_dir
+        )
+        ids = [r[0] for r in rows]
+        z = {
+            i: np.array([round(float(x) * 1000) for x in e], dtype=np.int64)
+            for i, e in rows
+        }
+        qid = ids[0]
+        rel = sorted(
+            ((int(z[qid] @ z[i]), i) for i in ids if i != qid),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return {i for _, i in rel[:MMR_K]}
+
+
+class TestCollocationPmi:
+    def test_counter_replica(self, spark, sf_dir):
+        docs = [
+            r[0]
+            for r in _duck("SELECT text FROM documents", sf_dir)
+            if r[0].strip()
+        ]
+        uni: Counter = Counter()
+        big: Counter = Counter()
+        for d in docs:
+            tk = d.strip().lower().split(" ")
+            uni.update(tk)
+            big.update(zip(tk, tk[1:]))
+        n_tot = sum(uni.values())
+        expect = {}
+        for (w1, w2), c12 in big.items():
+            if c12 >= PMI_MIN_C12:
+                lift = (c12 * n_tot * PMI_MICRO) // (uni[w1] * uni[w2])
+                expect[(w1, w2)] = (c12, uni[w1], uni[w2], lift)
+        got = {
+            (r["w1"], r["w2"]): (r["c12"], r["c1"], r["c2"], r["lift_micro"])
+            for r in QUERIES["text_collocation_pmi"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect and expect
+
+    def test_lift_orders_association(self, spark, sf_dir):
+        """A pair's lift must exceed 0 and the statistic discriminates:
+        not all lifts equal (some pairs genuinely collocate more)."""
+        rows = QUERIES["text_collocation_pmi"].spark(spark, sf_dir).collect()
+        lifts = [r["lift_micro"] for r in rows]
+        assert all(v > 0 for v in lifts)
+        assert len(set(lifts)) > 1
+
+
+class TestSchemaContract:
+    def test_python_replica(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT o_custkey, o_totalprice, o_orderstatus,"
+            " o_orderpriority, o_orderdate FROM orders",
+            sf_dir,
+        )
+        import datetime
+        import re
+
+        lo = datetime.datetime(1992, 1, 1)
+        hi = datetime.datetime(1999, 1, 1)
+        n = len(rows)
+        v = dict.fromkeys(range(1, 7), 0)
+        for ck, tp, st, pr, od in rows:
+            if ck is None:
+                v[1] += 1
+            if not (tp is not None and tp > 0):
+                v[2] += 1
+            if not (tp is not None and tp <= 400000):
+                v[3] += 1
+            if st not in ("O", "F"):
+                v[4] += 1
+            if pr is None or not re.match(r"^[1-5]-", pr):
+                v[5] += 1
+            if not (od is not None and lo <= od < hi):
+                v[6] += 1
+        names = [
+            "r01_custkey_not_null",
+            "r02_totalprice_positive",
+            "r03_totalprice_upper_bound",
+            "r04_status_domain",
+            "r05_priority_format",
+            "r06_date_range",
+        ]
+        expect = {
+            name: (n, v[i], v[i] == 0) for i, name in enumerate(names, 1)
+        }
+        got = {
+            r["rule"]: (r["n_checked"], r["n_violations"], r["passed"])
+            for r in QUERIES["dq_schema_contract"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+    def test_contract_discriminates(self, spark, sf_dir):
+        """The rule set must contain both passing and failing rules —
+        an all-green (or all-red) contract grades only plumbing."""
+        rows = QUERIES["dq_schema_contract"].spark(spark, sf_dir).collect()
+        passed = {r["rule"]: r["passed"] for r in rows}
+        assert any(passed.values()) and not all(passed.values())

@@ -78,6 +78,11 @@ EXPECTED_NLJ.add("sim_hard_negative_mining")
 # points × broadcast dimension-sized POI catalog (argmin over 100 POIs);
 # the grid-pruned variant is geo_grid_point_in_box.
 EXPECTED_NLJ.add("geo_nearest_poi")
+# corpus × broadcast 1-row query vector (the sim_cosine_topk posture),
+# plus the K fixed 1-row argmax plan nodes of the greedy MMR loop.
+EXPECTED_NLJ.add("sim_mmr_select")
+# broadcast 1-row corpus token total for the lift denominator.
+EXPECTED_SCALAR_BNLJ.add("text_collocation_pmi")
 # bounded-calendar daily series × broadcast 8-row lag table.
 EXPECTED_NLJ.add("ts_xcorr_lag_scan")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
