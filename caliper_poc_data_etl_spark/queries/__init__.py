@@ -377,6 +377,9 @@ _NEXT: list[str] = [
     "sim_mmr_select",
     "text_collocation_pmi",
     "dq_schema_contract",
+    "agg_mode_pack",
+    "training_shard_snake",
+    "text_rake_keywords",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -11,6 +11,7 @@ cross-engine hash primitive.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from caliper_poc_data_etl_spark.queries.registry import query, t
 
@@ -372,5 +373,248 @@ def dq_schema_contract(spark, sf_dir):
             "r.n_checked",
             "r.n_violations",
             (F.col("r.n_violations") == 0).alias("passed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode / exact median pack
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_mode_pack",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT l_returnflag, qty, n,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY n DESC, qty) AS rn
+      FROM counts
+    ),
+    med AS (
+      SELECT l_returnflag,
+             MEDIAN(CAST(l_quantity AS BIGINT)) AS median_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT m.l_returnflag, m.qty AS mode_qty,
+           CAST(m.n AS BIGINT) AS mode_n,
+           CAST(med.median_qty AS DOUBLE) AS median_qty
+    FROM m JOIN med USING (l_returnflag)
+    WHERE m.rn = 1
+    """,
+)
+def agg_mode_pack(spark, sf_dir):
+    """Deterministic mode + exact median per group. Spark's built-in
+    ``F.mode`` and DuckDB's ``mode()`` both leave TIES unspecified, so
+    the mode is stated explicitly on both engines as count-then-argmax
+    with a value tiebreak (lowest quantity wins) — the only portable
+    formulation. The median is each engine's exact interpolating
+    median (quantile_cont 0.5); over integer quantities the midpoint
+    is at worst x.5, exact in IEEE, so no rounding is needed. Plan:
+    one partial-aggregating groupBy to (flag, qty) counts — 150 rows —
+    then a bounded per-flag window; the median is a second aggregate
+    over the same scan. Mode-of-few-values via pre-aggregated counts
+    is the 100 TB shape (never sort raw rows for a mode)."""
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    counts = li.groupBy("l_returnflag", qty.alias("qty")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("n"), "qty")
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("qty").alias("mode_qty"),
+            F.col("n").cast("long").alias("mode_n"),
+        )
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.median(qty).cast("double").alias("median_qty")
+    )
+    return mode.join(F.broadcast(med), "l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Snake-draft balanced shard assignment
+# ---------------------------------------------------------------------------
+
+SNAKE_SHARDS = 8
+
+
+@query(
+    "training_shard_snake",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r0
+      FROM documents
+    ),
+    assigned AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN (r0 // {SNAKE_SHARDS}) % 2 = 0
+                  THEN r0 % {SNAKE_SHARDS}
+                  ELSE {SNAKE_SHARDS - 1} - (r0 % {SNAKE_SHARDS})
+             END AS shard
+      FROM ranked
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM assigned GROUP BY shard
+    """,
+)
+def training_shard_snake(spark, sf_dir):
+    """Size-balanced output sharding for training-data export — the
+    loader-side fix for the long-tail-shard straggler: sort documents
+    by size descending and deal them to N shards in a SNAKE draft
+    (rounds alternate direction 0..7, 7..0), which bounds the
+    per-shard size gap by one document. Hash-mod sharding balances
+    counts, not bytes; greedy first-fit is inherently sequential —
+    the snake draft is the distributed-friendly balancer because the
+    assignment is pure rank arithmetic.
+
+    The global rank uses the ``window_ntile`` construction, NOT a
+    single-reducer global window: range-repartition on the sort key,
+    per-partition counts → broadcast running offsets, global rank =
+    offset + local row_number. Emits per-shard totals; the balance
+    property (max−min spread ≤ max single doc) is pinned in pytest."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", (-F.col("n_chars")).alias("neg")
+    )
+    parts = d.repartitionByRange(32, "neg", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    sizes = parts.groupBy("pid").agg(F.count("*").alias("cnt"))
+    # bounded-by-construction: window over <=32 partition-count rows
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = W.partitionBy("pid").orderBy("neg", "doc_id")
+    r0 = F.col("off") + F.row_number().over(w_local) - 1
+    rnd = (r0 / SNAKE_SHARDS).cast("long")
+    pos = r0 % SNAKE_SHARDS
+    shard = F.when(rnd % 2 == 0, pos).otherwise(
+        F.lit(SNAKE_SHARDS - 1) - pos
+    )
+    return (
+        parts.join(F.broadcast(offsets), "pid")
+        .select(
+            shard.cast("long").alias("shard"), "doc_id", "n_chars"
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction
+# ---------------------------------------------------------------------------
+
+RAKE_STOPWORDS = ("the", "a")
+RAKE_MIN_OCC = 2
+RAKE_MICRO = 1_000_000
+
+
+def _rake_oracle() -> str:
+    s = "' '||lower(trim(text))||' '"
+    for sw in RAKE_STOPWORDS:
+        for _ in range(3):
+            s = f"replace({s}, ' {sw} ', ' | ')"
+    return f"""
+    WITH seg AS (
+      SELECT {s} AS s FROM documents WHERE trim(text) <> ''
+    ),
+    ph AS (
+      SELECT trim(p) AS p
+      FROM seg, unnest(string_split(s, '|')) AS u(p)
+      WHERE trim(p) <> ''
+    ),
+    phc AS MATERIALIZED (
+      SELECT p, COUNT(*) AS n_occ FROM ph GROUP BY p
+    ),
+    wstat AS MATERIALIZED (
+      SELECT u.w, COUNT(*) AS freq,
+             SUM(len(string_split(ph.p, ' '))) AS deg
+      FROM ph, unnest(string_split(ph.p, ' ')) AS u(w)
+      GROUP BY u.w
+    )
+    SELECT c.p AS phrase, CAST(c.n_occ AS BIGINT) AS n_occ,
+           CAST(SUM((ws.deg * {RAKE_MICRO}) // ws.freq) AS BIGINT)
+             AS score_micro
+    FROM phc c, unnest(string_split(c.p, ' ')) AS u(w)
+    JOIN wstat ws ON ws.w = u.w
+    WHERE c.n_occ >= {RAKE_MIN_OCC}
+    GROUP BY c.p, c.n_occ
+    """
+
+
+@query("text_rake_keywords", oracle=_rake_oracle())
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free runs; each word scores deg/freq (degree
+    = Σ length of phrase occurrences containing it, frequency = its
+    occurrence count) and a phrase scores the sum of its words'
+    scores — the classic unsupervised keyphrase ranker. Word scores
+    are floored to integer micro-units BEFORE the phrase sum, so the
+    ranking crosses engines exactly (the rational deg/freq never
+    leaves integer arithmetic).
+
+    Stopword segmentation is literal-replace sweeps on the spaced
+    string (' the '→' | ', 3 sweeps per stopword for adjacent runs —
+    the ``text_bpe_tokenize`` left-to-right replace recipe, identical
+    semantics in both engines). Plan: phrase explode → two
+    partial-aggregating groupBys (phrase counts, word stats); the
+    tiny word-stat table broadcasts back onto phrase members. Zero
+    windows, zero driver scalars — linear in corpus tokens."""
+    d = t(spark, sf_dir, "documents")
+    s = F.concat(F.lit(" "), F.lower(F.trim(F.col("text"))), F.lit(" "))
+    for sw in RAKE_STOPWORDS:
+        for _ in range(3):
+            s = F.replace(s, F.lit(f" {sw} "), F.lit(" | "))
+    ph = (
+        d.filter(F.trim(F.col("text")) != "")
+        .select(F.explode(F.split(s, "\\|")).alias("p0"))
+        .select(F.trim("p0").alias("p"))
+        .filter(F.col("p") != "")
+    )
+    phc = ph.groupBy("p").agg(F.count(F.lit(1)).alias("n_occ"))
+    words = ph.select(
+        "p",
+        F.size(F.split(F.col("p"), " ")).alias("plen"),
+        F.explode(F.split(F.col("p"), " ")).alias("w"),
+    )
+    wstat = words.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    members = (
+        phc.filter(F.col("n_occ") >= RAKE_MIN_OCC)
+        .select("p", "n_occ", F.explode(F.split(F.col("p"), " ")).alias("w"))
+    )
+    return (
+        members.join(F.broadcast(wstat), "w")
+        .groupBy(F.col("p").alias("phrase"), "n_occ")
+        .agg(
+            F.sum(
+                F.expr(f"(deg * {RAKE_MICRO}) div freq")
+            ).cast("long").alias("score_micro")
+        )
+        .select(
+            "phrase",
+            F.col("n_occ").cast("long").alias("n_occ"),
+            "score_micro",
         )
     )

@@ -189,3 +189,111 @@ class TestSchemaContract:
         rows = QUERIES["dq_schema_contract"].spark(spark, sf_dir).collect()
         passed = {r["rule"]: r["passed"] for r in rows}
         assert any(passed.values()) and not all(passed.values())
+
+
+class TestModePack:
+    def test_counter_replica(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT l_returnflag, CAST(l_quantity AS BIGINT) FROM lineitem",
+            sf_dir,
+        )
+        by_flag = {}
+        for f, q in rows:
+            by_flag.setdefault(f, []).append(q)
+        expect = {}
+        for f, qs in by_flag.items():
+            cnt = Counter(qs)
+            mode_qty, mode_n = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            s = sorted(qs)
+            n = len(s)
+            med = (
+                float(s[n // 2])
+                if n % 2
+                else (s[n // 2 - 1] + s[n // 2]) / 2.0
+            )
+            expect[f] = (mode_qty, mode_n, med)
+        got = {
+            r["l_returnflag"]: (r["mode_qty"], r["mode_n"], r["median_qty"])
+            for r in QUERIES["agg_mode_pack"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+
+class TestShardSnake:
+    def test_python_replica_and_balance(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import SNAKE_SHARDS
+
+        rows = _duck("SELECT doc_id, n_chars FROM documents", sf_dir)
+        ranked = sorted(rows, key=lambda r: (-r[1], r[0]))
+        shards = {}
+        for r0, (doc_id, n_chars) in enumerate(ranked):
+            rnd, pos = divmod(r0, SNAKE_SHARDS)
+            shard = pos if rnd % 2 == 0 else SNAKE_SHARDS - 1 - pos
+            st = shards.setdefault(shard, [0, 0, 10**18])
+            st[0] += 1
+            st[1] += n_chars
+            st[2] = min(st[2], doc_id)
+        expect = {s: tuple(v) for s, v in shards.items()}
+        got = {
+            r["shard"]: (r["n_docs"], r["total_chars"], r["min_doc"])
+            for r in QUERIES["training_shard_snake"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # snake balance: spread bounded by one max-sized document
+        totals = [v[1] for v in got.values()]
+        max_doc = max(n for _, n in rows)
+        assert max(totals) - min(totals) <= max_doc
+        # and strictly tighter than the naive worst case
+        assert max(totals) - min(totals) < sum(n for _, n in rows) // SNAKE_SHARDS
+
+
+class TestRakeKeywords:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            RAKE_MICRO,
+            RAKE_MIN_OCC,
+            RAKE_STOPWORDS,
+        )
+
+        docs = [
+            r[0]
+            for r in _duck("SELECT text FROM documents", sf_dir)
+            if r[0].strip()
+        ]
+        phrases = []
+        for d in docs:
+            s = " " + d.strip().lower() + " "
+            for sw in RAKE_STOPWORDS:
+                for _ in range(3):
+                    s = s.replace(f" {sw} ", " | ")
+            for p in s.split("|"):
+                p = p.strip()
+                if p:
+                    phrases.append(p)
+        phc = Counter(phrases)
+        freq: Counter = Counter()
+        deg: Counter = Counter()
+        for p in phrases:
+            ws = p.split(" ")
+            for w in ws:
+                freq[w] += 1
+                deg[w] += len(ws)
+        expect = {}
+        for p, n_occ in phc.items():
+            if n_occ >= RAKE_MIN_OCC:
+                score = sum(
+                    (deg[w] * RAKE_MICRO) // freq[w] for w in p.split(" ")
+                )
+                expect[p] = (n_occ, score)
+        got = {
+            r["phrase"]: (r["n_occ"], r["score_micro"])
+            for r in QUERIES["text_rake_keywords"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect and expect
+
+    def test_no_stopwords_in_phrases(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import RAKE_STOPWORDS
+
+        rows = QUERIES["text_rake_keywords"].spark(spark, sf_dir).collect()
+        for r in rows:
+            assert not set(r["phrase"].split(" ")) & set(RAKE_STOPWORDS)
