@@ -380,6 +380,9 @@ _NEXT: list[str] = [
     "agg_mode_pack",
     "training_shard_snake",
     "text_rake_keywords",
+    "ml_roc_points",
+    "ml_kfold_assign",
+    "join_pit_feature_store",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -618,3 +618,213 @@ def text_rake_keywords(spark, sf_dir):
             "score_micro",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ROC curve points (exact integer confusion counts per threshold)
+# ---------------------------------------------------------------------------
+
+ROC_LABEL_SPLIT = 5  # label >= 5 is the positive class (the AUC split)
+ROC_MICRO = 1_000_000
+
+
+@query(
+    "ml_roc_points",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+               AS score,
+             CASE WHEN label >= {ROC_LABEL_SPLIT} THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    per_score AS (
+      SELECT score, COUNT(*) AS n, SUM(y) AS pos
+      FROM scored GROUP BY score
+    ),
+    tot AS (SELECT SUM(pos) AS p, SUM(n - pos) AS neg FROM per_score),
+    cum AS (
+      SELECT score,
+             SUM(pos) OVER w AS tp,
+             SUM(n - pos) OVER w AS fp
+      FROM per_score
+      WINDOW w AS (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT score AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(t.p - tp AS BIGINT) AS fn,
+           CAST(t.neg - fp AS BIGINT) AS tn,
+           CAST((tp * {ROC_MICRO}) // t.p AS BIGINT) AS tpr_micro,
+           CAST((fp * {ROC_MICRO}) // t.neg AS BIGINT) AS fpr_micro
+    FROM cum CROSS JOIN tot t
+    """,
+)
+def ml_roc_points(spark, sf_dir):
+    """ROC curve points — the full confusion matrix at EVERY distinct
+    score threshold (predict positive iff score ≥ t), as exact
+    integers: tp/fp/fn/tn plus micro-unit TPR/FPR by integer floor
+    division. The curve whose area ``ml_auc_rank_eval`` summarizes;
+    emitting the points is what model cards and threshold-picking
+    actually need. Same distributed recipe as the AUC: per-distinct-
+    score (count, positives) partials first (one partial-aggregating
+    groupBy — the only data-sized shuffle), then the cumulative
+    window runs over the BOUNDED distinct-score frame (≤ |quantized
+    score levels|, ~500 here), never over raw rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.element_at("embedding", 1).cast("double") * 1000)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("label") >= ROC_LABEL_SPLIT, 1).otherwise(0).alias("y"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot = per_score.agg(
+        F.sum("pos").alias("p"), F.sum(F.col("n") - F.col("pos")).alias("neg")
+    )
+    # bounded-by-construction: window over distinct quantized scores
+    w = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, 0)
+    cum = per_score.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("score").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("neg") - F.col("fp")).cast("long").alias("tn"),
+        F.expr(f"(tp * {ROC_MICRO}) div p").cast("long").alias("tpr_micro"),
+        F.expr(f"(fp * {ROC_MICRO}) div neg").cast("long").alias("fpr_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic k-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+@query(
+    "ml_kfold_assign",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT vec_id, label,
+             ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 10))::BIGINT
+               % {KFOLD_K} AS fold
+      FROM embeddings
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(vec_id) AS BIGINT) AS min_vec,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum
+    FROM assigned GROUP BY fold, label
+    """,
+)
+def ml_kfold_assign(spark, sf_dir):
+    """Deterministic k-fold cross-validation assignment: fold =
+    md5(id) mod K — reproducible across runs, engines, and cluster
+    sizes (a seeded PRNG is none of those), the same keyed-hash
+    recipe as ``sample_hash_split``'s train/test cut but emitting the
+    full K-fold partition with per-(fold, label) class-balance
+    counts (id-sum fingerprints pin the exact membership, not just
+    sizes). md5 uniformity makes every fold an unbiased class sample
+    — verified by the balance tolerance test. Plan: one projection +
+    one partial-aggregating groupBy; embarrassingly parallel."""
+    emb = t(spark, sf_dir, "embeddings")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 10), 16, 10)
+        .cast("long")
+        % KFOLD_K
+    )
+    return (
+        emb.select(
+            fold.alias("fold"), F.col("label").cast("long").alias("label"), "vec_id"
+        )
+        .groupBy("fold", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("vec_id").alias("min_vec"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (feature store) multi-feature join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_pit_feature_store",
+    oracle="""
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         clicks AS (
+           SELECT user_id, ts,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE event_type = 'click'
+         ),
+         views AS (
+           SELECT user_id, ts,
+                  CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+           FROM events WHERE event_type = 'view'
+         )
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS obs_ts,
+           COALESCE(c.v, -1) AS last_click_centi,
+           COALESCE(v.v, -1) AS last_view_centi
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND c.ts <= p.ts
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def join_pit_feature_store(spark, sf_dir):
+    """Point-in-time correct multi-feature join — the feature-store
+    backbone (Feast/Tecton materialization): for each observation
+    (purchase), the latest value of EACH feature stream (last click
+    value, last view value) as of the observation time, with no
+    future leakage. The oracle states it as two native DuckDB ASOF
+    joins; the engine computes BOTH features in ONE user-partitioned
+    window pass over the unioned stream — the ``join_asof`` plan
+    generalized: N feature columns cost one shuffle total, not one
+    as-of join (and one shuffle) per feature table. Feature rows
+    order before observations on equal ts via an explicit tag
+    (lexical event_type order would put 'view' after 'purchase').
+    Values are centi-quantized to integers; never-seen features
+    surface as -1. (user_id, event_type, ts) is unique in the
+    fixture, so tie values are well-defined."""
+    e = t(spark, sf_dir, "events")
+    stream = e.filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("v"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("obs"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "obs", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    last_of = lambda typ: F.last(  # noqa: E731
+        F.when(F.col("event_type") == typ, F.col("v")), ignorenulls=True
+    ).over(w)
+    return (
+        stream.withColumn("lc", last_of("click"))
+        .withColumn("lv", last_of("view"))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("obs_ts"),
+            F.coalesce("lc", F.lit(-1)).alias("last_click_centi"),
+            F.coalesce("lv", F.lit(-1)).alias("last_view_centi"),
+        )
+    )

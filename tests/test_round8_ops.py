@@ -297,3 +297,137 @@ class TestRakeKeywords:
         rows = QUERIES["text_rake_keywords"].spark(spark, sf_dir).collect()
         for r in rows:
             assert not set(r["phrase"].split(" ")) & set(RAKE_STOPWORDS)
+
+
+class TestRocPoints:
+    def test_numpy_replica_and_monotonicity(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            ROC_LABEL_SPLIT,
+            ROC_MICRO,
+        )
+
+        rows = _duck("SELECT embedding[1], label FROM embeddings", sf_dir)
+        scored = [
+            (round(float(e) * 1000), 1 if lab >= ROC_LABEL_SPLIT else 0)
+            for e, lab in rows
+        ]
+        p = sum(y for _, y in scored)
+        n = len(scored) - p
+        per = {}
+        for s, y in scored:
+            c = per.setdefault(s, [0, 0])
+            c[0] += 1
+            c[1] += y
+        expect = {}
+        tp = fp = 0
+        for s in sorted(per, reverse=True):
+            cnt, pos = per[s]
+            tp += pos
+            fp += cnt - pos
+            expect[s] = (
+                tp, fp, p - tp, n - fp,
+                (tp * ROC_MICRO) // p, (fp * ROC_MICRO) // n,
+            )
+        got = {
+            r["threshold"]: (
+                r["tp"], r["fp"], r["fn"], r["tn"],
+                r["tpr_micro"], r["fpr_micro"],
+            )
+            for r in QUERIES["ml_roc_points"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # curve sanity: monotone non-decreasing tp/fp as threshold drops
+        ts = sorted(got, reverse=True)
+        for a, b in zip(ts, ts[1:]):
+            assert got[b][0] >= got[a][0] and got[b][1] >= got[a][1]
+        last = got[ts[-1]]
+        assert last[0] == p and last[1] == n
+
+
+class TestKfoldAssign:
+    def test_partition_and_balance(self, spark, sf_dir):
+        import hashlib
+
+        from caliper_poc_data_etl_spark.queries.round8 import KFOLD_K
+
+        rows = _duck("SELECT vec_id, label FROM embeddings", sf_dir)
+        expect = {}
+        for vid, lab in rows:
+            fold = int(hashlib.md5(str(vid).encode()).hexdigest()[:10], 16) % KFOLD_K
+            key = (fold, lab)
+            st = expect.setdefault(key, [0, 10**18, 0])
+            st[0] += 1
+            st[1] = min(st[1], vid)
+            st[2] += vid
+        expect = {k: tuple(v) for k, v in expect.items()}
+        got = {
+            (r["fold"], r["label"]): (r["n"], r["min_vec"], r["id_sum"])
+            for r in QUERIES["ml_kfold_assign"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # folds partition the corpus and are usably balanced
+        totals = [0] * KFOLD_K
+        for (fold, _), (cnt, _, _) in got.items():
+            totals[fold] += cnt
+        assert sum(totals) == len(rows)
+        assert max(totals) <= 2 * min(totals)
+
+
+class TestPitFeatureStore:
+    def test_python_replica(self, spark, sf_dir):
+        import math
+
+        rows = _duck(
+            "SELECT user_id, ts, event_id, event_type, value FROM events",
+            sf_dir,
+        )
+        by_user = {}
+        for uid, ts, eid, et, val in rows:
+            by_user.setdefault(uid, []).append((ts, eid, et, val))
+        expect = {}
+        for uid, evs in by_user.items():
+            evs.sort()
+            lc = lv = -1
+            for ts, eid, et, val in evs:
+                v = math.floor(val * 100 + 0.5)
+                if et == "click":
+                    lc = v
+                elif et == "view":
+                    lv = v
+                elif et == "purchase":
+                    expect[eid] = (uid, lc, lv)
+        got = {
+            r["event_id"]: (
+                r["user_id"], r["last_click_centi"], r["last_view_centi"]
+            )
+            for r in QUERIES["join_pit_feature_store"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect and expect
+
+    def test_no_future_leakage(self, spark, sf_dir):
+        """A purchase occurring BEFORE any click/view for its user must
+        carry the -1 sentinel, never a later value."""
+        rows = _duck(
+            "SELECT user_id, ts, event_id, event_type FROM events "
+            "WHERE event_type IN ('purchase','click','view')",
+            sf_dir,
+        )
+        first_feat = {}
+        purchases = []
+        for uid, ts, eid, et in rows:
+            if et == "purchase":
+                purchases.append((uid, ts, eid))
+            else:
+                if uid not in first_feat or ts < first_feat[uid]:
+                    first_feat[uid] = ts
+        early = {
+            eid
+            for uid, ts, eid in purchases
+            if uid not in first_feat or ts < first_feat[uid]
+        }
+        got = {
+            r["event_id"]: (r["last_click_centi"], r["last_view_centi"])
+            for r in QUERIES["join_pit_feature_store"].spark(spark, sf_dir).collect()
+        }
+        for eid in early:
+            assert got[eid] == (-1, -1)

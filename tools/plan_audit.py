@@ -83,6 +83,8 @@ EXPECTED_NLJ.add("geo_nearest_poi")
 EXPECTED_NLJ.add("sim_mmr_select")
 # broadcast 1-row corpus token total for the lift denominator.
 EXPECTED_SCALAR_BNLJ.add("text_collocation_pmi")
+# broadcast 1-row (P, N) class totals for the fn/tn/rate columns.
+EXPECTED_SCALAR_BNLJ.add("ml_roc_points")
 # bounded-calendar daily series × broadcast 8-row lag table.
 EXPECTED_NLJ.add("ts_xcorr_lag_scan")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
