@@ -383,6 +383,10 @@ _NEXT: list[str] = [
     "ml_roc_points",
     "ml_kfold_assign",
     "join_pit_feature_store",
+    "window_rolling_slope",
+    "ml_ndcg_eval",
+    "ts_m4_downsample",
+    "dq_ab_srm_check",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

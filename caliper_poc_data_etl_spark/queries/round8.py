@@ -828,3 +828,416 @@ def join_pit_feature_store(spark, sf_dir):
             F.coalesce("lv", F.lit(-1)).alias("last_view_centi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling OLS slope (windowed regression as exact integer sums)
+# ---------------------------------------------------------------------------
+
+SLOPE_WIN = 7
+SLOPE_MICRO = 1_000_000
+
+
+@query(
+    "window_rolling_slope",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2, 3
+    ),
+    sums AS (
+      SELECT event_type, day,
+             COUNT(*) OVER w AS n,
+             SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+             SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {SLOPE_WIN - 1} PRECEDING AND CURRENT ROW)
+    ),
+    scaled AS (
+      SELECT event_type, day,
+             n * sxy - sx * sy AS num,
+             n * sxx - sx * sx AS den,
+             (n * sxy - sx * sy) * {SLOPE_MICRO} AS snum
+      FROM sums WHERE n = {SLOPE_WIN}
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(num AS BIGINT) AS slope_num,
+           CAST(den AS BIGINT) AS slope_den,
+           -- exact floor division: DuckDB // truncates on negatives
+           CAST((snum - ((snum % den + den) % den)) // den AS BIGINT)
+             AS slope_micro
+    FROM scaled
+    """,
+)
+def window_rolling_slope(spark, sf_dir):
+    """Rolling OLS slope — the trailing-7-day linear trend of each
+    event type's daily total, the windowed version of the
+    ``agg_regr_slope`` aggregate (monitoring dashboards run exactly
+    this: slope-over-trailing-window as the trend alarm). The closed
+    form (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) needs only frame SUMs, so
+    the plan is one daily partial aggregation then ONE window pass
+    computing four running sums together — no self-join, no per-frame
+    recompute. Everything stays BIGINT (days as integer x, values
+    centi-quantized); the quotient is emitted as the exact num/den
+    pair plus a FLOOR-division micro-slope (floor, not truncate:
+    slopes go negative and the engines' integer `div` semantics
+    differ — the (s − pmod)/n identity). Short leading frames are
+    excluded (n = 7), the textbook trailing-window rule."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("y")
+    ).select(
+        "event_type",
+        "day",
+        F.datediff("day", F.lit("2024-01-01")).cast("long").alias("x"),
+        "y",
+    )
+    # bounded-by-construction: per-type daily frame (|days| rows)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-(SLOPE_WIN - 1), 0)
+    )
+    sums = daily.select(
+        "event_type",
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    ).filter(F.col("n") == SLOPE_WIN)
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        # exact floor division (negative numerators): (s - pmod(s, n)) / n
+        F.expr(
+            f"(({SLOPE_MICRO} * (n * sxy - sx * sy)) "
+            f"- pmod({SLOPE_MICRO} * (n * sxy - sx * sy), n * sxx - sx * sx)) "
+            f"div (n * sxx - sx * sx)"
+        ).cast("long").alias("slope_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NDCG ranking evaluation (literal log2 discount weights — no libm)
+# ---------------------------------------------------------------------------
+
+NDCG_QUERIES = 10
+NDCG_K = 10
+
+
+def _ndcg_weights() -> list[int]:
+    import math
+
+    return [
+        int(1_000_000 // math.log2(i + 1)) for i in range(1, NDCG_K + 1)
+    ]
+
+
+def _ndcg_oracle() -> str:
+    ws = _ndcg_weights()
+    wlist = ", ".join(str(w) for w in ws)
+    return f"""
+    WITH qz AS MATERIALIZED (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM qz ORDER BY vec_id LIMIT {NDCG_QUERIES}),
+    scored AS (
+      SELECT q.vec_id AS q_vec, q.label AS q_label,
+             c.vec_id AS c_vec,
+             CASE WHEN c.label = q.label THEN 2
+                  WHEN abs(c.label - q.label) = 1 THEN 1
+                  ELSE 0 END AS rel,
+             CAST(list_dot_product(q.e, c.e) AS BIGINT) AS dot
+      FROM q JOIN qz c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY q_vec ORDER BY dot DESC, c_vec) AS rnk
+      FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rnk <= {NDCG_K}),
+    ideal AS (
+      SELECT q_vec, rel, ROW_NUMBER() OVER (
+               PARTITION BY q_vec ORDER BY rel DESC, c_vec) AS irnk
+      FROM topk
+    ),
+    dcg AS (
+      SELECT q_vec, SUM(rel * ([{wlist}])[rnk]) AS dcg
+      FROM topk GROUP BY q_vec
+    ),
+    idcg AS (
+      SELECT q_vec, SUM(rel * ([{wlist}])[irnk]) AS idcg
+      FROM ideal GROUP BY q_vec
+    )
+    SELECT d.q_vec, CAST(d.dcg AS BIGINT) AS dcg,
+           CAST(i.idcg AS BIGINT) AS idcg,
+           CAST(CASE WHEN i.idcg > 0
+                     THEN (d.dcg * 1000000) // i.idcg
+                     ELSE -1 END AS BIGINT) AS ndcg_micro
+    FROM dcg d JOIN idcg i USING (q_vec)
+    """
+
+
+@query("ml_ndcg_eval", oracle=_ndcg_oracle())
+def ml_ndcg_eval(spark, sf_dir):
+    """NDCG@10 ranking evaluation — the graded-relevance retrieval
+    metric next to ``ml_mrr_eval`` (first-hit) and ``ml_auc_rank_eval``
+    (pairwise): DCG discounts each hit by 1/log2(rank+1). The log2
+    discounts are SHARED LITERAL micro-unit constants (the
+    ``dq_benford_digits`` recipe) so no libm is evaluated in either
+    engine; relevance is graded from label distance (2 exact, 1
+    adjacent, 0 else); IDCG re-ranks the same retrieved multiset by
+    relevance (tie order among equal grades cannot change the sum).
+    Retrieval is the broadcast-query exact integer dot-product plan —
+    the corpus never shuffles; per-query ranking partitions by q_vec.
+    Everything integer end-to-end, NDCG as micro-units by floor
+    division."""
+    ws = _ndcg_weights()
+    emb = t(spark, sf_dir, "embeddings")
+    ze = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 1000).cast("long"),
+    )
+    z = emb.select("vec_id", "label", ze.alias("e"))
+    q = (
+        z.orderBy("vec_id")
+        .limit(NDCG_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_vec"),
+            F.col("label").alias("q_label"),
+            F.col("e").alias("q_e"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_e"), F.col("e"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    rel = (
+        F.when(F.col("label") == F.col("q_label"), 2)
+        .when(F.abs(F.col("label") - F.col("q_label")) == 1, 1)
+        .otherwise(0)
+    )
+    scored = (
+        z.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_vec"))
+        .select(
+            "q_vec",
+            F.col("vec_id").alias("c_vec"),
+            rel.alias("rel"),
+            dot.alias("dot"),
+        )
+    )
+    warr = F.array(*[F.lit(w) for w in ws])
+    topk = scored.withColumn(
+        "rnk",
+        F.row_number().over(
+            W.partitionBy("q_vec").orderBy(F.desc("dot"), "c_vec")
+        ),
+    ).filter(F.col("rnk") <= NDCG_K)
+    dcg = topk.groupBy("q_vec").agg(
+        F.sum(
+            F.col("rel") * F.element_at(warr, F.col("rnk").cast("int"))
+        ).alias("dcg")
+    )
+    ideal = topk.withColumn(
+        "irnk",
+        F.row_number().over(
+            W.partitionBy("q_vec").orderBy(F.desc("rel"), "c_vec")
+        ),
+    )
+    idcg = ideal.groupBy("q_vec").agg(
+        F.sum(
+            F.col("rel") * F.element_at(warr, F.col("irnk").cast("int"))
+        ).alias("idcg")
+    )
+    return dcg.join(idcg, "q_vec").select(
+        "q_vec",
+        F.col("dcg").cast("long").alias("dcg"),
+        F.col("idcg").cast("long").alias("idcg"),
+        F.when(
+            F.col("idcg") > 0,
+            F.expr("(dcg * 1000000) div idcg"),
+        )
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("ndcg_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 visualization downsampling (min/max/first/last per bucket)
+# ---------------------------------------------------------------------------
+
+_M4_KEY_SQL_SPARK = (
+    "lpad(CAST(unix_micros(ts) AS STRING), 20, '0') || "
+    "lpad(CAST(event_id AS STRING), 12, '0')"
+)
+_M4_KEY_SQL_DUCK = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+    "lpad(CAST(event_id AS VARCHAR), 12, '0')"
+)
+
+
+@query(
+    "ts_m4_downsample",
+    oracle=f"""
+    SELECT event_type,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           arg_min(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                   {_M4_KEY_SQL_DUCK}) AS first_centi,
+           arg_max(CAST(FLOOR(value * 100 + 0.5) AS BIGINT),
+                   {_M4_KEY_SQL_DUCK}) AS last_centi,
+           MIN(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS min_centi,
+           MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_centi
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_m4_downsample(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB'14) — the error-free line-
+    chart reduction: per (series, time bucket) keep exactly the
+    first, last, min, and max values, which provably preserves the
+    rendered pixel line while cutting points by orders of magnitude
+    (the companion to ``ts_lttb_downsample``'s perceptual variant —
+    M4 is exact per bucket, LTTB is global-shape). first/last are
+    argmin/argmax over a padded (epoch-micros, event_id) string key —
+    the ``agg_argminmax_pack`` recipe, making ties deterministic on
+    both engines. One partial-aggregating groupBy; each of the four
+    extremes partial-aggregates map-side, so the shuffle carries 4
+    scalars per bucket, not the raw series — at 100 TB this is the
+    difference between shipping points and shipping pixels."""
+    e = t(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    keyed = e.select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket"),
+        v.alias("v"),
+        F.expr(_M4_KEY_SQL_SPARK).alias("k"),
+    )
+    return keyed.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("min_by(v, k)").cast("long").alias("first_centi"),
+        F.expr("max_by(v, k)").cast("long").alias("last_centi"),
+        F.min("v").cast("long").alias("min_centi"),
+        F.max("v").cast("long").alias("max_centi"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B assignment + sample-ratio-mismatch (SRM) audit
+# ---------------------------------------------------------------------------
+
+SRM_CHI2_CRIT_MICRO = 3_841_459  # chi-square(1 df) 0.05 critical value
+
+
+@query(
+    "dq_ab_srm_check",
+    oracle=f"""
+    WITH exposed AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    assigned AS (
+      SELECT event_type, user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+                       ::BIGINT % 100 < 50
+                  THEN 1 ELSE 0 END AS is_a
+      FROM exposed
+    ),
+    scoped AS (
+      SELECT event_type AS scope, SUM(is_a) AS n_a,
+             SUM(1 - is_a) AS n_b
+      FROM assigned GROUP BY event_type
+      UNION ALL
+      SELECT 'all' AS scope, SUM(a), SUM(1 - a)
+      FROM (SELECT DISTINCT user_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                        1, 10))::BIGINT % 100 < 50 THEN 1 ELSE 0 END AS a
+            FROM events)
+    )
+    SELECT scope, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(((2*n_a - (n_a+n_b)) * (2*n_a - (n_a+n_b))
+                 + (2*n_b - (n_a+n_b)) * (2*n_b - (n_a+n_b)))
+                * 1000000 // (2 * (n_a + n_b)) AS BIGINT) AS chi2_micro,
+           ((2*n_a - (n_a+n_b)) * (2*n_a - (n_a+n_b))
+                 + (2*n_b - (n_a+n_b)) * (2*n_b - (n_a+n_b)))
+                * 1000000 // (2 * (n_a + n_b)) > {SRM_CHI2_CRIT_MICRO}
+             AS srm_flag
+    FROM scoped
+    """,
+)
+def dq_ab_srm_check(spark, sf_dir):
+    """A/B experiment assignment + sample-ratio-mismatch audit — the
+    first gate every experimentation platform runs: units are
+    deterministically bucketed (md5 mod 100, 50/50 split — the
+    ``ml_kfold_assign`` keyed-hash recipe), then the OBSERVED exposed
+    populations per scope (each event type, plus overall) are tested
+    against the designed ratio with a chi-square statistic carried as
+    an exact integer micro-unit rational ((2a−t)² + (2b−t)²)/(2t) —
+    no libm; the 0.05 critical value is a shared literal. An SRM flag
+    on any scope means exposure is biased (logging loss, bot
+    filtering, trigger asymmetry) and the experiment's readout is
+    invalid. Plan: one distinct-projection, one groupBy per scope
+    branch — integer end-to-end."""
+    e = t(spark, sf_dir, "events")
+    is_a = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 10), 16, 10)
+        .cast("long")
+        % 100
+        < 50
+    ).cast("int")
+    per_type = (
+        e.select("event_type", "user_id")
+        .distinct()
+        .select(F.col("event_type").alias("scope"), is_a.alias("is_a"))
+        .groupBy("scope")
+        .agg(
+            F.sum("is_a").alias("n_a"),
+            F.sum(1 - F.col("is_a")).alias("n_b"),
+        )
+    )
+    overall = (
+        e.select("user_id")
+        .distinct()
+        .select(F.lit("all").alias("scope"), is_a.alias("is_a"))
+        .groupBy("scope")
+        .agg(
+            F.sum("is_a").alias("n_a"),
+            F.sum(1 - F.col("is_a")).alias("n_b"),
+        )
+    )
+    chi2 = F.expr(
+        "((2*n_a - (n_a+n_b)) * (2*n_a - (n_a+n_b))"
+        " + (2*n_b - (n_a+n_b)) * (2*n_b - (n_a+n_b)))"
+        " * 1000000 div (2 * (n_a + n_b))"
+    )
+    return (
+        per_type.unionByName(overall)
+        .select(
+            "scope",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            chi2.cast("long").alias("chi2_micro"),
+            (chi2 > SRM_CHI2_CRIT_MICRO).alias("srm_flag"),
+        )
+    )

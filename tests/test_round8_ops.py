@@ -431,3 +431,167 @@ class TestPitFeatureStore:
         }
         for eid in early:
             assert got[eid] == (-1, -1)
+
+
+class TestRollingSlope:
+    def test_numpy_replica(self, spark, sf_dir):
+        import datetime
+        import math
+
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            SLOPE_MICRO,
+            SLOPE_WIN,
+        )
+
+        rows = _duck(
+            "SELECT event_type, CAST(ts AS DATE), value FROM events", sf_dir
+        )
+        daily = {}
+        anchor = datetime.date(2024, 1, 1)
+        for et, d, v in rows:
+            key = (et, d)
+            daily[key] = daily.get(key, 0) + math.floor(v * 100 + 0.5)
+        by_type = {}
+        for (et, d), y in daily.items():
+            by_type.setdefault(et, []).append(((d - anchor).days, d, y))
+        expect = {}
+        for et, pts in by_type.items():
+            pts.sort()
+            for i in range(SLOPE_WIN - 1, len(pts)):
+                frame = pts[i - SLOPE_WIN + 1 : i + 1]
+                n = len(frame)
+                sx = sum(x for x, _, _ in frame)
+                sy = sum(y for _, _, y in frame)
+                sxy = sum(x * y for x, _, y in frame)
+                sxx = sum(x * x for x, _, _ in frame)
+                num, den = n * sxy - sx * sy, n * sxx - sx * sx
+                expect[(et, pts[i][1].isoformat())] = (
+                    num, den, (num * SLOPE_MICRO) // den,  # python // floors
+                )
+        got = {
+            (r["event_type"], r["day"]): (
+                r["slope_num"], r["slope_den"], r["slope_micro"]
+            )
+            for r in QUERIES["window_rolling_slope"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect and expect
+        # slopes must discriminate (both signs appear across the month)
+        assert any(v[0] > 0 for v in got.values())
+        assert any(v[0] < 0 for v in got.values())
+
+
+class TestNdcgEval:
+    def test_numpy_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            NDCG_K,
+            NDCG_QUERIES,
+            _ndcg_weights,
+        )
+
+        ws = _ndcg_weights()
+        rows = _duck(
+            "SELECT vec_id, label, embedding FROM embeddings ORDER BY vec_id",
+            sf_dir,
+        )
+        z = {
+            vid: (lab, np.array([round(float(x) * 1000) for x in e],
+                                dtype=np.int64))
+            for vid, lab, e in rows
+        }
+        qids = [vid for vid, _, _ in rows[:NDCG_QUERIES]]
+        expect = {}
+        for q in qids:
+            ql, qe = z[q]
+            scored = sorted(
+                (
+                    (-int(qe @ ce), cid,
+                     2 if cl == ql else (1 if abs(cl - ql) == 1 else 0))
+                    for cid, (cl, ce) in z.items()
+                    if cid != q
+                ),
+            )[:NDCG_K]
+            rels = [r for _, _, r in scored]
+            dcg = sum(r * ws[i] for i, r in enumerate(rels))
+            idcg = sum(r * ws[i] for i, r in enumerate(sorted(rels, reverse=True)))
+            ndcg = (dcg * 1_000_000) // idcg if idcg > 0 else -1
+            expect[q] = (dcg, idcg, ndcg)
+        got = {
+            r["q_vec"]: (r["dcg"], r["idcg"], r["ndcg_micro"])
+            for r in QUERIES["ml_ndcg_eval"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # NDCG is a [0,1] ratio and the retrieval is non-degenerate
+        assert all(v[2] == -1 or 0 <= v[2] <= 1_000_000 for v in got.values())
+        assert any(v[2] > 0 for v in got.values())
+
+
+class TestM4Downsample:
+    def test_python_replica(self, spark, sf_dir):
+        import math
+
+        rows = _duck(
+            "SELECT event_type, ts, event_id, value FROM events", sf_dir
+        )
+        groups = {}
+        for et, ts, eid, v in rows:
+            bucket = ts.replace(minute=0, second=0, microsecond=0)
+            cv = math.floor(v * 100 + 0.5)
+            key = (et, bucket.strftime("%Y-%m-%d %H:%M:%S"))
+            g = groups.setdefault(key, [])
+            g.append((ts, eid, cv))
+        expect = {}
+        for key, g in groups.items():
+            g.sort()
+            vals = [cv for _, _, cv in g]
+            expect[key] = (len(g), g[0][2], g[-1][2], min(vals), max(vals))
+        got = {
+            (r["event_type"], r["bucket"]): (
+                r["n"], r["first_centi"], r["last_centi"],
+                r["min_centi"], r["max_centi"],
+            )
+            for r in QUERIES["ts_m4_downsample"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect and expect
+
+
+class TestAbSrmCheck:
+    def test_python_replica(self, spark, sf_dir):
+        import hashlib
+
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            SRM_CHI2_CRIT_MICRO,
+        )
+
+        rows = _duck("SELECT DISTINCT event_type, user_id FROM events", sf_dir)
+        users = {u for _, u in rows}
+
+        def is_a(u):
+            return int(hashlib.md5(str(u).encode()).hexdigest()[:10], 16) % 100 < 50
+
+        scopes = {}
+        for et, u in rows:
+            a, b = scopes.setdefault(et, [0, 0])
+            if is_a(u):
+                scopes[et][0] += 1
+            else:
+                scopes[et][1] += 1
+        scopes["all"] = [
+            sum(1 for u in users if is_a(u)),
+            sum(1 for u in users if not is_a(u)),
+        ]
+        expect = {}
+        for sc, (a, b) in scopes.items():
+            tn = a + b
+            chi2 = (((2 * a - tn) ** 2 + (2 * b - tn) ** 2) * 1_000_000) // (2 * tn)
+            expect[sc] = (a, b, chi2, chi2 > SRM_CHI2_CRIT_MICRO)
+        got = {
+            r["scope"]: (r["n_a"], r["n_b"], r["chi2_micro"], r["srm_flag"])
+            for r in QUERIES["dq_ab_srm_check"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+    def test_balanced_assignment_passes(self, spark, sf_dir):
+        """md5 bucketing at these populations must NOT trip SRM — a
+        tripped flag would mean the hash itself is biased."""
+        rows = QUERIES["dq_ab_srm_check"].spark(spark, sf_dir).collect()
+        assert rows and not any(r["srm_flag"] for r in rows)

@@ -74,6 +74,7 @@ EXPECTED_NLJ.add("sim_ivfpq_topk")
 EXPECTED_NLJ.add("decontam_exact_substring")
 # corpus × broadcast 10-query probe set (the sim_cosine_topk posture).
 EXPECTED_NLJ.add("ml_mrr_eval")
+EXPECTED_NLJ.add("ml_ndcg_eval")
 EXPECTED_NLJ.add("sim_hard_negative_mining")
 # points × broadcast dimension-sized POI catalog (argmin over 100 POIs);
 # the grid-pruned variant is geo_grid_point_in_box.
