@@ -387,6 +387,10 @@ _NEXT: list[str] = [
     "ml_ndcg_eval",
     "ts_m4_downsample",
     "dq_ab_srm_check",
+    "join_interval_overlap",
+    "ml_lift_gain_deciles",
+    "scan_gzip_nonsplittable",
+    "ml_f1_threshold_pick",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1241,3 +1241,352 @@ def dq_ab_srm_check(spark, sf_dir):
             (chi2 > SRM_CHI2_CRIT_MICRO).alias("srm_flag"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join (bucketed, not the naive theta join)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(o_orderdate AS DATE) AS s,
+             CAST(o_orderdate AS DATE)
+               + INTERVAL ((o_orderkey % 7) + 1) DAY AS e
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+    )
+    SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key,
+           CAST(date_diff('day',
+                greatest(a.s, b.s), least(a.e, b.e)) AS BIGINT)
+             AS overlap_days
+    FROM iv a JOIN iv b
+      ON a.o_custkey % 2 = 0 AND b.o_custkey % 2 = 1
+     AND a.s < b.e AND b.s < a.e
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap join — find all (A, B) interval pairs that
+    intersect, with exact overlap length (the genomics/BEDtools and
+    booking-collision shape; ``join_interval_bucketed`` is its
+    point-in-interval little sibling). Intervals are half-open order
+    windows [orderdate, orderdate + 1..7 days); the oracle states the
+    naive theta join (a.s < b.e AND b.s < a.e). The engine's plan is
+    the bucketed rewrite: each interval explodes to its covered DAY
+    buckets (≤ 7, bounded by the max interval length), pairs meet in
+    an equi-join on the bucket, the exact predicate re-filters, and a
+    distinct collapses multi-bucket duplicates — Σ per-bucket
+    products, never |A|×|B|. At 100 TB bucket granularity is tuned to
+    the median interval length exactly like the 1-hour buckets of
+    ``join_interval_bucketed``; long intervals explode to more
+    buckets, never to a cross product."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    iv = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("o_orderdate").cast("date"),
+            (F.col("o_orderkey") % 7 + 1).cast("int"),
+        ).alias("e"),
+    )
+    buckets = iv.select(
+        "o_orderkey",
+        "o_custkey",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(F.lit(0), F.datediff("e", "s") - 1)
+        ).alias("off"),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "s",
+        "e",
+        F.date_add("s", F.col("off").cast("int")).alias("day"),
+    )
+    a = (
+        buckets.filter(F.col("o_custkey") % 2 == 0)
+        .select(
+            F.col("o_orderkey").alias("a_key"),
+            F.col("s").alias("a_s"),
+            F.col("e").alias("a_e"),
+            "day",
+        )
+    )
+    b = (
+        buckets.filter(F.col("o_custkey") % 2 == 1)
+        .select(
+            F.col("o_orderkey").alias("b_key"),
+            F.col("s").alias("b_s"),
+            F.col("e").alias("b_e"),
+            "day",
+        )
+    )
+    return (
+        a.join(b, "day")
+        .filter((F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .select(
+            "a_key",
+            "b_key",
+            F.datediff(
+                F.least("a_e", "b_e"), F.greatest("a_s", "b_s")
+            ).cast("long").alias("overlap_days"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lift / gain decile table (ties-deterministic)
+# ---------------------------------------------------------------------------
+
+LIFT_MICRO = 1_000_000
+
+
+@query(
+    "ml_lift_gain_deciles",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+               AS score,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    per_score AS (
+      SELECT score, COUNT(*) AS n, SUM(y) AS pos
+      FROM scored GROUP BY score
+    ),
+    tot AS (SELECT SUM(n) AS nt, SUM(pos) AS pt FROM per_score),
+    cum AS (
+      SELECT score, n, pos,
+             SUM(n) OVER (ORDER BY score DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM per_score
+    ),
+    binned AS (
+      SELECT (10 * (cw - 1)) // t.nt AS decile, n, pos
+      FROM cum CROSS JOIN tot t
+    ),
+    d AS (
+      SELECT decile, SUM(n) AS n, SUM(pos) AS pos
+      FROM binned GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS pos,
+           CAST(SUM(pos) OVER wc AS BIGINT) AS cum_pos,
+           CAST((SUM(pos) OVER wc * t.nt * {LIFT_MICRO})
+                // (SUM(n) OVER wc * t.pt) AS BIGINT) AS lift_micro
+    FROM d CROSS JOIN tot t
+    WINDOW wc AS (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def ml_lift_gain_deciles(spark, sf_dir):
+    """Cumulative gains / lift table by score decile — the campaign-
+    targeting readout next to ``ml_roc_points`` (thresholds) and
+    ``ml_auc_rank_eval`` (pairwise): lift(d) = precision-so-far ÷ base
+    rate after taking the top d/10 of the population by score.
+    NTILE over raw rows splits tied scores arbitrarily (non-
+    deterministic across engines AND runs), so the DECLARED tie rule
+    is: a whole tied-score level lands in the decile of its last row
+    index ((10·(cum−1)) div N) — deciles may be slightly uneven,
+    deterministic always. Plan: per-score partials, then every window
+    runs over the bounded distinct-score / 10-decile frames; lift is
+    an exact integer micro rational (cum_pos·N)/(cum_n·P)."""
+    emb = t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.element_at("embedding", 1).cast("double") * 1000)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("label") >= 5, 1).otherwise(0).alias("y"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot = per_score.agg(
+        F.sum("n").alias("nt"), F.sum("pos").alias("pt")
+    )
+    # bounded-by-construction: windows over distinct scores / deciles
+    w_cum = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, 0)
+    cum = per_score.select(
+        "score", "n", "pos", F.sum("n").over(w_cum).alias("cw")
+    )
+    binned = cum.crossJoin(F.broadcast(tot)).select(
+        F.expr("(10 * (cw - 1)) div nt").alias("decile"), "n", "pos"
+    )
+    d = binned.groupBy("decile").agg(
+        F.sum("n").alias("n"), F.sum("pos").alias("pos")
+    )
+    w_d = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("pos"),
+        F.sum("pos").over(w_d).cast("long").alias("cum_pos"),
+        F.expr(
+            f"(sum(pos) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW) * nt * {LIFT_MICRO}) div "
+            f"(sum(n) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW) * pt)"
+        ).cast("long").alias("lift_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gzip (non-splittable) compressed source scan
+# ---------------------------------------------------------------------------
+
+_GZ_CACHE: dict[str, str] = {}
+GZ_DOCS = 300
+
+
+@query(
+    "scan_gzip_nonsplittable",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars,
+           string_split(text, ' ')[1] AS first_word
+    FROM documents WHERE doc_id < {GZ_DOCS}
+    """,
+)
+def scan_gzip_nonsplittable(spark, sf_dir):
+    """Gzip-compressed JSONL ingestion — the 100 TB pitfall made
+    explicit: gzip is NOT splittable, so ONE .gz file = ONE task no
+    matter its size (the partition count is pinned to 1 in pytest —
+    the whole point of the operator). The correct large-scale layout
+    is many ~100 MB-1 GB .gz files (parallelism = file count), or a
+    splittable codec (zstd-seekable, bzip2) or format (parquet)
+    when re-compression is an option. Values round-trip exactly
+    through the codec; the graded projection matches the source
+    table. Companion to ``scan_jsonl_nested`` (plain JSONL is
+    byte-range splittable) and ``scan_csv_multiline_quoted``
+    (record framing forces whole-file reads)."""
+    cache_key = f"{sf_dir}:gz"
+    if cache_key not in _GZ_CACHE:
+        import gzip
+        import json
+        import os
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="scan_gz_")
+        rows = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < GZ_DOCS)
+            .select("doc_id", "text", "lang", "n_chars")
+            .collect()
+        )
+        with gzip.open(os.path.join(out, "docs.jsonl.gz"), "wt") as f:
+            for r in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "doc_id": r["doc_id"],
+                            "text": r["text"],
+                            "lang": r["lang"],
+                            "n_chars": r["n_chars"],
+                        }
+                    )
+                    + "\n"
+                )
+        _GZ_CACHE[cache_key] = out
+    df = spark.read.json(_GZ_CACHE[cache_key])
+    return df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.element_at(F.split(F.col("text"), " "), 1).alias("first_word"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Best-F1 threshold pick (composition over the ROC partials)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_f1_threshold_pick",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+               AS score,
+             CASE WHEN label >= {ROC_LABEL_SPLIT} THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    per_score AS (
+      SELECT score, COUNT(*) AS n, SUM(y) AS pos
+      FROM scored GROUP BY score
+    ),
+    tot AS (SELECT SUM(pos) AS p FROM per_score),
+    cum AS (
+      SELECT score,
+             SUM(pos) OVER w AS tp,
+             SUM(n - pos) OVER w AS fp
+      FROM per_score
+      WINDOW w AS (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT score AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(t.p - tp AS BIGINT) AS fn,
+           CAST((2 * tp * {LIFT_MICRO}) // (2 * tp + fp + (t.p - tp))
+                AS BIGINT) AS f1_micro
+    FROM cum CROSS JOIN tot t
+    ORDER BY CAST(2 * tp AS DOUBLE) / (2 * tp + fp + (t.p - tp)) DESC,
+             score
+    LIMIT 1
+    """,
+)
+def ml_f1_threshold_pick(spark, sf_dir):
+    """Best-F1 operating point — the threshold a deployed binary
+    classifier actually ships with, picked by sweeping every distinct
+    score (the ``ml_roc_points`` partials reused as a composition):
+    F1(t) = 2·tp/(2·tp+fp+fn). Ordering divides the exact integer
+    counts as IEEE doubles — both engines round the identical
+    quotient identically, and exact rational ties fall to the
+    threshold tiebreak — while the EMITTED F1 is the floor-micro
+    integer. The argmax is a 1-row TakeOrdered over the bounded
+    distinct-score frame, not a sort of raw rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.element_at("embedding", 1).cast("double") * 1000)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("label") >= ROC_LABEL_SPLIT, 1).otherwise(0).alias("y"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot = per_score.agg(F.sum("pos").alias("p"))
+    # bounded-by-construction: window over distinct quantized scores
+    w = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, 0)
+    cum = per_score.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("score").alias("threshold"),
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+            F.expr(
+                f"(2 * tp * {LIFT_MICRO}) div (2 * tp + fp + (p - tp))"
+            ).cast("long").alias("f1_micro"),
+            (
+                (2 * F.col("tp")).cast("double")
+                / (2 * F.col("tp") + F.col("fp") + (F.col("p") - F.col("tp")))
+            ).alias("_f1"),
+        )
+        .orderBy(F.desc("_f1"), "threshold")
+        .limit(1)
+        .drop("_f1")
+    )

@@ -595,3 +595,144 @@ class TestAbSrmCheck:
         tripped flag would mean the hash itself is biased."""
         rows = QUERIES["dq_ab_srm_check"].spark(spark, sf_dir).collect()
         assert rows and not any(r["srm_flag"] for r in rows)
+
+
+class TestIntervalOverlap:
+    def test_theta_replica_and_plan(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-01-01'",
+            sf_dir,
+        )
+        import datetime
+
+        iv = [
+            (k, c, d, d + datetime.timedelta(days=(k % 7) + 1))
+            for k, c, d in rows
+        ]
+        expect = set()
+        for ak, ac, as_, ae in iv:
+            if ac % 2 != 0:
+                continue
+            for bk, bc, bs, be in iv:
+                if bc % 2 != 1:
+                    continue
+                if as_ < be and bs < ae:
+                    expect.add(
+                        (ak, bk, (min(ae, be) - max(as_, bs)).days)
+                    )
+        df = QUERIES["join_interval_overlap"].spark(spark, sf_dir)
+        got = {
+            (r["a_key"], r["b_key"], r["overlap_days"]) for r in df.collect()
+        }
+        assert got == expect and expect
+        # the executed plan must be the bucketed equi-join, not a
+        # nested loop over |A|x|B|
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_overlap_positive(self, spark, sf_dir):
+        rows = QUERIES["join_interval_overlap"].spark(spark, sf_dir).collect()
+        assert all(1 <= r["overlap_days"] <= 7 for r in rows)
+
+
+class TestLiftGainDeciles:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import LIFT_MICRO
+
+        rows = _duck("SELECT embedding[1], label FROM embeddings", sf_dir)
+        per = {}
+        for e, lab in rows:
+            s = round(float(e) * 1000)
+            y = 1 if lab >= 5 else 0
+            c = per.setdefault(s, [0, 0])
+            c[0] += 1
+            c[1] += y
+        nt = sum(c[0] for c in per.values())
+        pt = sum(c[1] for c in per.values())
+        dec = {}
+        cw = 0
+        for s in sorted(per, reverse=True):
+            n, pos = per[s]
+            cw += n
+            d = (10 * (cw - 1)) // nt
+            c = dec.setdefault(d, [0, 0])
+            c[0] += n
+            c[1] += pos
+        expect = {}
+        cn = cp = 0
+        for d in sorted(dec):
+            n, pos = dec[d]
+            cn += n
+            cp += pos
+            expect[d] = (n, pos, cp, (cp * nt * LIFT_MICRO) // (cn * pt))
+        got = {
+            r["decile"]: (r["n"], r["pos"], r["cum_pos"], r["lift_micro"])
+            for r in QUERIES["ml_lift_gain_deciles"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # gains make sense: last decile's lift is exactly the base rate
+        # (cumulative over everything), and the deciles discriminate
+        # (synthetic embedding[1] carries no guaranteed signal, so the
+        # top decile may sit on either side of 1.0)
+        last = max(got)
+        assert got[last][3] == LIFT_MICRO
+        assert len({v[3] for v in got.values()}) > 1
+
+
+class TestGzipScan:
+    def test_single_partition_and_roundtrip(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import GZ_DOCS
+
+        df = QUERIES["scan_gzip_nonsplittable"].spark(spark, sf_dir)
+        # gzip is not splittable: one file -> ONE input partition
+        assert df.rdd.getNumPartitions() == 1
+        expect = {
+            r[0]: (r[1], r[2], r[3].split(" ")[0])
+            for r in _duck(
+                f"SELECT doc_id, lang, n_chars, text FROM documents "
+                f"WHERE doc_id < {GZ_DOCS}",
+                sf_dir,
+            )
+        }
+        got = {
+            r["doc_id"]: (r["lang"], r["n_chars"], r["first_word"])
+            for r in df.collect()
+        }
+        assert got == expect
+
+
+class TestF1ThresholdPick:
+    def test_exhaustive_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            LIFT_MICRO,
+            ROC_LABEL_SPLIT,
+        )
+
+        rows = _duck("SELECT embedding[1], label FROM embeddings", sf_dir)
+        per = {}
+        for e, lab in rows:
+            s = round(float(e) * 1000)
+            y = 1 if lab >= ROC_LABEL_SPLIT else 0
+            c = per.setdefault(s, [0, 0])
+            c[0] += 1
+            c[1] += y
+        p = sum(c[1] for c in per.values())
+        best = None
+        tp = fp = 0
+        for s in sorted(per, reverse=True):
+            n, pos = per[s]
+            tp += pos
+            fp += n - pos
+            fn = p - tp
+            f1 = (2 * tp) / (2 * tp + fp + fn)
+            key = (-f1, s)
+            if best is None or key < best[0]:
+                best = (key, s, tp, fp, fn,
+                        (2 * tp * LIFT_MICRO) // (2 * tp + fp + fn))
+        [r] = QUERIES["ml_f1_threshold_pick"].spark(spark, sf_dir).collect()
+        assert (
+            r["threshold"], r["tp"], r["fp"], r["fn"], r["f1_micro"]
+        ) == best[1:]

@@ -86,6 +86,9 @@ EXPECTED_NLJ.add("sim_mmr_select")
 EXPECTED_SCALAR_BNLJ.add("text_collocation_pmi")
 # broadcast 1-row (P, N) class totals for the fn/tn/rate columns.
 EXPECTED_SCALAR_BNLJ.add("ml_roc_points")
+# same broadcast 1-row class-total scalars as ml_roc_points.
+EXPECTED_SCALAR_BNLJ.add("ml_lift_gain_deciles")
+EXPECTED_SCALAR_BNLJ.add("ml_f1_threshold_pick")
 # bounded-calendar daily series × broadcast 8-row lag table.
 EXPECTED_NLJ.add("ts_xcorr_lag_scan")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
