@@ -81,6 +81,9 @@ HEADLINE = [
     "decontam_bloom_ngram",      # broadcast-Bloom decontamination
     "text_winnowing_fingerprint",  # MOSS winnowing (char-gram explode + window)
     "er_phonetic_cluster_cc",    # soundex block -> verify -> fixed-round CC
+    # round-6 queue flagships, second wave (same new-keys convention):
+    "join_pit_feature_store",    # multi-feature PIT join (one window pass)
+    "join_interval_overlap",     # bucketed interval-intersection join
 ]
 
 

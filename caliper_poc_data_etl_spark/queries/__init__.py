@@ -391,6 +391,8 @@ _NEXT: list[str] = [
     "ml_lift_gain_deciles",
     "scan_gzip_nonsplittable",
     "ml_f1_threshold_pick",
+    "window_touch_attribution",
+    "graph_hits_scores",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

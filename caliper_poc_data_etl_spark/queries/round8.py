@@ -1590,3 +1590,214 @@ def ml_f1_threshold_pick(spark, sf_dir):
         .limit(1)
         .drop("_f1")
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing touch attribution (first-touch / last-touch credits)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_touch_attribution",
+    oracle="""
+    WITH stream AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS tag
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    touched AS (
+      SELECT event_type, user_id,
+             FIRST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                              THEN event_type END IGNORE NULLS) OVER w
+               AS first_touch,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click')
+                             THEN event_type END IGNORE NULLS) OVER w
+               AS last_touch
+      FROM stream
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, tag, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    p AS (SELECT * FROM touched WHERE event_type = 'purchase')
+    SELECT 'first_touch' AS model,
+           COALESCE(first_touch, 'none') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS credits
+    FROM p GROUP BY 2
+    UNION ALL
+    SELECT 'last_touch' AS model,
+           COALESCE(last_touch, 'none') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS credits
+    FROM p GROUP BY 2
+    """,
+)
+def window_touch_attribution(spark, sf_dir):
+    """Marketing touch attribution — credit each conversion
+    (purchase) to the user's FIRST and LAST preceding marketing touch
+    (view/click), the two bookend models every attribution system
+    ships first. Same single-pass shape as ``join_pit_feature_store``:
+    both touch columns resolve in ONE user-partitioned window over
+    the unioned stream (IGNORE NULLS first/last), so adding models
+    costs columns, not shuffles; conversions with no prior touch
+    credit the 'none' channel (the unattributable bucket every real
+    report needs). Touch rows order before conversions on equal ts
+    via an explicit tag. Output: credits per (model, channel) —
+    two tiny aggregations over the filtered conversions."""
+    e = t(spark, sf_dir, "events")
+    stream = e.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("tag"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    p = (
+        stream.withColumn(
+            "first_touch", F.first(touch, ignorenulls=True).over(w)
+        )
+        .withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    first = p.groupBy(
+        F.coalesce("first_touch", F.lit("none")).alias("channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("credits")).select(
+        F.lit("first_touch").alias("model"), "channel", "credits"
+    )
+    last = p.groupBy(
+        F.coalesce("last_touch", F.lit("none")).alias("channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("credits")).select(
+        F.lit("last_touch").alias("model"), "channel", "credits"
+    )
+    return first.unionByName(last)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (fixed-round, integer max-normalized)
+# ---------------------------------------------------------------------------
+
+HITS_ROUNDS = 2
+HITS_SCALE = 1_000_000
+
+
+def _hits_oracle() -> str:
+    from caliper_poc_data_etl_spark.queries.round6 import _LP_GEN
+
+    gens = "\n      UNION ALL\n".join(
+        f"""      SELECT id AS src, (id * {a} + {b}) % n AS dst
+      FROM nodes, nn""" for a, b in _LP_GEN
+    )
+    head = f"""
+    WITH nodes AS (SELECT vec_id AS id FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+{gens}
+      ) WHERE src <> dst
+    ),
+    h0 AS (SELECT id AS node, {HITS_SCALE} AS v FROM nodes)"""
+    steps = []
+    for r in range(1, HITS_ROUNDS + 1):
+        steps.append(f"""ag{r} AS (
+      SELECT e.dst AS node, SUM(h.v) AS v
+      FROM edges e JOIN h{r-1} h ON h.node = e.src GROUP BY e.dst
+    ),
+    ar{r} AS MATERIALIZED (
+      SELECT n.id AS node, COALESCE(g.v, 0) AS v
+      FROM nodes n LEFT JOIN ag{r} g ON g.node = n.id
+    ),
+    a{r} AS MATERIALIZED (
+      SELECT node, v * {HITS_SCALE} // (SELECT MAX(v) FROM ar{r}) AS v
+      FROM ar{r}
+    ),
+    hg{r} AS (
+      SELECT e.src AS node, SUM(a.v) AS v
+      FROM edges e JOIN a{r} a ON a.node = e.dst GROUP BY e.src
+    ),
+    hr{r} AS MATERIALIZED (
+      SELECT n.id AS node, COALESCE(g.v, 0) AS v
+      FROM nodes n LEFT JOIN hg{r} g ON g.node = n.id
+    ),
+    h{r} AS MATERIALIZED (
+      SELECT node, v * {HITS_SCALE} // (SELECT MAX(v) FROM hr{r}) AS v
+      FROM hr{r}
+    )""")
+    tail = f"""
+    SELECT h.node AS vec_id, CAST(h.v AS BIGINT) AS hub_micro,
+           CAST(a.v AS BIGINT) AS auth_micro
+    FROM h{HITS_ROUNDS} h JOIN a{HITS_ROUNDS} a USING (node)"""
+    return head + ",\n    " + ",\n    ".join(steps) + tail
+
+
+@query("graph_hits_scores", oracle=_hits_oracle())
+def graph_hits_scores(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg, JACM'99) over the directed
+    affine graph — the bipartite-influence companion to
+    ``graph_pagerank`` (pointing at good pages vs being one): 2 fixed
+    rounds of authority = Σ in-neighbor hubs, hub = Σ out-neighbor
+    authorities. The usual L2 normalization needs sqrt (libm); for
+    rank purposes ANY positive rescale preserves HITS order, so each
+    half-round max-normalizes to integer micro-units (x·1e6 div max)
+    — bit-exact cross-engine, the 10th iterative operator. Plan per
+    half-round: one hash join of the score vector against the
+    checkpointed edge list + one partial-aggregating groupBy + a
+    1-row max scalar as a broadcast plan node (never a driver
+    collect) — the Pregel message/combine shape at |V| rows."""
+    from caliper_poc_data_etl_spark.queries.round6 import _LP_GEN
+
+    emb = t(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    gen = None
+    for a_c, b_c in _LP_GEN:
+        g = nodes.crossJoin(F.broadcast(n_df)).select(
+            F.col("node").alias("src"),
+            ((F.col("node") * a_c + b_c) % F.col("n")).alias("dst"),
+        )
+        gen = g if gen is None else gen.unionByName(g)
+    edges = (
+        gen.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _norm(df):
+        m = df.agg(F.max("v").alias("m"))
+        return df.crossJoin(F.broadcast(m)).select(
+            "node", F.expr(f"v * {HITS_SCALE} div m").alias("v")
+        )
+
+    h = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("v"))
+    a = None
+    for _ in range(HITS_ROUNDS):
+        a_raw = (
+            edges.join(h.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("v").alias("v"))
+        )
+        a = _norm(
+            nodes.join(a_raw, "node", "left").select(
+                "node", F.coalesce("v", F.lit(0)).alias("v")
+            )
+        ).localCheckpoint(eager=True)
+        h_raw = (
+            edges.join(a.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("v").alias("v"))
+        )
+        h = _norm(
+            nodes.join(h_raw, "node", "left").select(
+                "node", F.coalesce("v", F.lit(0)).alias("v")
+            )
+        ).localCheckpoint(eager=True)
+    return h.select(F.col("node").alias("vec_id"), F.col("v").alias("hub_micro")).join(
+        a.select(F.col("node").alias("vec_id"), F.col("v").alias("auth_micro")),
+        "vec_id",
+    )

@@ -736,3 +736,79 @@ class TestF1ThresholdPick:
         assert (
             r["threshold"], r["tp"], r["fp"], r["fn"], r["f1_micro"]
         ) == best[1:]
+
+
+class TestTouchAttribution:
+    def test_python_replica(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT user_id, ts, event_id, event_type FROM events "
+            "WHERE event_type IN ('view','click','purchase')",
+            sf_dir,
+        )
+        by_user = {}
+        for uid, ts, eid, et in rows:
+            tag = 1 if et == "purchase" else 0
+            by_user.setdefault(uid, []).append((ts, tag, eid, et))
+        credits = {}
+        for uid, evs in by_user.items():
+            evs.sort()
+            first = last = None
+            for ts, tag, eid, et in evs:
+                if et in ("view", "click"):
+                    if first is None:
+                        first = et
+                    last = et
+                else:
+                    for model, ch in (
+                        ("first_touch", first or "none"),
+                        ("last_touch", last or "none"),
+                    ):
+                        credits[(model, ch)] = credits.get((model, ch), 0) + 1
+        got = {
+            (r["model"], r["channel"]): r["credits"]
+            for r in QUERIES["window_touch_attribution"].spark(spark, sf_dir).collect()
+        }
+        assert got == credits and credits
+        # both models distribute the same conversion total
+        tot_first = sum(v for (m, _), v in got.items() if m == "first_touch")
+        tot_last = sum(v for (m, _), v in got.items() if m == "last_touch")
+        assert tot_first == tot_last > 0
+
+
+class TestHitsScores:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import _LP_GEN
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            HITS_ROUNDS,
+            HITS_SCALE,
+        )
+
+        ids = [r[0] for r in _duck("SELECT vec_id FROM embeddings", sf_dir)]
+        n = len(ids)
+        edges = set()
+        for i in ids:
+            for a, b in _LP_GEN:
+                j = (i * a + b) % n
+                if i != j:
+                    edges.add((i, j))
+        h = dict.fromkeys(ids, HITS_SCALE)
+        a = None
+        for _ in range(HITS_ROUNDS):
+            a = dict.fromkeys(ids, 0)
+            for s, d in edges:
+                a[d] += h[s]
+            m = max(a.values())
+            a = {k: v * HITS_SCALE // m for k, v in a.items()}
+            h = dict.fromkeys(ids, 0)
+            for s, d in edges:
+                h[s] += a[d]
+            m = max(h.values())
+            h = {k: v * HITS_SCALE // m for k, v in h.items()}
+        got = {
+            r["vec_id"]: (r["hub_micro"], r["auth_micro"])
+            for r in QUERIES["graph_hits_scores"].spark(spark, sf_dir).collect()
+        }
+        assert got == {i: (h[i], a[i]) for i in ids}
+        # normalization holds: max score is exactly the scale
+        assert max(v[0] for v in got.values()) == HITS_SCALE
+        assert max(v[1] for v in got.values()) == HITS_SCALE

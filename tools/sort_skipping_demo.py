@@ -1,0 +1,135 @@
+"""Sort-order data-skipping demo — the third optimizer story next to
+tools/bucketed_q3_demo.py (shuffle elimination) and
+tools/skew_join_demo.py (AQE skew splitting): LAYOUT as an index.
+
+Parquet keeps per-row-group min/max statistics; the reader skips any
+row group whose [min, max] cannot satisfy the pushed-down predicate.
+Whether it CAN skip is decided at WRITE time:
+
+- layout: randomly ordered data gives every row group a near-full
+  value range (nothing skips); range-sorting the write clusters each
+  predicate value into few row groups (almost everything skips).
+  Same bytes, same query, ~15x fewer rows decoded — what
+  Delta/Iceberg Z-ORDER or a date-partitioned layout buys at 100 TB.
+- type: Spark's DEFAULT parquet timestamp encoding defeats pruning
+  entirely — INT96 carries no usable stats, and INT64
+  TIMESTAMP_MICROS written with isAdjustedToUTC=false is skipped by
+  Spark's pushdown for timezone-correctness. Sort all you want: a
+  timestamp predicate still decodes every row (measured below). The
+  fix is a DATE (or explicitly UTC-adjusted) sort/filter column.
+
+The demo tiles orders K x (default 30 -> 4.5M rows), writes three
+layouts, probes a 1-month range with each, and prints the SCAN's own
+numOutputRows metric = rows actually decoded after row-group pruning.
+
+Usage: python tools/sort_skipping_demo.py        # K=30
+       SPARK_GRAFT_SCALE_K=10 python tools/sort_skipping_demo.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+K = int(os.environ.get("SPARK_GRAFT_SCALE_K", "30"))
+N_FILES = 32
+
+
+def _probe(df, label: str):
+    best = None
+    matched = 0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        matched = 0
+        # drain THIS df's own QueryExecution so the scan node's
+        # metrics accumulate on the plan inspected below
+        for _row in df.toLocalIterator():
+            matched += 1
+        wall = time.perf_counter() - t0
+        best = wall if best is None else min(best, wall)
+    leaf = df._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+    metrics = {}
+    it = leaf.metrics().iterator()
+    while it.hasNext():
+        kv = it.next()
+        metrics[kv._1()] = kv._2().value()
+    decoded = metrics.get("numOutputRows", -1) // 3  # 3 probe runs
+    print(
+        f"{label}: best {best:.3f}s  matched={matched}  "
+        f"rows_decoded_by_scan={decoded}"
+    )
+    return best, matched, decoded
+
+
+def main() -> int:
+    from caliper_poc_data_etl_spark.session import get_spark
+
+    spark = get_spark("sort-skipping-demo")
+    spark.range(1).count()
+    out = tempfile.mkdtemp(prefix="sort_skip_")
+
+    src = spark.read.parquet(f"{BASE_SF_DIR}/orders.parquet").withColumn(
+        "o_orderday", F.col("o_orderdate").cast("date")
+    )
+    stride = src.agg(F.max("o_orderkey")).first()[0] + 1
+    tiled = None
+    for i in range(K):
+        t = src.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * stride))
+        tiled = t if tiled is None else tiled.unionByName(t)
+    n = tiled.count()
+    print(f"# tiled orders: {n} rows ({K}x), {N_FILES} files per layout")
+
+    shuffled = f"{out}/shuffled"
+    by_day = f"{out}/sorted_by_day"
+    tiled.repartition(N_FILES).write.mode("overwrite").parquet(shuffled)
+    (
+        tiled.repartitionByRange(N_FILES, "o_orderday")
+        .sortWithinPartitions("o_orderday")
+        .write.mode("overwrite")
+        .parquet(by_day)
+    )
+
+    lo, hi = "1995-06-01", "1995-07-01"
+    day_pred = lambda df: df.select("o_orderday", "o_totalprice").filter(  # noqa: E731
+        (F.col("o_orderday") >= F.lit(lo).cast("date"))
+        & (F.col("o_orderday") < F.lit(hi).cast("date"))
+    )
+    ts_pred = lambda df: df.select("o_orderdate", "o_totalprice").filter(  # noqa: E731
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    )
+
+    t_a, m_a, d_a = _probe(
+        day_pred(spark.read.parquet(shuffled)),
+        "A shuffled layout, DATE predicate (stats span everything)",
+    )
+    t_b, m_b, d_b = _probe(
+        day_pred(spark.read.parquet(by_day)),
+        "B day-sorted layout, DATE predicate (row groups prune)",
+    )
+    t_c, m_c, d_c = _probe(
+        ts_pred(spark.read.parquet(by_day)),
+        "C day-sorted layout, TIMESTAMP predicate (INT96: no stats)",
+    )
+    assert m_a == m_b == m_c, "all layouts must return identical results"
+    print(
+        f"# B vs A: {d_a / max(d_b, 1):.1f}x fewer rows decoded from "
+        f"SORT alone (wall {t_a:.3f}s -> {t_b:.3f}s)"
+    )
+    print(
+        f"# C vs B: the SAME sorted bytes decode {d_c / max(d_b, 1):.1f}x "
+        f"more rows when the predicate targets the INT96 timestamp — "
+        f"sort keys must be DATE or UTC-adjusted micros to prune"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
