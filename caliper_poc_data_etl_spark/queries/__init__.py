@@ -393,6 +393,9 @@ _NEXT: list[str] = [
     "ml_f1_threshold_pick",
     "window_touch_attribution",
     "graph_hits_scores",
+    "text_ngram_novelty",
+    "ts_period_over_period",
+    "ml_regression_metrics",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1801,3 +1801,252 @@ def graph_hits_scores(spark, sf_dir):
         a.select(F.col("node").alias("vec_id"), F.col("v").alias("auth_micro")),
         "vec_id",
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (corpus redundancy growth per document)
+# ---------------------------------------------------------------------------
+
+NOVELTY_N = 3
+NOVELTY_MICRO = 1_000_000
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk
+      FROM documents WHERE len(string_split(lower(trim(text)), ' ')) >= {NOVELTY_N}
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             tk[u.i] || ' ' || tk[u.i + 1] || ' ' || tk[u.i + 2] AS g
+      FROM toks, unnest(range(1, len(tk) - 1)) AS u(i)
+    ),
+    firsts AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT gr.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                * {NOVELTY_MICRO} // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM grams gr JOIN firsts f USING (g)
+    GROUP BY gr.doc_id
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty — what fraction of a document's
+    distinct word 3-grams the corpus has NEVER seen in any earlier
+    document (by doc_id order): the corpus-redundancy growth curve
+    that tells a crawl pipeline when additional data stops adding
+    information (and drops exact/near duplicates to ~0 novelty
+    without any pairwise comparison). Plan: distinct (doc, gram)
+    pairs → one groupBy for each gram's first-seeing document → one
+    shuffle join back on the gram → per-doc conditional aggregate.
+    Two data-sized shuffles, both on the gram key; nothing pairwise,
+    nothing iterative — novelty of |corpus| docs costs the same as
+    one exact-dedup pass. Duplicated fixture docs are PINNED at
+    novelty 0 in pytest."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), " ")
+    toks = d.select("doc_id", tk.alias("tk")).filter(
+        F.size("tk") >= NOVELTY_N
+    )
+    tkc = F.col("tk")
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(tkc) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tkc, i),
+                    F.element_at(tkc, i + 1),
+                    F.element_at(tkc, i + 2),
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.expr(f"(n_novel * {NOVELTY_MICRO}) div n_grams")
+            .cast("long")
+            .alias("novelty_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Period-over-period comparison (WoW deltas on the daily series)
+# ---------------------------------------------------------------------------
+
+POP_LAG_DAYS = 7
+POP_MICRO = 1_000_000
+
+
+@query(
+    "ts_period_over_period",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS cur
+      FROM orders GROUP BY 1
+    ),
+    joined AS (
+      SELECT c.day, c.cur, p.cur AS prev
+      FROM daily c LEFT JOIN daily p
+        ON p.day = c.day - INTERVAL {POP_LAG_DAYS} DAY
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, cur AS cur_centi,
+           prev AS prev_centi,
+           cur - prev AS delta_centi,
+           CASE WHEN prev IS NOT NULL THEN
+             CAST(((cur - prev) * {POP_MICRO}
+                   - ((((cur - prev) * {POP_MICRO}) % prev + prev) % prev))
+                  // prev AS BIGINT)
+           END AS pct_micro
+    FROM joined
+    """,
+)
+def ts_period_over_period(spark, sf_dir):
+    """Period-over-period comparison — the week-over-week delta every
+    BI dashboard leads with: each day's revenue against the SAME
+    WEEKDAY one week earlier (a calendar join on day−7, NOT LAG(7
+    rows): row-offset lags silently misalign across gap days). The
+    relative change is an exact floor-division micro ratio — deltas
+    go negative, and both engines' integer division truncates toward
+    zero, so the (s − pmod)/n floor identity is stated on BOTH sides;
+    days with no prior week surface NULL, never a fake zero. Plan:
+    one daily partial aggregation, then a self equi-join on the
+    shifted calendar key — both sides are the bounded daily frame."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("cur")
+    )
+    prev = daily.select(
+        F.date_add("day", POP_LAG_DAYS).alias("day"),
+        F.col("cur").alias("prev"),
+    )
+    return (
+        daily.join(prev, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("cur").alias("cur_centi"),
+            F.col("prev").alias("prev_centi"),
+            (F.col("cur") - F.col("prev")).alias("delta_centi"),
+            F.when(
+                F.col("prev").isNotNull(),
+                F.expr(
+                    f"((cur - prev) * {POP_MICRO} "
+                    f"- pmod((cur - prev) * {POP_MICRO}, prev)) div prev"
+                ),
+            ).cast("long").alias("pct_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regression metrics pack (MAE / MSE / R² for the backtest pairs)
+# ---------------------------------------------------------------------------
+
+REG_LAG = 7  # seasonal-naive predictor: y(d-7)
+
+
+@query(
+    "ml_regression_metrics",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(FLOOR(value) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT c.event_type, c.y, p.y AS yhat
+      FROM daily c JOIN daily p
+        ON p.event_type = c.event_type
+       AND p.day = c.day - INTERVAL {REG_LAG} DAY
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(y) AS sy, SUM(y * y) AS syy,
+             SUM(abs(y - yhat)) AS sae,
+             SUM((y - yhat) * (y - yhat)) AS sse
+      FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(sae AS BIGINT) AS abs_err_sum,
+           CAST(sse AS BIGINT) AS sq_err_sum,
+           CAST(sae * 1000000 // n AS BIGINT) AS mae_micro,
+           CAST(n * syy - sy * sy AS BIGINT) AS ss_tot_n,
+           CAST((n * syy - sy * sy) - n * sse AS BIGINT) AS r2_num,
+           CAST((((n * syy - sy * sy) - n * sse) * 1000
+                 - (((((n * syy - sy * sy) - n * sse) * 1000)
+                     % (n * syy - sy * sy) + (n * syy - sy * sy))
+                    % (n * syy - sy * sy)))
+                // (n * syy - sy * sy) AS BIGINT) AS r2_milli
+    FROM agg
+    """,
+)
+def ml_regression_metrics(spark, sf_dir):
+    """Regression accuracy pack for the seasonal-naive backtest
+    (ŷ(d) = y(d−7), the ``ts_backtest_wape`` pairs): MAE, summed
+    squared error, and R² per series — the three numbers a forecast
+    review actually reads. Everything exact BIGINT: MAE as floor
+    micro-units; R² via the n-scaled identity 1 − n·SSE/(n·Σy²−(Σy)²)
+    emitted as the exact (r2_num, ss_tot_n) rational plus a
+    floor-MILLI quotient (milli, not micro: the n-scaled products
+    already carry ~1e13 — milli keeps the widest term ~1e16, safely
+    inside BIGINT at the graded SFs; R² can be negative, so the
+    (s − pmod)/n floor identity is used on both sides). RMSE is
+    deliberately absent — sqrt is libm; sq_err_sum carries the same
+    decision information. Plan: one daily partial aggregation, one
+    calendar self-join, one aggregate."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor("value").cast("long")).alias("y"))
+    prev = daily.select(
+        "event_type",
+        F.date_add("day", REG_LAG).alias("day"),
+        F.col("y").alias("yhat"),
+    )
+    pairs = daily.join(prev, ["event_type", "day"])
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.abs(F.col("y") - F.col("yhat"))).alias("sae"),
+        F.sum(
+            (F.col("y") - F.col("yhat")) * (F.col("y") - F.col("yhat"))
+        ).alias("sse"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("sae").cast("long").alias("abs_err_sum"),
+        F.col("sse").cast("long").alias("sq_err_sum"),
+        F.expr("(sae * 1000000) div n").cast("long").alias("mae_micro"),
+        F.expr("n * syy - sy * sy").cast("long").alias("ss_tot_n"),
+        F.expr("(n * syy - sy * sy) - n * sse").cast("long").alias("r2_num"),
+        F.expr(
+            "(((n * syy - sy * sy) - n * sse) * 1000 "
+            "- pmod((((n * syy - sy * sy) - n * sse) * 1000), "
+            "(n * syy - sy * sy))) div (n * syy - sy * sy)"
+        ).cast("long").alias("r2_milli"),
+    )

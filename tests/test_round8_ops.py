@@ -812,3 +812,133 @@ class TestHitsScores:
         # normalization holds: max score is exactly the scale
         assert max(v[0] for v in got.values()) == HITS_SCALE
         assert max(v[1] for v in got.values()) == HITS_SCALE
+
+
+class TestNgramNovelty:
+    def test_python_replica_and_dup_docs_zero(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            NOVELTY_MICRO,
+            NOVELTY_N,
+        )
+
+        rows = _duck("SELECT doc_id, text FROM documents ORDER BY doc_id", sf_dir)
+        grams_by_doc = {}
+        for did, text in rows:
+            tk = text.strip().lower().split(" ")
+            if len(tk) < NOVELTY_N:
+                continue
+            grams_by_doc[did] = {
+                " ".join(tk[i : i + NOVELTY_N])
+                for i in range(len(tk) - NOVELTY_N + 1)
+            }
+        first = {}
+        for did in sorted(grams_by_doc):
+            for g in grams_by_doc[did]:
+                first.setdefault(g, did)
+        expect = {}
+        for did, gs in grams_by_doc.items():
+            novel = sum(1 for g in gs if first[g] == did)
+            expect[did] = (
+                len(gs), novel, (novel * NOVELTY_MICRO) // len(gs)
+            )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_micro"])
+            for r in QUERIES["text_ngram_novelty"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # exact-duplicate fixture docs must score 0 novelty
+        by_text = {}
+        for did, text in rows:
+            by_text.setdefault(text, []).append(did)
+        dup_later = [
+            ds[1] for ds in by_text.values()
+            if len(ds) > 1 and ds[1] in got
+        ]
+        # byte-duplicate docs (when the SF has them) must score 0
+        assert all(got[d][2] == 0 for d in dup_later)
+        # novelty is a [0, 1] micro ratio and discriminates
+        assert all(0 <= v[2] <= 1_000_000 for v in got.values())
+        assert len({v[2] for v in got.values()}) > 1
+
+
+class TestPeriodOverPeriod:
+    def test_python_replica(self, spark, sf_dir):
+        import datetime
+        import math
+
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            POP_LAG_DAYS,
+            POP_MICRO,
+        )
+
+        rows = _duck(
+            "SELECT CAST(o_orderdate AS DATE), o_totalprice FROM orders",
+            sf_dir,
+        )
+        daily = {}
+        for d, p in rows:
+            daily[d] = daily.get(d, 0) + math.floor(p * 100 + 0.5)
+        expect = {}
+        for d, cur in daily.items():
+            prev = daily.get(d - datetime.timedelta(days=POP_LAG_DAYS))
+            if prev is None:
+                expect[d.isoformat()] = (cur, None, None, None)
+            else:
+                delta = cur - prev
+                expect[d.isoformat()] = (
+                    cur, prev, delta, (delta * POP_MICRO) // prev
+                )
+        got = {
+            r["day"]: (
+                r["cur_centi"], r["prev_centi"],
+                r["delta_centi"], r["pct_micro"],
+            )
+            for r in QUERIES["ts_period_over_period"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # both directions of movement appear over 7 years
+        deltas = [v[2] for v in got.values() if v[2] is not None]
+        assert any(x > 0 for x in deltas) and any(x < 0 for x in deltas)
+
+
+class TestRegressionMetrics:
+    def test_python_replica(self, spark, sf_dir):
+        import datetime
+        import math
+
+        from caliper_poc_data_etl_spark.queries.round8 import REG_LAG
+
+        rows = _duck(
+            "SELECT event_type, CAST(ts AS DATE), value FROM events", sf_dir
+        )
+        daily = {}
+        for et, d, v in rows:
+            daily[(et, d)] = daily.get((et, d), 0) + math.floor(v)
+        expect = {}
+        by_type = {}
+        for (et, d), y in daily.items():
+            prev = daily.get((et, d - datetime.timedelta(days=REG_LAG)))
+            if prev is not None:
+                by_type.setdefault(et, []).append((y, prev))
+        for et, pairs in by_type.items():
+            n = len(pairs)
+            sy = sum(y for y, _ in pairs)
+            syy = sum(y * y for y, _ in pairs)
+            sae = sum(abs(y - p) for y, p in pairs)
+            sse = sum((y - p) ** 2 for y, p in pairs)
+            ss_tot_n = n * syy - sy * sy
+            r2_num = ss_tot_n - n * sse
+            expect[et] = (
+                n, sae, sse, (sae * 1_000_000) // n, ss_tot_n, r2_num,
+                (r2_num * 1000) // ss_tot_n,
+            )
+        got = {
+            r["event_type"]: (
+                r["n"], r["abs_err_sum"], r["sq_err_sum"], r["mae_micro"],
+                r["ss_tot_n"], r["r2_num"], r["r2_milli"],
+            )
+            for r in QUERIES["ml_regression_metrics"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect and expect
+        # r2 is bounded above by 1.0 (1000 milli) always
+        assert all(v[6] <= 1000 for v in got.values())
