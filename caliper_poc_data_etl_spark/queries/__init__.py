@@ -396,6 +396,8 @@ _NEXT: list[str] = [
     "text_ngram_novelty",
     "ts_period_over_period",
     "ml_regression_metrics",
+    "graph_personalized_pagerank",
+    "ml_ab_chi2_outcome",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

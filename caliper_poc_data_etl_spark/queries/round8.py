@@ -2050,3 +2050,281 @@ def ml_regression_metrics(spark, sf_dir):
             "(n * syy - sy * sy))) div (n * syy - sy * sy)"
         ).cast("long").alias("r2_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (integer-exact, fixed rounds)
+# ---------------------------------------------------------------------------
+
+PPR_ROUNDS = 3
+PPR_SCALE = 1_000_000
+PPR_DAMP_NUM = 85  # damping 0.85 as the integer ratio 85/100
+PPR_DAMP_DEN = 100
+
+
+def _ppr_oracle() -> str:
+    from caliper_poc_data_etl_spark.queries.round6 import _LP_GEN
+
+    gens = "\n        UNION ALL\n".join(
+        f"""        SELECT id AS src, (id * {a} + {b}) % n AS dst
+        FROM nodes, nn""" for a, b in _LP_GEN
+    )
+    head = f"""
+    WITH nodes AS (SELECT vec_id AS id FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    seed AS (SELECT MIN(id) AS s FROM nodes),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+{gens}
+      ) WHERE src <> dst
+    ),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+    r0 AS (
+      SELECT id AS node,
+             CASE WHEN id = (SELECT s FROM seed)
+                  THEN {PPR_SCALE} ELSE 0 END AS v
+      FROM nodes
+    )"""
+    steps = []
+    for i in range(1, PPR_ROUNDS + 1):
+        steps.append(f"""r{i} AS MATERIALIZED (
+      SELECT n.id AS node,
+             ({PPR_DAMP_NUM} * COALESCE(m.mass, 0)) // {PPR_DAMP_DEN}
+             + CASE WHEN n.id = (SELECT s FROM seed)
+                    THEN {PPR_SCALE} * ({PPR_DAMP_DEN} - {PPR_DAMP_NUM})
+                         // {PPR_DAMP_DEN}
+                    ELSE 0 END AS v
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.v // d.deg) AS mass
+        FROM edges e JOIN deg d USING (src) JOIN r{i-1} p ON p.node = e.src
+        GROUP BY e.dst
+      ) m ON m.node = n.id
+    )""")
+    tail = f"""
+    SELECT node AS vec_id, CAST(v AS BIGINT) AS ppr_micro
+    FROM r{PPR_ROUNDS}"""
+    return head + ",\n    " + ",\n    ".join(steps) + tail
+
+
+@query("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from a single seed node — the
+    recommendation / related-items primitive (teleport returns to the
+    SEED, not uniformly, so scores measure proximity to the seed's
+    neighborhood rather than global authority; compare
+    ``graph_pagerank``). The 11th iterative operator, integer-exact:
+    scores in micro-units, damping as the ratio 85/100, per-edge
+    contributions floor-divided by out-degree, teleport mass injected
+    at the seed each round — all quantities non-negative so `div`
+    and `//` agree without the pmod identity. Mass lost to flooring
+    (≤ deg ulps per node per round) is identical on both engines by
+    construction. Plan per round: score-vector⋈edges hash join, one
+    partial-aggregating groupBy, a left join back to carry zero-mass
+    nodes — the Pregel shape at |V| rows; 3 fixed rounds, zero driver
+    scalars."""
+    from caliper_poc_data_etl_spark.queries.round6 import _LP_GEN
+
+    emb = t(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    n_df = nodes.agg(
+        F.count(F.lit(1)).alias("n"), F.min("node").alias("s")
+    )
+    base = nodes.crossJoin(F.broadcast(n_df))
+    gen = None
+    for a_c, b_c in _LP_GEN:
+        g = base.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * a_c + b_c) % F.col("n")).alias("dst"),
+        )
+        gen = g if gen is None else gen.unionByName(g)
+    edges = (
+        gen.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    seeded = base.select(
+        "node", F.col("s").alias("seed_id")
+    )
+    teleport = (
+        F.when(
+            F.col("node") == F.col("seed_id"),
+            F.lit(
+                PPR_SCALE * (PPR_DAMP_DEN - PPR_DAMP_NUM) // PPR_DAMP_DEN
+            ),
+        ).otherwise(0)
+    )
+    r = seeded.select(
+        "node",
+        "seed_id",
+        F.when(F.col("node") == F.col("seed_id"), PPR_SCALE)
+        .otherwise(0)
+        .cast("long")
+        .alias("v"),
+    )
+    for _ in range(PPR_ROUNDS):
+        mass = (
+            ed.join(
+                r.select(F.col("node").alias("src"), "v"), "src"
+            )
+            .select("dst", F.expr("v div deg").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("mass"))
+        )
+        r = (
+            seeded.join(mass, "node", "left")
+            .select(
+                "node",
+                "seed_id",
+                (
+                    F.expr(
+                        f"({PPR_DAMP_NUM} * coalesce(mass, 0)) "
+                        f"div {PPR_DAMP_DEN}"
+                    )
+                    + teleport
+                ).cast("long").alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return r.select("node", "v").select(
+        F.col("node").alias("vec_id"), F.col("v").alias("ppr_micro")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B outcome test (2x2 chi-square, exact two-step long division)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_ab_chi2_outcome",
+    oracle="""
+    WITH exposed AS (SELECT DISTINCT user_id FROM events),
+    assigned AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+                       ::BIGINT % 100 < 50
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM exposed
+    ),
+    pc AS (
+      SELECT user_id, COUNT(*) AS n_purch
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    med AS (SELECT MEDIAN(n_purch) AS m FROM pc),
+    converted AS (
+      SELECT pc.user_id FROM pc, med WHERE pc.n_purch > med.m
+    ),
+    cells AS (
+      SELECT a.variant,
+             SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS conv,
+             SUM(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END) AS nonconv
+      FROM assigned a LEFT JOIN converted c ON c.user_id = a.user_id
+      GROUP BY a.variant
+    ),
+    tab AS (
+      SELECT MAX(CASE WHEN variant = 'A' THEN conv END) AS a,
+             MAX(CASE WHEN variant = 'A' THEN nonconv END) AS b,
+             MAX(CASE WHEN variant = 'B' THEN conv END) AS c,
+             MAX(CASE WHEN variant = 'B' THEN nonconv END) AS d
+      FROM cells
+    ),
+    stat AS (
+      SELECT a, b, c, d,
+             (a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS num,
+             (a + b) * (c + d) * (a + c) * (b + d) AS den
+      FROM tab
+    )
+    SELECT CAST(a AS BIGINT) AS conv_a, CAST(b AS BIGINT) AS nonconv_a,
+           CAST(c AS BIGINT) AS conv_b, CAST(d AS BIGINT) AS nonconv_b,
+           CAST(CASE WHEN den = 0 THEN 0 ELSE
+                (num // den) * 1000000 + ((num % den) * 1000000) // den
+                END AS BIGINT) AS chi2_micro,
+           CASE WHEN den = 0 THEN FALSE ELSE
+             (num // den) * 1000000 + ((num % den) * 1000000) // den
+               > 3841459 END AS significant
+    FROM stat
+    """,
+)
+def ml_ab_chi2_outcome(spark, sf_dir):
+    """A/B OUTCOME test — the readout half of the experimentation
+    pair (``dq_ab_srm_check`` audits exposure; this tests effect):
+    did variant A produce above-median purchasers at a different
+    rate than B? (conversion = purchase count above the global exact
+    median — a RELATIVE definition, since every synthetic user
+    purchases at least once; the median scalar is the interpolating
+    exact median both engines share)
+    Pearson's 2×2 chi-square T·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) as an
+    EXACT integer micro-unit value via two-step long division
+    (quotient·1e6 + remainder·1e6 div den — the single-multiply form
+    overflows BIGINT at ~2e21; the split keeps every term under 1e19,
+    stated identically on both engines). All terms non-negative, so
+    no floor identity needed; 3.841459 (χ²₁ at 0.05) is the shared
+    literal. Plan: two distinct-projections, one left join on
+    user_id, a 4-cell pivot — integer end-to-end."""
+    e = t(spark, sf_dir, "events")
+    assigned = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("user_id").cast("string")), 1, 10
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 100
+                < 50,
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+        )
+    )
+    pc = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+    )
+    med = pc.agg(F.median("n_purch").alias("m"))
+    converted = (
+        pc.crossJoin(F.broadcast(med))
+        .filter(F.col("n_purch") > F.col("m"))
+        .select("user_id")
+        .withColumn("conv_flag", F.lit(1))
+    )
+    cells = (
+        assigned.join(converted, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.sum(F.coalesce("conv_flag", F.lit(0))).alias("conv"),
+            F.sum(
+                1 - F.coalesce("conv_flag", F.lit(0))
+            ).alias("nonconv"),
+        )
+    )
+    tab = cells.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("conv"))).alias("a"),
+        F.max(F.when(F.col("variant") == "A", F.col("nonconv"))).alias("b"),
+        F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("c"),
+        F.max(F.when(F.col("variant") == "B", F.col("nonconv"))).alias("d"),
+    )
+    num = "((a + b + c + d) * (a * d - b * c) * (a * d - b * c))"
+    den = "((a + b) * (c + d) * (a + c) * (b + d))"
+    chi2 = F.expr(
+        f"CASE WHEN {den} = 0 THEN 0 ELSE "
+        f"({num} div {den}) * 1000000 "
+        f"+ (pmod({num}, {den}) * 1000000) div {den} END"
+    )
+    return tab.select(
+        F.col("a").cast("long").alias("conv_a"),
+        F.col("b").cast("long").alias("nonconv_a"),
+        F.col("c").cast("long").alias("conv_b"),
+        F.col("d").cast("long").alias("nonconv_b"),
+        chi2.cast("long").alias("chi2_micro"),
+        (chi2 > 3841459).alias("significant"),
+    )

@@ -942,3 +942,84 @@ class TestRegressionMetrics:
         assert got == expect and expect
         # r2 is bounded above by 1.0 (1000 milli) always
         assert all(v[6] <= 1000 for v in got.values())
+
+
+class TestPersonalizedPagerank:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round6 import _LP_GEN
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            PPR_DAMP_DEN,
+            PPR_DAMP_NUM,
+            PPR_ROUNDS,
+            PPR_SCALE,
+        )
+
+        ids = [r[0] for r in _duck("SELECT vec_id FROM embeddings", sf_dir)]
+        n = len(ids)
+        seed = min(ids)
+        edges = set()
+        for i in ids:
+            for a, b in _LP_GEN:
+                j = (i * a + b) % n
+                if i != j:
+                    edges.add((i, j))
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        r = {i: (PPR_SCALE if i == seed else 0) for i in ids}
+        tele = PPR_SCALE * (PPR_DAMP_DEN - PPR_DAMP_NUM) // PPR_DAMP_DEN
+        for _ in range(PPR_ROUNDS):
+            mass = dict.fromkeys(ids, 0)
+            for s, d in edges:
+                mass[d] += r[s] // deg[s]
+            r = {
+                i: (PPR_DAMP_NUM * mass[i]) // PPR_DAMP_DEN
+                + (tele if i == seed else 0)
+                for i in ids
+            }
+        got = {
+            row["vec_id"]: row["ppr_micro"]
+            for row in QUERIES["graph_personalized_pagerank"].spark(spark, sf_dir).collect()
+        }
+        assert got == r
+        # personalization: the seed's neighborhood outranks the tail
+        assert got[seed] > 0
+        nonzero = [v for v in got.values() if v > 0]
+        assert 0 < len(nonzero) < len(ids)
+
+
+class TestAbChi2Outcome:
+    def test_python_replica(self, spark, sf_dir):
+        import hashlib
+
+        rows = _duck(
+            "SELECT user_id, event_type FROM events", sf_dir
+        )
+        users = {u for u, _ in rows}
+        pc = {}
+        for u, et in rows:
+            if et == "purchase":
+                pc[u] = pc.get(u, 0) + 1
+        s = sorted(pc.values())
+        m = len(s)
+        med = s[m // 2] if m % 2 else (s[m // 2 - 1] + s[m // 2]) / 2
+        conv = {u for u, c in pc.items() if c > med}
+
+        def is_a(u):
+            return int(hashlib.md5(str(u).encode()).hexdigest()[:10], 16) % 100 < 50
+
+        a = sum(1 for u in users if is_a(u) and u in conv)
+        b = sum(1 for u in users if is_a(u) and u not in conv)
+        c = sum(1 for u in users if not is_a(u) and u in conv)
+        d = sum(1 for u in users if not is_a(u) and u not in conv)
+        num = (a + b + c + d) * (a * d - b * c) ** 2
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        chi2 = 0 if den == 0 else (num // den) * 1_000_000 + (num % den) * 1_000_000 // den
+        [r] = QUERIES["ml_ab_chi2_outcome"].spark(spark, sf_dir).collect()
+        assert (
+            r["conv_a"], r["nonconv_a"], r["conv_b"], r["nonconv_b"],
+            r["chi2_micro"], r["significant"],
+        ) == (a, b, c, d, chi2, chi2 > 3841459 if den else False)
+        # all four cells populated: the relative conversion threshold
+        # guarantees a non-degenerate table
+        assert min(a, b, c, d) >= 0 and (a + c) > 0 and (b + d) > 0
