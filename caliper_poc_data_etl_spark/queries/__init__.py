@@ -281,17 +281,19 @@ _DEFERRED = [
 #
 # ROUND-6 ROTATION PLAN (execute at the start of round 6): move the
 # FIRST 50 entries of this `_NEXT` queue into the front-50 and defer
-# the r5-window greens to `_DEFERRED`; the queue now exceeds one
-# window (the round kept building past 50), so the remainder stays
-# queued for round 7 in the same order. Every entry below is locally
-# certified — oracle hash-green at sf0.001/sf0.01/sf0.1 in vanilla
-# sessions (earlier entries also in default sessions),
-# python/numpy-replica pytest evidence (tests/test_round6_ops.py,
-# tests/test_round6b_ops.py, tests/test_round7_ops.py), plan_audit
-# clean, and K=100 (~sf10) soak lines recorded in NOTES_r05.md with
-# nothing superlinear. There are no known MUST-REGRADEs from the r5
-# window at queue time (nothing in the front-50 was re-implemented
-# after certification).
+# the r5-window greens to `_DEFERRED`; the queue (101 entries at end
+# of round 5 — the round kept building past two windows) spans three
+# grading windows, so the remainder stays queued for rounds 7-8 in
+# the same order. Every entry below is locally certified — oracle
+# hash-green at sf0.001/sf0.01/sf0.1 in vanilla sessions (earlier
+# entries also in default sessions), python/numpy-replica pytest
+# evidence (tests/test_round6_ops.py, tests/test_round6b_ops.py,
+# tests/test_round7_ops.py, tests/test_round8_ops.py), plan_audit
+# clean, and a K=100 (~sf10) soak line recorded in NOTES_r05.md with
+# nothing superlinear (join_interval_overlap carries a K=10 line +
+# the documented clone-tiling caveat instead). There are no known
+# MUST-REGRADEs from the r5 window at queue time (nothing in the
+# front-50 was re-implemented after certification).
 _NEXT: list[str] = [
     "embed_kmeans_representatives",
     "q21_sole_late_supplier",
