@@ -400,6 +400,8 @@ _NEXT: list[str] = [
     "ml_regression_metrics",
     "graph_personalized_pagerank",
     "ml_ab_chi2_outcome",
+    "ml_pr_curve_points",
+    "ts_anomaly_seasonal_adjusted",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

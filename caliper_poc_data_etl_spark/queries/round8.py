@@ -2328,3 +2328,184 @@ def ml_ab_chi2_outcome(spark, sf_dir):
         chi2.cast("long").alias("chi2_micro"),
         (chi2 > 3841459).alias("significant"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Precision-recall curve points
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ml_pr_curve_points",
+    oracle=f"""
+    WITH scored AS (
+      SELECT CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+               AS score,
+             CASE WHEN label >= {ROC_LABEL_SPLIT} THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    per_score AS (
+      SELECT score, COUNT(*) AS n, SUM(y) AS pos
+      FROM scored GROUP BY score
+    ),
+    tot AS (SELECT SUM(pos) AS p FROM per_score),
+    cum AS (
+      SELECT score,
+             SUM(pos) OVER w AS tp,
+             SUM(n - pos) OVER w AS fp
+      FROM per_score
+      WINDOW w AS (ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT score AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_micro,
+           CAST((tp * 1000000) // t.p AS BIGINT) AS recall_micro
+    FROM cum CROSS JOIN tot t
+    """,
+)
+def ml_pr_curve_points(spark, sf_dir):
+    """Precision-recall curve points — the class-imbalance companion
+    to ``ml_roc_points`` (ROC flatters a dominant negative class; PR
+    does not): at every distinct score threshold, exact integer
+    (tp, fp) and floor-micro precision = tp/(tp+fp), recall = tp/P.
+    tp+fp ≥ 1 at every emitted threshold (the first row includes the
+    top-scored item), so the division is total. Same distributed
+    recipe as the ROC/AUC family: per-distinct-score partials → the
+    bounded distinct-score cumulative window → a broadcast 1-row
+    class-total scalar."""
+    emb = t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        F.round(F.element_at("embedding", 1).cast("double") * 1000)
+        .cast("long")
+        .alias("score"),
+        F.when(F.col("label") >= ROC_LABEL_SPLIT, 1).otherwise(0).alias("y"),
+    )
+    per_score = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    tot = per_score.agg(F.sum("pos").alias("p"))
+    # bounded-by-construction: window over distinct quantized scores
+    w = W.orderBy(F.desc("score")).rowsBetween(W.unboundedPreceding, 0)
+    cum = per_score.select(
+        "score",
+        F.sum("pos").over(w).alias("tp"),
+        F.sum(F.col("n") - F.col("pos")).over(w).alias("fp"),
+    )
+    return cum.crossJoin(F.broadcast(tot)).select(
+        F.col("score").alias("threshold"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.expr("(tp * 1000000) div (tp + fp)")
+        .cast("long")
+        .alias("precision_micro"),
+        F.expr("(tp * 1000000) div p").cast("long").alias("recall_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonally-adjusted anomaly detection (dow-adjusted median±3·MAD)
+# ---------------------------------------------------------------------------
+
+_SAA_ANCHOR = "2024-01-01"  # a Monday; dow = days-since-anchor mod 7
+
+
+@query(
+    "ts_anomaly_seasonal_adjusted",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             date_diff('day', DATE '{_SAA_ANCHOR}', CAST(ts AS DATE)) % 7
+               AS dow,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2, 3
+    ),
+    seas AS (
+      SELECT event_type, dow, SUM(v) // COUNT(*) AS expected
+      FROM daily GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT d.event_type, d.day, d.dow, d.v,
+             seas.expected, d.v - seas.expected AS adjusted
+      FROM daily d JOIN seas USING (event_type, dow)
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(2 * MEDIAN(adjusted) AS BIGINT) AS med2
+      FROM adj GROUP BY event_type
+    ),
+    dev AS (
+      SELECT adj.*, med.med2,
+             abs(2 * adj.adjusted - med.med2) AS dev2
+      FROM adj JOIN med USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(2 * MEDIAN(dev2) AS BIGINT) AS mad4
+      FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type, strftime(dev.day, '%Y-%m-%d') AS day,
+           CAST(dev.dow AS BIGINT) AS dow,
+           dev.v AS daily_centi, dev.expected AS expected_centi,
+           dev.adjusted AS adjusted_centi,
+           2 * dev.dev2 > 3 * mad.mad4 AS is_anomaly
+    FROM dev JOIN mad USING (event_type)
+    """,
+)
+def ts_anomaly_seasonal_adjusted(spark, sf_dir):
+    """Seasonally-ADJUSTED anomaly detection — the conditioning fix
+    the raw-series detectors (``anomaly_zscore_events`` /
+    ``anomaly_mad_events``) lack: first subtract each (series,
+    day-of-week)'s expected level, THEN flag |adjusted − median| >
+    3·MAD — so a quiet Sunday is normal and a quiet Tuesday is the
+    anomaly. All integer: dow means by floor division (positive
+    sums), robust stats via the DOUBLING cascade — med2 = 2·median
+    and mad4 = 2·median(2·|dev|) stay integers through the exact
+    interpolating median, and the flag compares 2·dev2 > 3·mad4 with
+    no fraction ever materialized. dow is days-since-a-known-Monday
+    mod 7 (engine dayofweek conventions differ). Plan: one daily
+    partial aggregation, then every stage runs on the bounded daily
+    frame with tiny broadcast joins back."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    ).select(
+        "event_type",
+        "day",
+        (F.datediff("day", F.lit(_SAA_ANCHOR)) % 7).cast("long").alias("dow"),
+        "v",
+    )
+    seas = daily.groupBy("event_type", "dow").agg(
+        F.expr("sum(v) div count(1)").alias("expected")
+    )
+    adj = daily.join(F.broadcast(seas), ["event_type", "dow"]).select(
+        "event_type",
+        "day",
+        "dow",
+        "v",
+        "expected",
+        (F.col("v") - F.col("expected")).alias("adjusted"),
+    )
+    med = adj.groupBy("event_type").agg(
+        (2 * F.median("adjusted")).cast("long").alias("med2")
+    )
+    dev = adj.join(F.broadcast(med), "event_type").select(
+        "*", F.abs(2 * F.col("adjusted") - F.col("med2")).alias("dev2")
+    )
+    mad = dev.groupBy("event_type").agg(
+        (2 * F.median("dev2")).cast("long").alias("mad4")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dow",
+        F.col("v").alias("daily_centi"),
+        F.col("expected").alias("expected_centi"),
+        F.col("adjusted").alias("adjusted_centi"),
+        (2 * F.col("dev2") > 3 * F.col("mad4")).alias("is_anomaly"),
+    )

@@ -1023,3 +1023,99 @@ class TestAbChi2Outcome:
         # all four cells populated: the relative conversion threshold
         # guarantees a non-degenerate table
         assert min(a, b, c, d) >= 0 and (a + c) > 0 and (b + d) > 0
+
+
+class TestPrCurvePoints:
+    def test_numpy_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import ROC_LABEL_SPLIT
+
+        rows = _duck("SELECT embedding[1], label FROM embeddings", sf_dir)
+        per = {}
+        for e, lab in rows:
+            s = round(float(e) * 1000)
+            y = 1 if lab >= ROC_LABEL_SPLIT else 0
+            c = per.setdefault(s, [0, 0])
+            c[0] += 1
+            c[1] += y
+        p = sum(c[1] for c in per.values())
+        expect = {}
+        tp = fp = 0
+        for s in sorted(per, reverse=True):
+            n, pos = per[s]
+            tp += pos
+            fp += n - pos
+            expect[s] = (
+                tp, fp,
+                (tp * 1_000_000) // (tp + fp), (tp * 1_000_000) // p,
+            )
+        got = {
+            r["threshold"]: (
+                r["tp"], r["fp"], r["precision_micro"], r["recall_micro"]
+            )
+            for r in QUERIES["ml_pr_curve_points"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # recall is monotone non-decreasing as the threshold drops and
+        # reaches exactly 1.0 at the loosest threshold
+        ts_ = sorted(got, reverse=True)
+        rec = [got[s][3] for s in ts_]
+        assert all(a <= b for a, b in zip(rec, rec[1:]))
+        assert rec[-1] == 1_000_000
+
+
+class TestSeasonalAdjustedAnomaly:
+    def test_python_replica(self, spark, sf_dir):
+        import datetime
+        import math
+        import statistics
+
+        rows = _duck(
+            "SELECT event_type, CAST(ts AS DATE), value FROM events", sf_dir
+        )
+        anchor = datetime.date(2024, 1, 1)
+        daily = {}
+        for et, d, v in rows:
+            daily[(et, d)] = daily.get((et, d), 0) + math.floor(v * 100 + 0.5)
+        seas_sum = {}
+        for (et, d), v in daily.items():
+            dow = (d - anchor).days % 7
+            s = seas_sum.setdefault((et, dow), [0, 0])
+            s[0] += v
+            s[1] += 1
+        expected = {k: s[0] // s[1] for k, s in seas_sum.items()}
+        adj = {
+            (et, d): v - expected[(et, (d - anchor).days % 7)]
+            for (et, d), v in daily.items()
+        }
+        by_type = {}
+        for (et, d), a in adj.items():
+            by_type.setdefault(et, []).append(a)
+        med2 = {et: round(2 * statistics.median(v)) for et, v in by_type.items()}
+        dev2 = {k: abs(2 * a - med2[k[0]]) for k, a in adj.items()}
+        dev_by_type = {}
+        for (et, _), dv in dev2.items():
+            dev_by_type.setdefault(et, []).append(dv)
+        mad4 = {
+            et: round(2 * statistics.median(v)) for et, v in dev_by_type.items()
+        }
+        expect = {
+            (et, d.isoformat()): (
+                (d - anchor).days % 7,
+                daily[(et, d)],
+                expected[(et, (d - anchor).days % 7)],
+                adj[(et, d)],
+                2 * dev2[(et, d)] > 3 * mad4[et],
+            )
+            for (et, d) in daily
+        }
+        got = {
+            (r["event_type"], r["day"]): (
+                r["dow"], r["daily_centi"], r["expected_centi"],
+                r["adjusted_centi"], r["is_anomaly"],
+            )
+            for r in QUERIES["ts_anomaly_seasonal_adjusted"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # the detector flags a strict minority of days (or none)
+        flags = sum(1 for v in got.values() if v[4])
+        assert flags < len(got) // 2
