@@ -402,6 +402,7 @@ _NEXT: list[str] = [
     "ml_ab_chi2_outcome",
     "ml_pr_curve_points",
     "ts_anomaly_seasonal_adjusted",
+    "mix_token_budget_fill",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -2509,3 +2509,95 @@ def ts_anomaly_seasonal_adjusted(spark, sf_dir):
         F.col("adjusted").alias("adjusted_centi"),
         (2 * F.col("dev2") > 3 * F.col("mad4")).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus fill (global ordered cumsum, distributed form)
+# ---------------------------------------------------------------------------
+
+BUDGET_NUM = 3  # fill to 3/10 of total corpus tokens
+BUDGET_DEN = 10
+
+
+@query(
+    "mix_token_budget_fill",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id,
+             len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+             len(list_distinct(string_split(lower(trim(text)), ' ')))
+               AS distinct_words
+      FROM documents WHERE trim(text) <> ''
+    ),
+    budget AS (
+      SELECT SUM(n_tokens) * {BUDGET_NUM} // {BUDGET_DEN} AS b FROM docs
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, distinct_words,
+             SUM(n_tokens) OVER (ORDER BY distinct_words DESC, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM docs
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(distinct_words AS BIGINT) AS distinct_words,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM ranked CROSS JOIN budget
+    WHERE cum_tokens <= budget.b
+    """,
+)
+def mix_token_budget_fill(spark, sf_dir):
+    """Token-budget corpus assembly — fill a fixed training-token
+    budget (30% of the corpus here) with the highest-priority
+    documents, priority = lexical diversity (distinct-word count,
+    ties on doc_id): the dataset-assembly step between curation
+    scores and the packed training set. The crux is a GLOBAL ordered
+    cumulative sum with a budget cut — the naive form is one
+    unpartitioned window over every row (single reducer, the
+    ``window_ntile`` anti-pattern). The engine uses the distributed
+    construction instead: range-repartition on the priority key,
+    per-partition token totals → broadcast running offsets, local
+    running sum + offset = exact global cumsum, budget filter applied
+    per-partition. The budget itself rides as a broadcast 1-row
+    scalar. The boundary is exact: the first document that would
+    EXCEED the budget is excluded (strict ≤), pinned in pytest."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower(F.trim(F.col("text"))), " ")
+    docs = d.filter(F.trim(F.col("text")) != "").select(
+        "doc_id",
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tk)).cast("long").alias("distinct_words"),
+    )
+    budget = docs.agg(
+        F.expr(f"sum(n_tokens) * {BUDGET_NUM} div {BUDGET_DEN}").alias("b")
+    )
+    parts = docs.select(
+        "*", (-F.col("distinct_words")).alias("neg")
+    ).repartitionByRange(32, "neg", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    sizes = parts.groupBy("pid").agg(F.sum("n_tokens").alias("ptok"))
+    # bounded-by-construction: window over <=32 partition-count rows
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = sizes.select(
+        "pid", F.coalesce(F.sum("ptok").over(w_off), F.lit(0)).alias("off")
+    )
+    w_local = (
+        W.partitionBy("pid")
+        .orderBy("neg", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        parts.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_words",
+            (F.col("off") + F.sum("n_tokens").over(w_local)).alias(
+                "cum_tokens"
+            ),
+        )
+        .crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") <= F.col("b"))
+        .select("doc_id", "n_tokens", "distinct_words", "cum_tokens")
+    )

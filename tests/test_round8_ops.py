@@ -1119,3 +1119,38 @@ class TestSeasonalAdjustedAnomaly:
         # the detector flags a strict minority of days (or none)
         flags = sum(1 for v in got.values() if v[4])
         assert flags < len(got) // 2
+
+
+class TestTokenBudgetFill:
+    def test_python_replica_and_boundary(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            BUDGET_DEN,
+            BUDGET_NUM,
+        )
+
+        rows = _duck("SELECT doc_id, text FROM documents", sf_dir)
+        docs = []
+        for did, text in rows:
+            if not text.strip():
+                continue
+            tk = text.strip().lower().split(" ")
+            docs.append((did, len(tk), len(set(tk))))
+        budget = sum(n for _, n, _ in docs) * BUDGET_NUM // BUDGET_DEN
+        docs.sort(key=lambda r: (-r[2], r[0]))
+        expect = {}
+        cum = 0
+        boundary_doc = None
+        for did, n, dw in docs:
+            cum += n
+            if cum > budget:
+                boundary_doc = did
+                break
+            expect[did] = (n, dw, cum)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["distinct_words"], r["cum_tokens"])
+            for r in QUERIES["mix_token_budget_fill"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect and expect
+        # exact boundary: the doc that would exceed the budget is OUT
+        assert boundary_doc is not None and boundary_doc not in got
+        assert max(v[2] for v in got.values()) <= budget

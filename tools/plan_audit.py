@@ -93,6 +93,8 @@ EXPECTED_SCALAR_BNLJ.add("ml_f1_threshold_pick")
 EXPECTED_SCALAR_BNLJ.add("ml_ab_chi2_outcome")
 # same broadcast 1-row class-total scalar as ml_roc_points.
 EXPECTED_SCALAR_BNLJ.add("ml_pr_curve_points")
+# broadcast 1-row token-budget scalar.
+EXPECTED_SCALAR_BNLJ.add("mix_token_budget_fill")
 # bounded-calendar daily series × broadcast 8-row lag table.
 EXPECTED_NLJ.add("ts_xcorr_lag_scan")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
