@@ -403,6 +403,8 @@ _NEXT: list[str] = [
     "ml_pr_curve_points",
     "ts_anomaly_seasonal_adjusted",
     "mix_token_budget_fill",
+    "sink_compact_small_files",
+    "fn_zorder_key",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -2601,3 +2601,156 @@ def mix_token_budget_fill(spark, sf_dir):
         .filter(F.col("cum_tokens") <= F.col("b"))
         .select("doc_id", "n_tokens", "distinct_words", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-files compaction (the table-maintenance op, content-proven)
+# ---------------------------------------------------------------------------
+
+_COMPACT_CACHE: dict[str, str] = {}
+COMPACT_SMALL_FILES = 64
+COMPACT_TARGET_FILES = 4
+
+
+@query(
+    "sink_compact_small_files",
+    oracle=f"""
+    WITH rows_h AS (
+      SELECT ('0x' || substr(md5(concat_ws('|',
+                 CAST(doc_id AS VARCHAR), text, lang, source,
+                 CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT AS h
+      FROM documents
+    )
+    SELECT CAST({COMPACT_SMALL_FILES} AS BIGINT) AS n_files_before,
+           CAST({COMPACT_TARGET_FILES} AS BIGINT) AS n_files_after,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+    FROM rows_h
+    """,
+)
+def sink_compact_small_files(spark, sf_dir):
+    """Small-files compaction — the table-maintenance job every lake
+    runs nightly: a directory of many tiny parquet files (here 64,
+    staged by an even round-robin repartition so every task emits
+    one) is rewritten as few large ones (coalesce(4) — a NARROW
+    dependency: readers merge inputs, no shuffle), because at 100 TB
+    small files tax the driver's file index, the scheduler (one task
+    per tiny split), and the object store's request rates. The graded
+    row PROVES content preservation, not just plumbing: real before/
+    after file counts from the filesystem plus the order-insensitive
+    60-bit md5 row checksum of the COMPACTED output, which must equal
+    the oracle's checksum of the source table — compaction that loses
+    or duplicates a single row hash-mismatches."""
+    import glob
+    import tempfile
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    cache_key = f"{app}:{sf_dir}"
+    base = f"{tempfile.gettempdir()}/graft_compact_{app}"
+    if _COMPACT_CACHE.get(cache_key) != base:
+        src = t(spark, sf_dir, "documents")
+        src.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").parquet(
+            f"{base}/small"
+        )
+        (
+            spark.read.parquet(f"{base}/small")
+            .coalesce(COMPACT_TARGET_FILES)
+            .write.mode("overwrite")
+            .parquet(f"{base}/compacted")
+        )
+        _COMPACT_CACHE[cache_key] = base
+    n_before = len(glob.glob(f"{base}/small/part-*.parquet"))
+    n_after = len(glob.glob(f"{base}/compacted/part-*.parquet"))
+    compacted = spark.read.parquet(f"{base}/compacted")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("doc_id").cast("string"),
+                        "text",
+                        "lang",
+                        "source",
+                        F.col("n_chars").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("decimal(38,0)")
+    )
+    return compacted.agg(
+        F.lit(n_before).cast("long").alias("n_files_before"),
+        F.lit(n_after).cast("long").alias("n_files_after"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(h).cast("decimal(38,0)").cast("string").alias("checksum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) interleave key
+# ---------------------------------------------------------------------------
+
+ZORDER_BITS = 16
+
+
+def _z_expr(shift_fn) -> str:
+    """Bit-interleave expression; shift_fn renders a shift for the
+    target dialect (Spark: shiftleft/shiftright fns; DuckDB: << >>)."""
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(shift_fn(f"(({shift_fn('x', -i)}) & 1)", 2 * i))
+        terms.append(shift_fn(f"(({shift_fn('y', -i)}) & 1)", 2 * i + 1))
+    return " + ".join(terms)
+
+
+def _z_spark(e: str, n: int) -> str:
+    return f"shiftright({e}, {-n})" if n < 0 else f"shiftleft({e}, {n})"
+
+
+def _z_duck(e: str, n: int) -> str:
+    return f"({e} >> {-n})" if n < 0 else f"({e} << {n})"
+
+
+@query(
+    "fn_zorder_key",
+    oracle=f"""
+    WITH xy AS (
+      SELECT o_orderkey,
+             o_orderkey % {1 << ZORDER_BITS} AS x,
+             CAST(FLOOR(o_totalprice) AS BIGINT) % {1 << ZORDER_BITS} AS y
+      FROM orders
+    )
+    SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+           CAST({_z_expr(_z_duck)} AS BIGINT) AS zkey
+    FROM xy
+    """,
+)
+def fn_zorder_key(spark, sf_dir):
+    """Z-order (Morton) curve key — bit-interleave two 16-bit
+    dimensions into one 32-bit sort key, the primitive behind
+    Delta/Iceberg Z-ORDER clustering: sorting by zkey keeps rows
+    close in BOTH dimensions physically adjacent, so parquet min/max
+    row-group pruning (tools/sort_skipping_demo.py measures the
+    single-column version) works for predicates on EITHER column —
+    the multi-dimensional generalization of the sorted layout. Pure
+    bit arithmetic (32 shift-mask-shift terms, unrolled identically
+    on both engines); the layout write itself is
+    ``repartitionByRange(zkey) + sortWithinPartitions`` exactly as
+    the demo does for the date key."""
+    o = t(spark, sf_dir, "orders")
+    xy = o.select(
+        "o_orderkey",
+        (F.col("o_orderkey") % (1 << ZORDER_BITS)).alias("x"),
+        (F.floor("o_totalprice").cast("long") % (1 << ZORDER_BITS)).alias("y"),
+    )
+    return xy.select(
+        "o_orderkey",
+        F.col("x").cast("long").alias("x"),
+        F.col("y").cast("long").alias("y"),
+        F.expr(_z_expr(_z_spark)).cast("long").alias("zkey"),
+    )

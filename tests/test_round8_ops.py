@@ -1154,3 +1154,70 @@ class TestTokenBudgetFill:
         # exact boundary: the doc that would exceed the budget is OUT
         assert boundary_doc is not None and boundary_doc not in got
         assert max(v[2] for v in got.values()) <= budget
+
+
+class TestCompactSmallFiles:
+    def test_content_preserved_and_counts(self, spark, sf_dir):
+        import hashlib
+
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            COMPACT_SMALL_FILES,
+            COMPACT_TARGET_FILES,
+        )
+
+        rows = _duck(
+            "SELECT doc_id, text, lang, source, n_chars FROM documents",
+            sf_dir,
+        )
+        total = 0
+        for did, text, lang, source, nc in rows:
+            payload = f"{did}|{text}|{lang}|{source}|{nc}"
+            total += int(hashlib.md5(payload.encode()).hexdigest()[:15], 16)
+        [r] = QUERIES["sink_compact_small_files"].spark(spark, sf_dir).collect()
+        assert r["n_files_before"] == COMPACT_SMALL_FILES
+        assert r["n_files_after"] == COMPACT_TARGET_FILES
+        assert r["n_rows"] == len(rows)
+        assert r["checksum"] == str(total)
+
+
+class TestZorderKey:
+    def test_python_replica_and_locality(self, spark, sf_dir):
+        import math
+
+        from caliper_poc_data_etl_spark.queries.round8 import ZORDER_BITS
+
+        rows = _duck("SELECT o_orderkey, o_totalprice FROM orders", sf_dir)
+
+        def interleave(x, y):
+            z = 0
+            for i in range(ZORDER_BITS):
+                z |= ((x >> i) & 1) << (2 * i)
+                z |= ((y >> i) & 1) << (2 * i + 1)
+            return z
+
+        mask = (1 << ZORDER_BITS) - 1
+        expect = {
+            k: (k % (mask + 1),
+                math.floor(p) % (mask + 1),
+                interleave(k % (mask + 1), math.floor(p) % (mask + 1)))
+            for k, p in rows
+        }
+        got = {
+            r["o_orderkey"]: (r["x"], r["y"], r["zkey"])
+            for r in QUERIES["fn_zorder_key"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # locality property: sorting by zkey co-locates BOTH dims —
+        # mean |Δx| + |Δy| between zkey-neighbors must beat the
+        # x-sorted layout's mean |Δy| jump on dimension y
+        by_z = sorted(got.values(), key=lambda t: t[2])
+        by_x = sorted(got.values())
+        jump_z = sum(
+            abs(a[0] - b[0]) + abs(a[1] - b[1])
+            for a, b in zip(by_z, by_z[1:])
+        ) / (len(by_z) - 1)
+        jump_x = sum(
+            abs(a[0] - b[0]) + abs(a[1] - b[1])
+            for a, b in zip(by_x, by_x[1:])
+        ) / (len(by_x) - 1)
+        assert jump_z < jump_x
