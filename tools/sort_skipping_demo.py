@@ -18,9 +18,18 @@ Whether it CAN skip is decided at WRITE time:
   timestamp predicate still decodes every row (measured below). The
   fix is a DATE (or explicitly UTC-adjusted) sort/filter column.
 
-The demo tiles orders K x (default 30 -> 4.5M rows), writes three
-layouts, probes a 1-month range with each, and prints the SCAN's own
-numOutputRows metric = rows actually decoded after row-group pruning.
+- dimensionality: a single-column sort prunes ONLY its own column —
+  a price predicate on the day-sorted layout decodes everything. The
+  Z-ORDER layout (Morton interleave of day x price via the graded
+  fn_zorder_key primitive) prunes BOTH dimensions: ~28x fewer rows
+  decoded on the non-sort dimension, while still pruning the date
+  (coarser than the pure sort — the classic Z-order trade-off,
+  measured side by side).
+
+The demo tiles orders K x (default 30 -> 4.5M rows), writes four
+layouts, probes date/timestamp/price ranges against each, and prints
+the SCAN's own numOutputRows metric = rows actually decoded after
+row-group pruning.
 
 Usage: python tools/sort_skipping_demo.py        # K=30
        SPARK_GRAFT_SCALE_K=10 python tools/sort_skipping_demo.py
@@ -88,12 +97,37 @@ def main() -> int:
 
     shuffled = f"{out}/shuffled"
     by_day = f"{out}/sorted_by_day"
+    by_z = f"{out}/zordered"
     tiled.repartition(N_FILES).write.mode("overwrite").parquet(shuffled)
     (
         tiled.repartitionByRange(N_FILES, "o_orderday")
         .sortWithinPartitions("o_orderday")
         .write.mode("overwrite")
         .parquet(by_day)
+    )
+    # Z-order layout: Morton-interleave (day, price) — the
+    # fn_zorder_key primitive — so row groups stay narrow in BOTH
+    # dimensions; the zkey is dropped after the write sort.
+    from caliper_poc_data_etl_spark.queries.round8 import (
+        ZORDER_BITS,
+        _z_expr,
+        _z_spark,
+    )
+
+    zin = tiled.withColumn(
+        "x", F.datediff("o_orderday", F.lit("1992-01-01")).cast("long")
+    ).withColumn(
+        "y",
+        (F.floor(F.col("o_totalprice") / 16)).cast("long")
+        % (1 << ZORDER_BITS),
+    )
+    (
+        zin.withColumn("zkey", F.expr(_z_expr(_z_spark)))
+        .repartitionByRange(N_FILES, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("x", "y", "zkey")
+        .write.mode("overwrite")
+        .parquet(by_z)
     )
 
     lo, hi = "1995-06-01", "1995-07-01"
@@ -119,6 +153,25 @@ def main() -> int:
         "C day-sorted layout, TIMESTAMP predicate (INT96: no stats)",
     )
     assert m_a == m_b == m_c, "all layouts must return identical results"
+
+    # Z-order: a PRICE predicate — the non-leading dimension, where a
+    # single-column day sort prunes nothing but the Morton layout does
+    price_pred = lambda df: df.select("o_totalprice").filter(  # noqa: E731
+        (F.col("o_totalprice") >= 100000) & (F.col("o_totalprice") < 110000)
+    )
+    t_d, m_d, d_d = _probe(
+        price_pred(spark.read.parquet(by_day)),
+        "D day-sorted layout, PRICE predicate (non-sort dim: no pruning)",
+    )
+    t_e, m_e, d_e = _probe(
+        price_pred(spark.read.parquet(by_z)),
+        "E Z-ORDERED layout, PRICE predicate (Morton prunes both dims)",
+    )
+    t_f, m_f, d_f = _probe(
+        day_pred(spark.read.parquet(by_z)),
+        "F Z-ORDERED layout, DATE predicate (still prunes, coarser)",
+    )
+    assert m_d == m_e and m_b == m_f
     print(
         f"# B vs A: {d_a / max(d_b, 1):.1f}x fewer rows decoded from "
         f"SORT alone (wall {t_a:.3f}s -> {t_b:.3f}s)"
@@ -127,6 +180,12 @@ def main() -> int:
         f"# C vs B: the SAME sorted bytes decode {d_c / max(d_b, 1):.1f}x "
         f"more rows when the predicate targets the INT96 timestamp — "
         f"sort keys must be DATE or UTC-adjusted micros to prune"
+    )
+    print(
+        f"# E vs D: Z-ORDER decodes {d_d / max(d_e, 1):.1f}x fewer rows "
+        f"than the single-column sort on the NON-sort dimension "
+        f"({d_d} -> {d_e}); and still prunes the date dimension "
+        f"(F: {d_f} vs B's {d_b}) — one layout serves both predicates"
     )
     return 0
 
