@@ -405,6 +405,8 @@ _NEXT: list[str] = [
     "mix_token_budget_fill",
     "sink_compact_small_files",
     "fn_zorder_key",
+    "graph_modularity_score",
+    "ml_bootstrap_ci_mean",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

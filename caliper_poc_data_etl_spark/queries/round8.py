@@ -2754,3 +2754,265 @@ def fn_zorder_key(spark, sf_dir):
         F.col("y").cast("long").alias("y"),
         F.expr(_z_expr(_z_spark)).cast("long").alias("zkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the label partition (community-quality metric)
+# ---------------------------------------------------------------------------
+
+MOD_MICRO = 1_000_000
+
+
+def _modularity_oracle() -> str:
+    from caliper_poc_data_etl_spark.queries.round6 import _LP_GEN
+
+    gens = "\n        UNION ALL\n".join(
+        f"""        SELECT id AS src, (id * {a} + {b}) % n AS dst
+        FROM nodes, nn""" for a, b in _LP_GEN
+    )
+    return f"""
+    WITH nodes AS (SELECT vec_id AS id, label FROM embeddings),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    eu AS (
+      SELECT DISTINCT src, dst FROM (
+{gens}
+      ) WHERE src <> dst
+    ),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM eu UNION ALL SELECT dst, src FROM eu)
+    ),
+    lab AS (
+      SELECT e.src, e.dst, a.label AS la, b.label AS lb
+      FROM edges e
+      JOIN nodes a ON a.id = e.src JOIN nodes b ON b.id = e.dst
+    ),
+    tt AS (SELECT COUNT(*) AS t FROM lab),
+    per_c AS (
+      SELECT la AS label,
+             SUM(CASE WHEN la = lb THEN 1 ELSE 0 END) AS within_both,
+             COUNT(*) AS deg_sum
+      FROM lab GROUP BY la
+    ),
+    nc AS (
+      SELECT label, COUNT(*) AS n_nodes FROM nodes GROUP BY label
+    ),
+    contrib AS (
+      SELECT p.label, nc.n_nodes, p.within_both, p.deg_sum,
+             {MOD_MICRO} * (tt.t * p.within_both - p.deg_sum * p.deg_sum)
+               AS cnum,
+             tt.t * tt.t AS cden
+      FROM per_c p JOIN nc USING (label) CROSS JOIN tt
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(within_both AS BIGINT) AS within_both,
+           CAST(deg_sum AS BIGINT) AS deg_sum,
+           CAST((cnum - ((cnum % cden + cden) % cden)) // cden AS BIGINT)
+             AS contrib_micro
+    FROM contrib
+    """
+
+
+@query("graph_modularity_score", oracle=_modularity_oracle())
+def graph_modularity_score(spark, sf_dir):
+    """Newman modularity of the label partition over the affine graph
+    — the community-quality metric that grades what
+    ``graph_label_propagation`` / ``dedup_cluster_cc`` produce: per
+    community c, contribution = L_c/m − (D_c/2m)², and Q = Σ
+    contributions (positive = denser-than-random communities). With
+    the both-directions edge list of size T = 2m the contribution is
+    the exact rational (T·within_c − D_c²)/T², emitted as a
+    floor-micro integer via the (s − pmod)/n identity (contributions
+    go negative for anti-communities). Plan: one edge⋈labels double
+    hash join, one groupBy, a broadcast 1-row T scalar — modularity
+    of any partition at any scale is two joins and an aggregate, no
+    per-community iteration."""
+    from caliper_poc_data_etl_spark.queries.round6 import (
+        _affine_undirected_edges,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    nodes = emb.select(F.col("vec_id").alias("id"), "label")
+    edges = _affine_undirected_edges(spark, sf_dir)
+    lab = (
+        edges.join(
+            nodes.select(F.col("id").alias("src"), F.col("label").alias("la")),
+            "src",
+        )
+        .join(
+            nodes.select(F.col("id").alias("dst"), F.col("label").alias("lb")),
+            "dst",
+        )
+    )
+    tt = lab.agg(F.count(F.lit(1)).alias("t"))
+    per_c = lab.groupBy(F.col("la").alias("label")).agg(
+        F.sum(F.when(F.col("la") == F.col("lb"), 1).otherwise(0)).alias(
+            "within_both"
+        ),
+        F.count(F.lit(1)).alias("deg_sum"),
+    )
+    nc = nodes.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    return (
+        per_c.join(F.broadcast(nc), "label")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("within_both").cast("long").alias("within_both"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            F.expr(
+                f"({MOD_MICRO} * (t * within_both - deg_sum * deg_sum) "
+                f"- pmod({MOD_MICRO} * (t * within_both - deg_sum * deg_sum),"
+                f" t * t)) div (t * t)"
+            ).cast("long").alias("contrib_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-deterministic bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+BOOT_B = 100
+BOOT_LO_RANK = 5   # 5th / 95th of the B=100 replica means
+BOOT_HI_RANK = 95
+BOOT_MICRO = 1_000_000
+
+
+@query(
+    "ml_bootstrap_ci_mean",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS rnk, v FROM daily
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM ranked),
+    draws AS (
+      -- range() cannot take a lateral column in DuckDB; over-generate
+      -- to a fixed bound (events span one calendar month, n <= 31)
+      -- and filter to the true series length
+      SELECT b.b, ('0x' || substr(md5(CAST(b.b AS VARCHAR) || '_'
+                   || CAST(i.i AS VARCHAR)), 1, 10))::BIGINT % nn.n AS pick
+      FROM range(0, {BOOT_B}) AS b(b), nn, range(0, 400) AS i(i)
+      WHERE i.i < nn.n
+    ),
+    means AS (
+      SELECT d.b,
+             SUM(r.v) * {BOOT_MICRO} // COUNT(*) AS mean_micro
+      FROM draws d JOIN ranked r ON r.rnk = d.pick
+      GROUP BY d.b
+    ),
+    ordered AS (
+      SELECT mean_micro,
+             ROW_NUMBER() OVER (ORDER BY mean_micro, b) AS mr
+      FROM means
+    ),
+    obs AS (
+      SELECT SUM(v) * {BOOT_MICRO} // COUNT(*) AS observed_micro,
+             COUNT(*) AS n_days
+      FROM ranked
+    )
+    SELECT CAST(obs.n_days AS BIGINT) AS n_days,
+           CAST({BOOT_B} AS BIGINT) AS b_replicas,
+           CAST(obs.observed_micro AS BIGINT) AS observed_micro,
+           CAST(MAX(CASE WHEN mr = {BOOT_LO_RANK} THEN mean_micro END)
+                AS BIGINT) AS ci_lo_micro,
+           CAST(MAX(CASE WHEN mr = {BOOT_HI_RANK} THEN mean_micro END)
+                AS BIGINT) AS ci_hi_micro
+    FROM ordered CROSS JOIN obs
+    GROUP BY obs.n_days, obs.observed_micro
+    """,
+)
+def ml_bootstrap_ci_mean(spark, sf_dir):
+    """Bootstrap confidence interval for the mean daily total — with
+    the resampling made ENGINE-EXACT: draw (b, i) takes the value at
+    rank md5(b, i) mod n over the day-ordered series (the
+    ``graph_random_walk_deterministic`` hash-choice recipe — a seeded
+    PRNG would be engine- and partitioning-specific), B=100 replicas,
+    CI = the 5th/95th ordered replica means. Every mean is a
+    floor-micro integer; the replica ordering tiebreaks on the
+    replica id. Plan: the daily series is calendar-bounded, so the
+    B×n draw table (3000 rows here) explodes from ranges and
+    equi-joins back on the rank — at 100 TB the bounded reduction
+    happens FIRST and the bootstrap costs B×|days|, never B×|rows|."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("v")
+    )
+    # bounded-by-construction: rank over the calendar-day frame
+    ranked = daily.select(
+        (F.row_number().over(W.orderBy("day")) - 1).alias("rnk"), "v"
+    )
+    nn = ranked.agg(F.count(F.lit(1)).alias("n"))
+    draws = (
+        spark.range(BOOT_B)
+        .select(F.col("id").alias("b"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "b",
+            F.explode(F.sequence(F.lit(0), F.col("n") - 1)).alias("i"),
+            "n",
+        )
+        .select(
+            "b",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                F.col("b").cast("string"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        10,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.col("n")
+            ).alias("pick"),
+        )
+    )
+    means = (
+        draws.join(ranked, draws.pick == ranked.rnk)
+        .groupBy("b")
+        .agg(
+            F.expr(f"sum(v) * {BOOT_MICRO} div count(1)").alias("mean_micro")
+        )
+    )
+    ordered = means.select(
+        "mean_micro",
+        F.row_number().over(W.orderBy("mean_micro", "b")).alias("mr"),
+    )
+    obs = ranked.agg(
+        F.expr(f"sum(v) * {BOOT_MICRO} div count(1)").alias("observed_micro"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    return (
+        ordered.crossJoin(F.broadcast(obs))
+        .groupBy("n_days", "observed_micro")
+        .agg(
+            F.max(
+                F.when(F.col("mr") == BOOT_LO_RANK, F.col("mean_micro"))
+            ).alias("lo"),
+            F.max(
+                F.when(F.col("mr") == BOOT_HI_RANK, F.col("mean_micro"))
+            ).alias("hi"),
+        )
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.lit(BOOT_B).cast("long").alias("b_replicas"),
+            F.col("observed_micro").cast("long").alias("observed_micro"),
+            F.col("lo").cast("long").alias("ci_lo_micro"),
+            F.col("hi").cast("long").alias("ci_hi_micro"),
+        )
+    )

@@ -1221,3 +1221,93 @@ class TestZorderKey:
             for a, b in zip(by_x, by_x[1:])
         ) / (len(by_x) - 1)
         assert jump_z < jump_x
+
+
+class TestModularityScore:
+    def test_python_replica_and_q(self, spark, sf_dir):
+        from fractions import Fraction
+
+        from caliper_poc_data_etl_spark.queries.round6 import _LP_GEN
+        from caliper_poc_data_etl_spark.queries.round8 import MOD_MICRO
+
+        rows = _duck("SELECT vec_id, label FROM embeddings", sf_dir)
+        lab = dict(rows)
+        ids = list(lab)
+        n = len(ids)
+        eu = set()
+        for i in ids:
+            for a, b in _LP_GEN:
+                j = (i * a + b) % n
+                if i != j:
+                    eu.add((i, j))
+        both = eu | {(d, s) for s, d in eu}
+        T = len(both)
+        within = {}
+        degsum = {}
+        for s, d in both:
+            c = lab[s]
+            degsum[c] = degsum.get(c, 0) + 1
+            if lab[s] == lab[d]:
+                within[c] = within.get(c, 0) + 1
+        nc = {}
+        for i in ids:
+            nc[lab[i]] = nc.get(lab[i], 0) + 1
+        expect = {}
+        q_exact = Fraction(0)
+        for c in degsum:
+            w = within.get(c, 0)
+            num = MOD_MICRO * (T * w - degsum[c] ** 2)
+            expect[c] = (nc[c], w, degsum[c], num // (T * T))
+            q_exact += Fraction(T * w - degsum[c] ** 2, T * T)
+        got = {
+            r["label"]: (
+                r["n_nodes"], r["within_both"], r["deg_sum"],
+                r["contrib_micro"],
+            )
+            for r in QUERIES["graph_modularity_score"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # Q is a valid modularity: within [-1, 1]
+        assert -1 <= q_exact <= 1
+
+
+class TestBootstrapCi:
+    def test_python_replica(self, spark, sf_dir):
+        import hashlib
+        import math
+
+        from caliper_poc_data_etl_spark.queries.round8 import (
+            BOOT_B,
+            BOOT_HI_RANK,
+            BOOT_LO_RANK,
+            BOOT_MICRO,
+        )
+
+        rows = _duck(
+            "SELECT CAST(ts AS DATE), value FROM events", sf_dir
+        )
+        daily = {}
+        for d, v in rows:
+            daily[d] = daily.get(d, 0) + math.floor(v * 100 + 0.5)
+        vals = [daily[d] for d in sorted(daily)]
+        n = len(vals)
+        means = []
+        for b in range(BOOT_B):
+            tot = 0
+            for i in range(n):
+                pick = int(
+                    hashlib.md5(f"{b}_{i}".encode()).hexdigest()[:10], 16
+                ) % n
+                tot += vals[pick]
+            means.append(((tot * BOOT_MICRO) // n, b))
+        means.sort()
+        lo = means[BOOT_LO_RANK - 1][0]
+        hi = means[BOOT_HI_RANK - 1][0]
+        obs = (sum(vals) * BOOT_MICRO) // n
+        [r] = QUERIES["ml_bootstrap_ci_mean"].spark(spark, sf_dir).collect()
+        assert (
+            r["n_days"], r["b_replicas"], r["observed_micro"],
+            r["ci_lo_micro"], r["ci_hi_micro"],
+        ) == (n, BOOT_B, obs, lo, hi)
+        # a real interval: lo < hi and the observed mean inside it
+        assert lo < hi and lo <= obs <= hi

@@ -95,6 +95,10 @@ EXPECTED_SCALAR_BNLJ.add("ml_ab_chi2_outcome")
 EXPECTED_SCALAR_BNLJ.add("ml_pr_curve_points")
 # broadcast 1-row token-budget scalar.
 EXPECTED_SCALAR_BNLJ.add("mix_token_budget_fill")
+# broadcast 1-row T (both-ways edge count) scalar.
+EXPECTED_SCALAR_BNLJ.add("graph_modularity_score")
+# broadcast 1-row series-length + observed-mean scalars.
+EXPECTED_SCALAR_BNLJ.add("ml_bootstrap_ci_mean")
 # bounded-calendar daily series × broadcast 8-row lag table.
 EXPECTED_NLJ.add("ts_xcorr_lag_scan")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
