@@ -407,6 +407,7 @@ _NEXT: list[str] = [
     "fn_zorder_key",
     "graph_modularity_score",
     "ml_bootstrap_ci_mean",
+    "er_blocking_quality_report",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from caliper_poc_data_etl_spark.queries.registry import query, t
+from caliper_poc_data_etl_spark.queries.round7 import _soundex_sql
 
 # ---------------------------------------------------------------------------
 # MMR diverse exemplar selection
@@ -3015,4 +3016,109 @@ def ml_bootstrap_ci_mean(spark, sf_dir):
             F.col("lo").cast("long").alias("ci_lo_micro"),
             F.col("hi").cast("long").alias("ci_hi_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocking-quality report (reduction ratio / pairs completeness)
+# ---------------------------------------------------------------------------
+
+BLKQ_LEV = 2  # ground-truth match: levenshtein <= 2
+
+
+@query(
+    "er_blocking_quality_report",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        UNION ALL
+        SELECT unnest(string_split(p_name, ' ')) AS w FROM part)
+      WHERE length(w) >= 3
+    ),
+    coded AS (SELECT w, {{SDX}} AS sdx FROM vocab),
+    allp AS (
+      SELECT a.w AS w1, b.w AS w2,
+             levenshtein(a.w, b.w) <= {BLKQ_LEV} AS is_match,
+             a.sdx = b.sdx AS same_block
+      FROM coded a JOIN coded b ON a.w < b.w
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_all,
+             SUM(CASE WHEN same_block THEN 1 ELSE 0 END) AS n_cand,
+             SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_true,
+             SUM(CASE WHEN is_match AND same_block THEN 1 ELSE 0 END)
+               AS n_found
+      FROM allp
+    ),
+    nv AS (SELECT COUNT(*) AS n_words FROM vocab)
+    SELECT CAST(nv.n_words AS BIGINT) AS n_words,
+           CAST(n_all AS BIGINT) AS n_all_pairs,
+           CAST(n_cand AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT) AS n_true_matches,
+           CAST(n_found AS BIGINT) AS n_found_in_block,
+           CAST((n_all - n_cand) * 1000000 // n_all AS BIGINT)
+             AS reduction_micro,
+           CAST(CASE WHEN n_true > 0
+                     THEN n_found * 1000000 // n_true ELSE -1 END
+                AS BIGINT) AS recall_micro
+    FROM agg CROSS JOIN nv
+    """.replace("{SDX}", _soundex_sql("w")),
+)
+def er_blocking_quality_report(spark, sf_dir):
+    """Blocking-quality report — the evaluation EVERY entity-
+    resolution blocking scheme needs before it ships: REDUCTION RATIO
+    (what fraction of the n² comparison space the blocks eliminate)
+    and PAIRS COMPLETENESS (what fraction of true matches land in
+    the same block, i.e. blocking recall), graded against exact
+    ground truth (all-pairs levenshtein ≤ 2 — the deliberately
+    quadratic oracle baseline over the bounded vocabulary universe,
+    the same posture as ``dedup_ngram_jaccard`` for MinHash). Here
+    the Soundex scheme of ``er_soundex_block`` is the scheme under
+    test. Both ratios are floor-micro integers. At 100 TB the
+    report runs on a SAMPLE of the universe (ground truth is
+    quadratic by definition); the blocked pipeline itself never
+    pays n² — that is exactly what the reduction ratio quantifies."""
+    docs = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    parts = t(spark, sf_dir, "part").select(
+        F.explode(F.split(F.col("p_name"), " ")).alias("w")
+    )
+    vocab = docs.unionByName(parts).filter(F.length("w") >= 3).distinct()
+    coded = vocab.select("w", F.expr(_soundex_sql("w")).alias("sdx"))
+    a = coded.select(F.col("w").alias("w1"), F.col("sdx").alias("s1"))
+    b = coded.select(F.col("w").alias("w2"), F.col("sdx").alias("s2"))
+    allp = (
+        a.join(b, F.col("w1") < F.col("w2"))
+        .select(
+            (F.levenshtein("w1", "w2") <= BLKQ_LEV).alias("is_match"),
+            (F.col("s1") == F.col("s2")).alias("same_block"),
+        )
+    )
+    nv = vocab.agg(F.count(F.lit(1)).alias("n_words"))
+    agg = allp.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("same_block"), 1).otherwise(0)).alias("n_cand"),
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0)).alias("n_true"),
+        F.sum(
+            F.when(F.col("is_match") & F.col("same_block"), 1).otherwise(0)
+        ).alias("n_found"),
+    )
+    return agg.crossJoin(F.broadcast(nv)).select(
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_all").cast("long").alias("n_all_pairs"),
+        F.col("n_cand").cast("long").alias("n_candidates"),
+        F.col("n_true").cast("long").alias("n_true_matches"),
+        F.col("n_found").cast("long").alias("n_found_in_block"),
+        F.expr("(n_all - n_cand) * 1000000 div n_all")
+        .cast("long")
+        .alias("reduction_micro"),
+        F.when(
+            F.col("n_true") > 0,
+            F.expr("n_found * 1000000 div n_true"),
+        )
+        .otherwise(-1)
+        .cast("long")
+        .alias("recall_micro"),
     )

@@ -1311,3 +1311,70 @@ class TestBootstrapCi:
         ) == (n, BOOT_B, obs, lo, hi)
         # a real interval: lo < hi and the observed mean inside it
         assert lo < hi and lo <= obs <= hi
+
+
+class TestBlockingQuality:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round8 import BLKQ_LEV
+
+        rows = _duck(
+            "SELECT DISTINCT w FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS w FROM documents "
+            "UNION ALL "
+            "SELECT unnest(string_split(p_name, ' ')) AS w FROM part) "
+            "WHERE length(w) >= 3",
+            sf_dir,
+        )
+        words = sorted(r[0] for r in rows)
+
+        def soundex(w):
+            # replica of _soundex_sql: translate + per-digit collapse,
+            # H/W treated as vowels (run separators)
+            table = {}
+            for chars, d in (
+                ("BFPV", "1"), ("CGJKQSXZ", "2"), ("DT", "3"), ("L", "4"),
+                ("MN", "5"), ("R", "6"), ("AEIOUYHW", "0"),
+            ):
+                for ch in chars:
+                    table[ch] = d
+            up = w.upper()
+            coded = "".join(table.get(c, c) for c in up)
+            import re as _re
+
+            for d in range(7):
+                coded = _re.sub(f"{d}{{2,}}", str(d), coded)
+            tail = coded[1:].replace("0", "")
+            return up[0] + (tail[:3].ljust(3, "0"))
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(
+                        prev[j] + 1, cur[-1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    ))
+                prev = cur
+            return prev[-1]
+
+        sdx = {w: soundex(w) for w in words}
+        n_all = n_cand = n_true = n_found = 0
+        for i, w1 in enumerate(words):
+            for w2 in words[i + 1:]:
+                n_all += 1
+                same = sdx[w1] == sdx[w2]
+                match = lev(w1, w2) <= BLKQ_LEV
+                n_cand += same
+                n_true += match
+                n_found += match and same
+        [r] = QUERIES["er_blocking_quality_report"].spark(spark, sf_dir).collect()
+        assert (
+            r["n_words"], r["n_all_pairs"], r["n_candidates"],
+            r["n_true_matches"], r["n_found_in_block"],
+        ) == (len(words), n_all, n_cand, n_true, n_found)
+        assert r["reduction_micro"] == (n_all - n_cand) * 1_000_000 // n_all
+        if n_true:
+            assert r["recall_micro"] == n_found * 1_000_000 // n_true
+        # a USEFUL blocking: massive reduction with non-trivial recall
+        assert r["reduction_micro"] > 900_000

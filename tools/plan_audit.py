@@ -97,6 +97,10 @@ EXPECTED_SCALAR_BNLJ.add("ml_pr_curve_points")
 EXPECTED_SCALAR_BNLJ.add("mix_token_budget_fill")
 # broadcast 1-row T (both-ways edge count) scalar.
 EXPECTED_SCALAR_BNLJ.add("graph_modularity_score")
+# deliberately quadratic exact ground-truth over the BOUNDED vocab
+# universe (the dedup_ngram_jaccard posture) — the report's whole
+# point is to grade the blocking scheme against all-pairs truth.
+EXPECTED_NLJ.add("er_blocking_quality_report")
 # broadcast 1-row series-length + observed-mean scalars.
 EXPECTED_SCALAR_BNLJ.add("ml_bootstrap_ci_mean")
 # bounded-calendar daily series × broadcast 8-row lag table.
