@@ -408,6 +408,7 @@ _NEXT: list[str] = [
     "graph_modularity_score",
     "ml_bootstrap_ci_mean",
     "er_blocking_quality_report",
+    "fn_business_days_pack",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

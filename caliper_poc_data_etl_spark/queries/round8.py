@@ -3122,3 +3122,83 @@ def er_blocking_quality_report(spark, sf_dir):
         .cast("long")
         .alias("recall_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Business-day arithmetic pack (closed-form, calendar-free)
+# ---------------------------------------------------------------------------
+
+_BD_ANCHOR = "1992-01-06"  # a Monday; dow = days-since-anchor mod 7
+BD_ADD_N = 5
+
+
+@query(
+    "fn_business_days_pack",
+    oracle=f"""
+    WITH d AS (
+      SELECT o_orderkey, CAST(o_orderdate AS DATE) AS day,
+             CAST(o_orderdate AS DATE)
+               + INTERVAL ((o_orderkey % 20) + 1) DAY AS ship,
+             date_diff('day', DATE '{_BD_ANCHOR}',
+                       CAST(o_orderdate AS DATE)) AS n,
+             date_diff('day', DATE '{_BD_ANCHOR}',
+                       CAST(o_orderdate AS DATE)
+                         + INTERVAL ((o_orderkey % 20) + 1) DAY) AS ns
+      FROM orders
+    )
+    SELECT o_orderkey,
+           strftime(day, '%Y-%m-%d') AS day,
+           CAST(n % 7 AS BIGINT) AS dow,
+           n % 7 < 5 AS is_business,
+           strftime(day + to_days(CAST(CASE
+             WHEN n % 7 = 4 THEN 3 WHEN n % 7 = 5 THEN 2 ELSE 1
+           END AS INT)), '%Y-%m-%d') AS next_business,
+           CAST((5 * ((ns // 7)) + least(ns % 7, 5))
+                - (5 * ((n // 7)) + least(n % 7, 5)) AS BIGINT)
+             AS bdays_to_ship
+    FROM d
+    """,
+)
+def fn_business_days_pack(spark, sf_dir):
+    """Business-day arithmetic — the SLA/settlement-date family every
+    BI layer needs, done CLOSED-FORM (no calendar table, no loop):
+    with n = days since a known anchor Monday, B(d) = 5·(n div 7) +
+    min(n mod 7, 5) counts business days from the anchor, so
+    business-days-between(a, b) = B(b) − B(a) is pure integer
+    arithmetic, exact for any span; next-business-day is a 3-case
+    dow jump (Fri→+3, Sat→+2, else +1). All quantities non-negative
+    so div semantics agree engine-to-engine; holidays would enter as
+    a broadcast calendar-dim join exactly like
+    ``ts_calendar_dim_join`` — deliberately out of this closed form.
+    Zero-shuffle projection over the scan."""
+    o = t(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    ship = F.date_add(day, (F.col("o_orderkey") % 20 + 1).cast("int"))
+    n = F.datediff(day, F.lit(_BD_ANCHOR))
+    ns = F.datediff(ship, F.lit(_BD_ANCHOR))
+    dow = n % 7
+    bindex = lambda m: 5 * F.expr(  # noqa: E731
+        f"({m}) div 7"
+    ) + F.least(F.expr(f"({m}) % 7"), F.lit(5))
+    jump = (
+        F.when(dow == 4, 3).when(dow == 5, 2).otherwise(1)
+    )
+    d = o.select(
+        "o_orderkey",
+        day.alias("day_d"),
+        n.alias("n"),
+        ns.alias("ns"),
+        dow.alias("dow_i"),
+        jump.alias("jump"),
+    )
+    return d.select(
+        "o_orderkey",
+        F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+        F.col("dow_i").cast("long").alias("dow"),
+        (F.col("dow_i") < 5).alias("is_business"),
+        F.date_format(
+            F.date_add(F.col("day_d"), F.col("jump").cast("int")),
+            "yyyy-MM-dd",
+        ).alias("next_business"),
+        (bindex("ns") - bindex("n")).cast("long").alias("bdays_to_ship"),
+    )

@@ -1378,3 +1378,53 @@ class TestBlockingQuality:
             assert r["recall_micro"] == n_found * 1_000_000 // n_true
         # a USEFUL blocking: massive reduction with non-trivial recall
         assert r["reduction_micro"] > 900_000
+
+
+class TestBusinessDaysPack:
+    def test_python_replica(self, spark, sf_dir):
+        import datetime
+
+        from caliper_poc_data_etl_spark.queries.round8 import _BD_ANCHOR
+
+        anchor = datetime.date.fromisoformat(_BD_ANCHOR)
+        rows = _duck(
+            "SELECT o_orderkey, CAST(o_orderdate AS DATE) FROM orders",
+            sf_dir,
+        )
+
+        def bindex(d):
+            n = (d - anchor).days
+            return 5 * (n // 7) + min(n % 7, 5)
+
+        expect = {}
+        for k, d in rows:
+            ship = d + datetime.timedelta(days=(k % 20) + 1)
+            dow = (d - anchor).days % 7
+            jump = 3 if dow == 4 else (2 if dow == 5 else 1)
+            expect[k] = (
+                d.isoformat(),
+                dow,
+                dow < 5,
+                (d + datetime.timedelta(days=jump)).isoformat(),
+                bindex(ship) - bindex(d),
+            )
+        got = {
+            r["o_orderkey"]: (
+                r["day"], r["dow"], r["is_business"],
+                r["next_business"], r["bdays_to_ship"],
+            )
+            for r in QUERIES["fn_business_days_pack"].spark(spark, sf_dir).collect()
+        }
+        assert got == expect
+        # semantic checks: B() agrees with brute-force weekday count,
+        # and next_business is always a business day after the date
+        for k, d in rows[:200]:
+            ship = d + datetime.timedelta(days=(k % 20) + 1)
+            brute = sum(
+                1
+                for i in range((ship - d).days)
+                if (d + datetime.timedelta(days=i)).weekday() < 5
+            )
+            assert got[k][4] == brute
+            nb = datetime.date.fromisoformat(got[k][3])
+            assert nb > d and nb.weekday() < 5
