@@ -409,6 +409,7 @@ _NEXT: list[str] = [
     "ml_bootstrap_ci_mean",
     "er_blocking_quality_report",
     "fn_business_days_pack",
+    "join_asof_forward",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

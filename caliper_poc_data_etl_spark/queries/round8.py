@@ -3202,3 +3202,66 @@ def fn_business_days_pack(spark, sf_dir):
         ).alias("next_business"),
         (bindex("ns") - bindex("n")).cast("long").alias("bdays_to_ship"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (next-event lookup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH purchases AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         views AS (SELECT * FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS next_view_ts
+    FROM purchases p
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """FORWARD as-of join — each purchase matched to the user's
+    nearest FOLLOWING view (post-purchase behavior: the re-engagement
+    / remarketing-window lookup), completing the as-of family
+    (``join_asof`` backward, ``_tolerance``, ``_nearest``). The
+    oracle states DuckDB's native forward ASOF (p.ts <= v.ts picks
+    the smallest following v.ts); the engine runs the same
+    single-shuffle windowed-union plan as the backward form with the
+    frame REVERSED: first-non-null over (current row →
+    UNBOUNDED FOLLOWING) within the user partition, purchases
+    ordering BEFORE views on equal ts so an exactly-simultaneous view
+    matches (ASOF's <= semantics). One shuffle total, never the
+    quadratic per-user pair materialization of the native
+    ``_joinAsOf`` rewrite."""
+    e = t(spark, sf_dir, "events")
+    stream = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", 0).otherwise(1).alias("tag"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (
+        stream.withColumn(
+            "next_view_raw",
+            F.first(
+                F.when(F.col("event_type") == "view", F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.date_format("ts", fmt).alias("purchase_ts"),
+            F.date_format("next_view_raw", fmt).alias("next_view_ts"),
+        )
+    )

@@ -1428,3 +1428,44 @@ class TestBusinessDaysPack:
             assert got[k][4] == brute
             nb = datetime.date.fromisoformat(got[k][3])
             assert nb > d and nb.weekday() < 5
+
+
+class TestAsofForward:
+    def test_python_replica(self, spark, sf_dir):
+        rows = _duck(
+            "SELECT user_id, ts, event_id, event_type FROM events "
+            "WHERE event_type IN ('view','purchase')",
+            sf_dir,
+        )
+        by_user = {}
+        for uid, ts, eid, et in rows:
+            by_user.setdefault(uid, []).append((ts, eid, et))
+        expect = {}
+        for uid, evs in by_user.items():
+            evs.sort()
+            views = [(ts, eid) for ts, eid, et in evs if et == "view"]
+            for ts, eid, et in evs:
+                if et != "purchase":
+                    continue
+                nxt = next((vts for vts, _ in views if vts >= ts), None)
+                expect[eid] = (uid, nxt)
+        got = {
+            r["event_id"]: (
+                r["user_id"],
+                r["next_view_ts"],
+            )
+            for r in QUERIES["join_asof_forward"].spark(spark, sf_dir).collect()
+        }
+        fmt = "%Y-%m-%d %H:%M:%S.%f"
+        for eid, (uid, nxt) in expect.items():
+            guid, gts = got[eid]
+            assert guid == uid
+            if nxt is None:
+                assert gts is None
+            else:
+                assert gts == nxt.strftime(fmt)
+        assert set(got) == set(expect)
+        # the forward direction is real: some purchase has no later
+        # view (NULL) and some does
+        vals = [v[1] for v in got.values()]
+        assert any(v is None for v in vals) and any(v is not None for v in vals)
