@@ -869,7 +869,10 @@ def ts_theil_sen_slope(spark, sf_dir):
         F.row_number().over(wspec).alias("rn"),
         F.count(F.lit(1)).over(W.partitionBy("event_type")).alias("cnt"),
     )
-    return ranked.filter(F.col("rn") == (F.col("cnt") + 1) / 2).select(
+    # Integer floor division, mirroring the oracle's (cnt + 1) // 2:
+    # Column `/` is true (double) division, so an even pair count would
+    # match no row and silently drop the series.
+    return ranked.filter(F.col("rn") == F.expr("(cnt + 1) div 2")).select(
         "event_type",
         F.col("cnt").cast("long").alias("n_pairs"),
         F.col("dy").cast("long").alias("med_dy"),

@@ -1996,11 +1996,12 @@ REG_LAG = 7  # seasonal-naive predictor: y(d-7)
            CAST(sae * 1000000 // n AS BIGINT) AS mae_micro,
            CAST(n * syy - sy * sy AS BIGINT) AS ss_tot_n,
            CAST((n * syy - sy * sy) - n * sse AS BIGINT) AS r2_num,
-           CAST((((n * syy - sy * sy) - n * sse) * 1000
+           CAST(CASE WHEN n * syy - sy * sy = 0 THEN NULL ELSE
+                (((n * syy - sy * sy) - n * sse) * 1000
                  - (((((n * syy - sy * sy) - n * sse) * 1000)
                      % (n * syy - sy * sy) + (n * syy - sy * sy))
                     % (n * syy - sy * sy)))
-                // (n * syy - sy * sy) AS BIGINT) AS r2_milli
+                // (n * syy - sy * sy) END AS BIGINT) AS r2_milli
     FROM agg
     """,
 )
@@ -2046,9 +2047,13 @@ def ml_regression_metrics(spark, sf_dir):
         F.expr("n * syy - sy * sy").cast("long").alias("ss_tot_n"),
         F.expr("(n * syy - sy * sy) - n * sse").cast("long").alias("r2_num"),
         F.expr(
+            # A series whose daily totals are all equal makes the
+            # total-variance denominator 0 — R² is undefined there, so
+            # emit NULL instead of erroring under ANSI division.
+            "CASE WHEN n * syy - sy * sy = 0 THEN NULL ELSE "
             "(((n * syy - sy * sy) - n * sse) * 1000 "
             "- pmod((((n * syy - sy * sy) - n * sse) * 1000), "
-            "(n * syy - sy * sy))) div (n * syy - sy * sy)"
+            "(n * syy - sy * sy))) div (n * syy - sy * sy) END"
         ).cast("long").alias("r2_milli"),
     )
 
@@ -2232,9 +2237,15 @@ def graph_personalized_pagerank(spark, sf_dir):
       FROM cells
     ),
     stat AS (
+      -- 128-bit accumulation (HUGEINT here, DECIMAL(38,0) Spark-side):
+      -- num = T*(ad-bc)^2 ~ N^5/16 overflows BIGINT at ~3500 users;
+      -- int128 holds it to ~7e7 users (beyond sf100).
       SELECT a, b, c, d,
-             (a + b + c + d) * (a * d - b * c) * (a * d - b * c) AS num,
-             (a + b) * (c + d) * (a + c) * (b + d) AS den
+             (CAST(a AS HUGEINT) + b + c + d)
+               * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c)
+               * (CAST(a AS HUGEINT) * d - CAST(b AS HUGEINT) * c) AS num,
+             (CAST(a AS HUGEINT) + b) * (CAST(c AS HUGEINT) + d)
+               * (CAST(a AS HUGEINT) + c) * (CAST(b AS HUGEINT) + d) AS den
       FROM tab
     )
     SELECT CAST(a AS BIGINT) AS conv_a, CAST(b AS BIGINT) AS nonconv_a,
@@ -2258,11 +2269,12 @@ def ml_ab_chi2_outcome(spark, sf_dir):
     exact median both engines share)
     Pearson's 2×2 chi-square T·(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) as an
     EXACT integer micro-unit value via two-step long division
-    (quotient·1e6 + remainder·1e6 div den — the single-multiply form
-    overflows BIGINT at ~2e21; the split keeps every term under 1e19,
-    stated identically on both engines). All terms non-negative, so
-    no floor identity needed; 3.841459 (χ²₁ at 0.05) is the shared
-    literal. Plan: two distinct-projections, one left join on
+    (quotient·1e6 + remainder·1e6 div den) over 128-bit accumulators
+    — DECIMAL(38,0) Spark-side, HUGEINT oracle-side — because
+    num = T·(ad−bc)² grows as N⁵/16 and overflows BIGINT at only
+    ~3500 users (~sf1); 38 digits hold it to ~7e7 users (>sf100).
+    All terms non-negative, so no floor identity needed; 3.841459
+    (χ²₁ at 0.05) is the shared literal. Plan: two distinct-projections, one left join on
     user_id, a 4-cell pivot — integer end-to-end."""
     e = t(spark, sf_dir, "events")
     assigned = (
@@ -2314,8 +2326,14 @@ def ml_ab_chi2_outcome(spark, sf_dir):
         F.max(F.when(F.col("variant") == "B", F.col("conv"))).alias("c"),
         F.max(F.when(F.col("variant") == "B", F.col("nonconv"))).alias("d"),
     )
-    num = "((a + b + c + d) * (a * d - b * c) * (a * d - b * c))"
-    den = "((a + b) * (c + d) * (a + c) * (b + d))"
+    # 128-bit accumulation via DECIMAL(38,0) (the dq_table_checksum
+    # recipe; DuckDB side uses HUGEINT): T*(ad-bc)^2 overflows BIGINT
+    # at ~3500 users (~sf1) — decimal holds to ~7e7 users.
+    da, db, dc, dd = (
+        f"CAST({x} AS DECIMAL(38,0))" for x in ("a", "b", "c", "d")
+    )
+    num = f"(({da}+{db}+{dc}+{dd}) * ({da}*{dd} - {db}*{dc}) * ({da}*{dd} - {db}*{dc}))"
+    den = f"(({da}+{db}) * ({dc}+{dd}) * ({da}+{dc}) * ({db}+{dd}))"
     chi2 = F.expr(
         f"CASE WHEN {den} = 0 THEN 0 ELSE "
         f"({num} div {den}) * 1000000 "
