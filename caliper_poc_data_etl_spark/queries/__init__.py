@@ -45,6 +45,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     round6,
     round7,
     round8,
+    round9,
 )
 
 # ---------------------------------------------------------------------------
@@ -266,84 +267,83 @@ _DEFERRED = [
     "embed_dim_variance",
     "text_bigram_lm",
     "text_tokenize_vocab_ids",
+    # green in r05 (CORRECTNESS_r05: 50/50), implementation unchanged
+    # since:
+    "q3_top_revenue",
+    "unpivot_measures",
+    "sql_q3_shipping_priority",
+    "join_asof_tolerance",
+    "join_point_in_time_scd2",
+    "join_asof_nearest",
+    "window_running_distinct",
+    "window_max_drawdown",
+    "fn_url_pack",
+    "fn_higher_order_pack",
+    "sim_pairwise_label_stats",
+    "sim_pq_code_parity",
+    "embed_top_pc_power_iter",
+    "dedup_minhash_jaccard_estimate",
+    "dedup_keep_longest",
+    "text_perplexity_proxy",
+    "text_boilerplate_shingle_ratio",
+    "text_bm25_topk",
+    "ts_resample_linear_interp",
+    "ts_ewma_smoothing",
+    "ts_cusum_changepoint",
+    "window_longest_streak",
+    "ts_event_sequence_pattern",
+    "ts_seasonal_decompose",
+    "ts_acf_autocorrelation",
+    "ts_seasonal_naive_forecast",
+    "stream_topk_per_window_replay",
+    "stream_foreachbatch_upsert",
+    "mm_ahash_hamming_neardup",
+    "mm_video_scene_cuts",
+    "scan_schema_evolution",
+    "scan_text_source",
+    "scan_xml_source",
+    "sample_time_holdout",
+    "dq_k_anonymity",
+    "er_blocked_name_match",
+    "agg_countmin_heavy_hitters",
+    "sql_recursive_cte_bfs",
+    "graph_common_neighbors",
+    "agg_bloom_filter_membership",
+    "dq_constraint_check",
+    "agg_moments_pack",
+    "agg_gini_concentration",
+    "agg_percentile_disc_pack",
+    "fn_regex_all_pack",
+    "agg_incremental_merge",
+    "ml_ols_two_feature",
+    "text_bpe_tokenize",
+    "embed_kmeans_assign",
+    "q3_bucketed_top_revenue",
 ]
 
-# Round-5 graded window: the whole r4 `_NEXT` queue (43 operators) is
-# now IN the front-50, together with the 4 MUST-REGRADEs hardened
-# after their green rows (q3_top_revenue, sql_q3_shipping_priority,
-# unpivot_measures, sim_pairwise_label_stats) and this round's new
-# operators (subword BPE tokenization, k-means semantic-dedup parity,
-# bucketed q3) — r4-window greens moved to _DEFERRED. `_NEXT` is the
-# rotation queue for operators that do not fit the current window;
-# it is empty when the declared surface fits (each future entry lands
-# here WITH semantic pytest evidence and a local check_oracle green
-# before it is queued).
+# Round-6 graded window (the r5 rotation plan, executed): the head-49
+# of the r5 `_NEXT` queue is now the front of the registry, joined by
+# this round's `sim_ivfpq_recall_vs_exact` (the VERDICT-r5 demand for
+# graded IVF+PQ recall evidence — hash-parity twin of the rows-only
+# `sim_ivfpq_topk`, which itself sits in this window). The 50th queue
+# entry (`sample_stratified_fixed_n`) was bumped to the head of
+# `_NEXT` to make room and leads the round-7 window. r5-window greens
+# moved to `_DEFERRED`.
 #
-# ROUND-6 ROTATION PLAN (execute at the start of round 6): move the
-# FIRST 50 entries of this `_NEXT` queue into the front-50 and defer
-# the r5-window greens to `_DEFERRED`; the queue (101 entries at end
-# of round 5 — the round kept building past two windows) spans three
-# grading windows, so the remainder stays queued for rounds 7-8 in
-# the same order. Every entry below is locally certified — oracle
-# hash-green at sf0.001/sf0.01/sf0.1 in vanilla sessions (earlier
-# entries also in default sessions), python/numpy-replica pytest
-# evidence (tests/test_round6_ops.py, tests/test_round6b_ops.py,
-# tests/test_round7_ops.py, tests/test_round8_ops.py), plan_audit
-# clean, and a K=100 (~sf10) soak line recorded in NOTES_r05.md with
-# nothing superlinear (join_interval_overlap carries a K=10 line +
-# the documented clone-tiling caveat instead). There are no known
-# MUST-REGRADEs from the r5 window at queue time (nothing in the
-# front-50 was re-implemented after certification).
+# `_NEXT` holds 65 carried-over entries + this round's additions (the
+# r5 round kept building past two windows; the backlog drains over
+# rounds 7-8 in order). Every carried entry is locally certified —
+# oracle hash-green at sf0.001/sf0.01/sf0.1 in vanilla sessions,
+# python/numpy-replica pytest evidence (tests/test_round6_ops.py,
+# tests/test_round6b_ops.py, tests/test_round7_ops.py,
+# tests/test_round8_ops.py), plan_audit clean, and a K=100 (~sf10)
+# soak line in NOTES_r05.md with nothing superlinear
+# (join_interval_overlap carries a K=10 line + the documented
+# clone-tiling caveat instead). Three tail entries were re-certified
+# after their ADVICE-r5 hardening (ts_theil_sen_slope,
+# ml_ab_chi2_outcome, ml_regression_metrics —
+# tests/test_advice_r6_fixes.py); none had a driver row to invalidate.
 _NEXT: list[str] = [
-    "embed_kmeans_representatives",
-    "q21_sole_late_supplier",
-    "agg_two_level_count_distinct",
-    "text_bpe_pair_stats",
-    "dq_benford_digits",
-    "graph_sssp_bellman_ford",
-    "dq_table_checksum",
-    "agg_kmv_distinct_sketch",
-    "sample_sequential_poisson",
-    "ml_naive_bayes_train",
-    "window_rolling_median",
-    "dq_referential_integrity",
-    "dq_snapshot_diff",
-    "mm_audio_silence_segments",
-    "graph_label_propagation",
-    "stream_scd2_replay",
-    "embed_prefix_nn_fidelity",
-    "agg_kmv_set_ops",
-    "ts_lttb_downsample",
-    "sim_ivfpq_topk",
-    "ml_confusion_eval",
-    "text_paragraph_dedup_ratio",
-    "er_survivorship_golden_record",
-    "mix_epoch_oversample",
-    "dq_freshness_lag",
-    "join_interval_bucketed",
-    "ml_auc_rank_eval",
-    "ml_calibration_bins",
-    "graph_kcore_decompose",
-    "ts_hypertable_rollup",
-    "ts_trend_mann_kendall",
-    "ts_peak_detection",
-    "agg_weighted_median",
-    "decontam_bloom_ngram",
-    "window_hampel_outliers",
-    "curation_funnel_report",
-    "agg_log2_histogram",
-    "ts_backtest_wape",
-    "training_batch_manifest",
-    "dedup_cross_source_priority",
-    "stream_distinct_users_replay",
-    "graph_clustering_coeff",
-    "dq_drift_bins",
-    "scan_binary_files",
-    "fn_variant_pack",
-    "udtf_sentence_split",
-    "sql_pipe_syntax",
-    "fn_collation_pack",
-    "join_lateral_topk",
     "sample_stratified_fixed_n",
     "ts_xcorr_lag_scan",
     "ml_mrr_eval",

@@ -833,6 +833,11 @@ def _scd2_replay(spark, sf_dir, max_files_per_trigger=None, glob="events.parquet
     # availableNow terminates once the staged files drain; waiting
     # without a timeout avoids grading partial state under throttling.
     q.awaitTermination()
+    from caliper_poc_data_etl_spark.streaming.events import (
+        record_stream_progress,
+    )
+
+    record_stream_progress("stream_scd2_replay", q)
     state = spark.read.parquet(state_dir)
     return state.select(
         "user_id",

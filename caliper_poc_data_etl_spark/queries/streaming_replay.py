@@ -379,6 +379,11 @@ def _foreachbatch_upsert(
     # silently grade a partially-merged state table under host
     # throttling — wait without a timeout instead.
     q.awaitTermination()
+    from caliper_poc_data_etl_spark.streaming.events import (
+        record_stream_progress,
+    )
+
+    record_stream_progress("stream_foreachbatch_upsert", q)
     state = spark.read.parquet(state_dir)
     return state.filter(F.col("event_type") != "error").select(
         "user_id",

@@ -22,6 +22,23 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 _replay_counter = itertools.count()
 
+# Progress trace of finished replays, keyed by memory-sink/query name.
+# Populated by record_stream_progress() after each replay terminates;
+# tools/stream_audit.py reads it to grade the streaming surface's
+# PLANS (state operators, watermark, input completeness), not just the
+# answers. Bounded: cleared by the audit between queries.
+RECENT_STREAM_PROGRESS: dict[str, list[dict]] = {}
+
+
+def record_stream_progress(name: str, q) -> None:
+    """Stash a terminated StreamingQuery's progress history for
+    auditing. ``recentProgress`` covers every micro-batch of an
+    availableNow replay at this scale (default retention 100)."""
+    try:
+        RECENT_STREAM_PROGRESS[name] = [dict(p) for p in q.recentProgress]
+    except Exception:  # noqa: BLE001 — audit trace must never fail a replay
+        RECENT_STREAM_PROGRESS[name] = []
+
 
 def read_event_stream(
     spark: SparkSession,
@@ -200,6 +217,7 @@ def replay_to_df(
         raise RuntimeError(
             f"streaming replay {name!r} did not finish within {timeout_s}s"
         )
+    record_stream_progress(name, q)
     return stream_df.sparkSession.table(name)
 
 

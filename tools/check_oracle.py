@@ -58,6 +58,9 @@ def _canon(rows: list[tuple], colnames: list[str]) -> list[tuple]:
 def main() -> int:
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
+    json_out = next(
+        (a.split("=", 1)[1] for a in args if a.startswith("--json=")), None
+    )
     filters = [a for a in args if not a.startswith("--")]
     import __spark_entry__ as entrymod
 
@@ -85,6 +88,7 @@ def main() -> int:
 
     n_pass = n_fail = n_rowsonly = 0
     failures: list[str] = []
+    results: dict[str, dict] = {}
     for name, fn in sorted(qs.items()):
         t0 = time.time()
         try:
@@ -95,10 +99,20 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
             failures.append(name)
+            results[name] = {
+                "status": "fail",
+                "detail": f"spark error: {exc}"[:500],
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         if name not in oracles:
             print(f"rows-only  {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
+            results[name] = {
+                "status": "rows-only",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         try:
             res = con.execute(oracles[name])
@@ -108,6 +122,11 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
             failures.append(name)
+            results[name] = {
+                "status": "fail",
+                "detail": f"duckdb error: {exc}"[:500],
+                "sec": round(time.time() - t0, 2),
+            }
             continue
         problems = []
         if sorted(scols) != sorted(dcols):
@@ -132,14 +151,39 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
             failures.append(name)
+            results[name] = {
+                "status": "fail",
+                "detail": "; ".join(problems)[:500],
+                "sec": round(time.time() - t0, 2),
+            }
         else:
             print(f"OK    {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
             n_pass += 1
+            results[name] = {
+                "status": "ok",
+                "rows": len(srows),
+                "sec": round(time.time() - t0, 2),
+            }
 
     print(
         f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} fail"
         + (f"  FAILURES: {failures}" if failures else "")
     )
+    if json_out:
+        import json
+
+        payload = {
+            "sf_dir": SF_DIR,
+            "vanilla": vanilla,
+            "n_ok": n_pass,
+            "n_rows_only": n_rowsonly,
+            "n_fail": n_fail,
+            "failures": failures,
+            "queries": results,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 

@@ -91,6 +91,46 @@ def orders_side(spark: SparkSession):
     )
 
 
+def _walk_java_plan(node):
+    """Yield every node of a JVM SparkPlan tree (py4j traversal).
+    AdaptiveSparkPlanExec hides the runtime plan from ``children()``;
+    descend through ``finalPhysicalPlan()`` (and nested query stages'
+    ``plan()``) to reach the post-AQE operators."""
+    yield node
+    simple = node.getClass().getSimpleName()
+    if simple == "AdaptiveSparkPlanExec":
+        yield from _walk_java_plan(node.finalPhysicalPlan())
+        return
+    if simple.endswith("QueryStageExec"):
+        yield from _walk_java_plan(node.plan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _walk_java_plan(children.apply(i))
+
+
+def shuffle_read_split_stats(df) -> list[dict]:
+    """Per-AQEShuffleRead partition-spec census of the executed plan:
+    how many reducer reads there are and how many of them are skew
+    SUB-SPLITS (PartialReducerPartitionSpec — one oversized shuffle
+    partition fanned out over several tasks). This is the direct
+    evidence of what AQE's skew handling did to the hot key."""
+    out = []
+    for node in _walk_java_plan(df._jdf.queryExecution().executedPlan()):
+        simple = node.getClass().getSimpleName()
+        if simple == "SortMergeJoinExec":
+            out.append({"smj_skew_marked": bool(node.isSkewJoin())})
+        if simple != "AQEShuffleReadExec":
+            continue
+        specs = node.partitionSpecs()
+        by_kind: dict[str, int] = {}
+        for i in range(specs.size()):
+            kind = specs.apply(i).getClass().getSimpleName()
+            by_kind[kind] = by_kind.get(kind, 0) + 1
+        out.append({"n_reads": specs.size(), "kinds": by_kind})
+    return out
+
+
 def run_join(spark: SparkSession, label: str, hot_key: int) -> float:
     fact = skewed_fact(spark, hot_key)
     dim = orders_side(spark)
@@ -107,9 +147,14 @@ def run_join(spark: SparkSession, label: str, hot_key: int) -> float:
     wall = time.time() - t0
     plan = j._jdf.queryExecution().executedPlan().toString()
     skew_marks = plan.count("skew=true")
+    splits = shuffle_read_split_stats(j)
+    split_txt = "; ".join(
+        f"reads={s['n_reads']} {s['kinds']}" for s in splits
+    ) or "no AQEShuffleRead (AQE re-read disabled)"
     print(
         f"{label}: {wall:.1f}s  groups={len(rows)}  "
-        f"skew-marked-joins={1 if skew_marks else 0}"
+        f"skew-marked-joins={1 if skew_marks else 0}\n"
+        f"  shuffle-read specs: {split_txt}"
     )
     return wall
 
@@ -119,12 +164,15 @@ def main() -> int:
     print(f"# skew demo: K={K}, hot key carries 1/{HOT_FRACTION_MOD} of "
           f"{K}x-tiled lineitem")
 
-    spark = build_spark(skew_on=False)
-    t_off = run_join(spark, "AQE skew-join OFF", hot_key)
-    spark.stop()
-
+    # ON runs FIRST: the second run inherits the first's OS page cache
+    # of the parquet input, so whichever mode runs second is flattered.
+    # Running ON cold makes the measured AQE win CONSERVATIVE.
     spark = build_spark(skew_on=True)
     t_on = run_join(spark, "AQE skew-join ON ", hot_key)
+    spark.stop()
+
+    spark = build_spark(skew_on=False)
+    t_off = run_join(spark, "AQE skew-join OFF", hot_key)
     spark.stop()
 
     print(f"speedup from AQE skew split: {t_off / t_on:.2f}x")

@@ -1,0 +1,145 @@
+"""Streaming-surface audit — grades the stream_* queries' PLANS, not
+just their answers (VERDICT r5 #5; plan_audit.py skips streaming
+because an unstarted streaming plan has no executed form).
+
+For every ``stream_*`` entry in ``queries()``, runs the real replay
+(readStream → availableNow → sink) and asserts on the recorded
+StreamingQueryProgress history (``streaming.events.record_stream_progress``):
+
+- **state operators**: exactly the declared stateful shape — e.g.
+  ``dedupeWithinWatermark`` for the watermark dedup,
+  ``symmetricHashJoin`` for the stream-stream join,
+  ``applyInPandasWithState`` for the custom-state ops, and NO state
+  operator for the foreachBatch CDC sinks (their state lives in the
+  sink table, not the stream);
+- **watermark**: present on event-time-bounded ops, and actually
+  ADVANCED past epoch on the multi-batch replays (watermark moves
+  between micro-batches; single-batch complete-mode replays
+  legitimately finish at the epoch placeholder);
+- **no-data-loss**: total ``numInputRows`` across every micro-batch
+  equals the staged input row count × the query's declared source
+  multiplicity (the union-doubled dedup and two-source join read the
+  events table twice) — availableNow drained EVERYTHING it promised.
+
+Usage: python tools/stream_audit.py [name-substring ...]
+Exit code = number of flagged queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+# query -> (expected state operator names, watermark expectation,
+#           input multiplicity vs the events table)
+# watermark expectation: "advanced" (must move past epoch),
+# "present" (column exists; epoch ok on a single-batch complete
+# replay), None (no event-time watermark in the plan).
+EXPECT: dict[str, tuple[list[str], str | None, int]] = {
+    "stream_tumbling_replay": (["stateStoreSave"], "present", 1),
+    "stream_sliding_replay": (["stateStoreSave"], "present", 1),
+    "stream_session_replay": (["sessionWindowStateStoreSaveExec"], "present", 1),
+    "stream_topk_per_window_replay": (["stateStoreSave"], "present", 1),
+    "stream_join_replay": (["symmetricHashJoin"], "advanced", 2),
+    "stream_dedup_within_watermark": (["dedupeWithinWatermark"], "advanced", 2),
+    "stream_distinct_users_replay": (["dedupe"], "advanced", 1),
+    "stream_stateful_profile_replay": (["applyInPandasWithState"], None, 1),
+    "stream_throttle_replay": (["applyInPandasWithState"], None, 1),
+    # foreachBatch CDC sinks: state is the sink table, stream is stateless
+    "stream_foreachbatch_upsert": ([], None, 1),
+    "stream_scd2_replay": ([], None, 1),
+}
+
+_EPOCH = "1970-01-01T00:00:00.000Z"
+
+
+def _norm(v):
+    return json.loads(v) if isinstance(v, str) else (v or {})
+
+
+def audit_one(name: str, progs: list[dict], base_rows: int) -> list[str]:
+    notes: list[str] = []
+    exp_ops, exp_wm, mult = EXPECT[name]
+    if not progs:
+        return ["no progress recorded (replay did not run?)"]
+    last = progs[-1]
+    ops = [
+        _norm(s).get("operatorName")
+        for s in (last.get("stateOperators") or [])
+    ]
+    if ops != exp_ops:
+        notes.append(f"state operators {ops} != expected {exp_ops}")
+    wm = _norm(last.get("eventTime")).get("watermark")
+    if exp_wm == "advanced" and (wm is None or wm == _EPOCH):
+        notes.append(f"watermark did not advance (last={wm})")
+    elif exp_wm == "present" and wm is None:
+        notes.append("watermark absent from a watermarked plan")
+    elif exp_wm is None and wm not in (None, _EPOCH):
+        notes.append(f"unexpected watermark {wm}")
+    n_in = sum(int(p.get("numInputRows", 0)) for p in progs)
+    if n_in != base_rows * mult:
+        notes.append(
+            f"input rows {n_in} != staged {base_rows} x {mult} "
+            "(availableNow did not drain everything)"
+        )
+    return notes
+
+
+def main() -> int:
+    filters = sys.argv[1:]
+    import __spark_entry__ as entrymod
+    from caliper_poc_data_etl_spark.session import get_spark
+    from caliper_poc_data_etl_spark.sources.readers import sf_table
+    from caliper_poc_data_etl_spark.streaming import events as sev
+
+    qs = {
+        k: v for k, v in entrymod.queries().items() if k.startswith("stream_")
+    }
+    if filters:
+        qs = {k: v for k, v in qs.items() if any(f in k for f in filters)}
+    unknown = sorted(set(qs) - set(EXPECT))
+    spark = get_spark("stream-audit")
+    base_rows = sf_table(spark, SF_DIR, "events").count()
+    bad = 0
+    for name, fn in sorted(qs.items()):
+        if name in unknown:
+            print(f"{name}: !! no EXPECT entry — declare its stateful shape")
+            bad += 1
+            continue
+        sev.RECENT_STREAM_PROGRESS.clear()
+        try:
+            fn(spark, SF_DIR).count()
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: ERROR {exc}")
+            bad += 1
+            continue
+        progs = [
+            p for plist in sev.RECENT_STREAM_PROGRESS.values() for p in plist
+        ]
+        notes = audit_one(name, progs, base_rows)
+        last = progs[-1] if progs else {}
+        ops = [
+            _norm(s).get("operatorName")
+            for s in (last.get("stateOperators") or [])
+        ]
+        wm = _norm(last.get("eventTime")).get("watermark")
+        n_in = sum(int(p.get("numInputRows", 0)) for p in progs)
+        print(
+            f"{name}: batches={len(progs)} state_ops={ops} "
+            f"watermark={wm} input_rows={n_in}"
+        )
+        for n in notes:
+            print(f"  !! {n}")
+        if notes:
+            bad += 1
+    print(f"\n{bad} streaming queries flagged")
+    return bad
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
