@@ -234,7 +234,14 @@ def _caliper_throughput(
     # downward; the 1M runs hit the core-count cap and are unchanged.
     sp_key = "spark.sql.shuffle.partitions"
     sp_old = spark.conf.get(sp_key)
-    spark.conf.set(sp_key, str(max(8, min(int(sp_old), n_rows // 6250))))
+    try:
+        # 'auto' (AQE-managed distributions) is non-numeric: skip the
+        # volume-proportional override rather than crash (ADVICE r6).
+        sp_cores = int(sp_old)
+    except ValueError:
+        sp_cores = None
+    if sp_cores is not None:
+        spark.conf.set(sp_key, str(max(8, min(sp_cores, n_rows // 6250))))
     try:
         t0 = time.perf_counter()
         items = read_csv(spark, csv_path, ASSESSMENT_ITEMS_FIDELITY)
@@ -344,8 +351,14 @@ def main() -> int:
     )
 
     csv_100k = _caliper_csv(CALIPER_ROWS)
+    # The 100k e2e is a ~1 s query, so with 3 trials one first-trial
+    # JIT/page-cache outlier sets the median (r6 spread:
+    # 3.005/1.477/1.236). VERDICT r6 #2: give it 5-7 trials so the
+    # median measures the engine, not the warmup, even on a degraded
+    # host. SPARK_GRAFT_BENCH_TRIALS still raises it further.
+    trials_100k = max(trials_n, 7)
     caliper_wall, caliper_rps, walls_100k, med_100k = _caliper_trials(
-        spark, CALIPER_ROWS, "reference", csv_100k, trials_n,
+        spark, CALIPER_ROWS, "reference", csv_100k, trials_100k,
         "caliper_items_100k_e2e (reference single-core baseline: 154k rows/s)",
     )
     big_csv = _caliper_csv(CALIPER_ROWS_BIG)

@@ -46,6 +46,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     round7,
     round8,
     round9,
+    round10,
 )
 
 # ---------------------------------------------------------------------------
@@ -319,81 +320,72 @@ _DEFERRED = [
     "text_bpe_tokenize",
     "embed_kmeans_assign",
     "q3_bucketed_top_revenue",
+    # green in r06 (CORRECTNESS_r06: 50/50 hash-green),
+    # implementation unchanged since:
+    "embed_kmeans_representatives",
+    "q21_sole_late_supplier",
+    "agg_two_level_count_distinct",
+    "text_bpe_pair_stats",
+    "dq_benford_digits",
+    "graph_sssp_bellman_ford",
+    "dq_table_checksum",
+    "agg_kmv_distinct_sketch",
+    "sample_sequential_poisson",
+    "ml_naive_bayes_train",
+    "window_rolling_median",
+    "dq_referential_integrity",
+    "dq_snapshot_diff",
+    "mm_audio_silence_segments",
+    "graph_label_propagation",
+    "stream_scd2_replay",
+    "embed_prefix_nn_fidelity",
+    "agg_kmv_set_ops",
+    "ts_lttb_downsample",
+    "sim_ivfpq_topk",
+    "ml_confusion_eval",
+    "text_paragraph_dedup_ratio",
+    "er_survivorship_golden_record",
+    "mix_epoch_oversample",
+    "dq_freshness_lag",
+    "join_interval_bucketed",
+    "ml_auc_rank_eval",
+    "ml_calibration_bins",
+    "graph_kcore_decompose",
+    "ts_hypertable_rollup",
+    "ts_trend_mann_kendall",
+    "ts_peak_detection",
+    "agg_weighted_median",
+    "decontam_bloom_ngram",
+    "window_hampel_outliers",
+    "curation_funnel_report",
+    "agg_log2_histogram",
+    "ts_backtest_wape",
+    "training_batch_manifest",
+    "dedup_cross_source_priority",
+    "stream_distinct_users_replay",
+    "graph_clustering_coeff",
+    "dq_drift_bins",
+    "scan_binary_files",
+    "fn_variant_pack",
+    "udtf_sentence_split",
+    "sql_pipe_syntax",
+    "fn_collation_pack",
+    "join_lateral_topk",
+    "sim_ivfpq_recall_vs_exact",
 ]
 
-# Round-6 graded window (the r5 rotation plan, executed): the head-49
-# of the r5 `_NEXT` queue is now the front of the registry, joined by
-# this round's `sim_ivfpq_recall_vs_exact` (the VERDICT-r5 demand for
-# graded IVF+PQ recall evidence — hash-parity twin of the rows-only
-# `sim_ivfpq_topk`, which itself sits in this window). The 50th queue
-# entry (`sample_stratified_fixed_n`) was bumped to the head of
-# `_NEXT` to make room and leads the round-7 window. r5-window greens
-# moved to `_DEFERRED`.
-#
-# `_NEXT` holds 65 carried-over entries + this round's additions (the
-# r5 round kept building past two windows; the backlog drains over
-# rounds 7-8 in order). Every carried entry is locally certified —
-# oracle hash-green at sf0.001/sf0.01/sf0.1 in vanilla sessions,
-# python/numpy-replica pytest evidence (tests/test_round6_ops.py,
-# tests/test_round6b_ops.py, tests/test_round7_ops.py,
-# tests/test_round8_ops.py), plan_audit clean, and a K=100 (~sf10)
-# soak line in NOTES_r05.md with nothing superlinear
-# (join_interval_overlap carries a K=10 line + the documented
-# clone-tiling caveat instead). Three tail entries were re-certified
-# after their ADVICE-r5 hardening (ts_theil_sen_slope,
-# ml_ab_chi2_outcome, ml_regression_metrics —
-# tests/test_advice_r6_fixes.py); none had a driver row to invalidate.
+# Round-7 graded window (the r6 rotation plan, executed): the head-50
+# of the r6 `_NEXT` queue (leading `sample_stratified_fixed_n`, as
+# VERDICT r6 demand #1 specified) is now the front of the registry;
+# the r6-window greens (50/50 hash-green in CORRECTNESS_r06) moved to
+# `_DEFERRED`. `_NEXT` holds the 16-entry tail of the certification
+# backlog — it clears entirely in round 8. Every carried entry is
+# locally certified: oracle hash-green at sf0.001/sf0.01/sf0.1 in
+# vanilla sessions, python/numpy-replica pytest evidence
+# (tests/test_round7_ops.py, tests/test_round8_ops.py), plan_audit
+# clean, and a K=100 (~sf10) soak line in NOTES_r05.md with nothing
+# superlinear.
 _NEXT: list[str] = [
-    "sample_stratified_fixed_n",
-    "ts_xcorr_lag_scan",
-    "ml_mrr_eval",
-    "text_winnowing_fingerprint",
-    "curation_chunk_dedup_rewrite",
-    "dedup_url_canonical",
-    "q12_late_line_priority",
-    "graph_link_prediction_ra",
-    "er_soundex_block",
-    "ts_theil_sen_slope",
-    "dq_column_profile",
-    "window_time_range_frame",
-    "agg_argminmax_pack",
-    "training_span_loss_mask",
-    "er_phonetic_cluster_cc",
-    "agg_quantile_binned",
-    "scan_parquet_merge_schema",
-    "dedup_token_sort",
-    "ts_calendar_dim_join",
-    "fn_try_pack",
-    "graph_bipartite_projection",
-    "scan_csv_multiline_quoted",
-    "curation_blocklist_filter",
-    "sim_hard_negative_mining",
-    "curation_gopher_rules",
-    "geo_grid_point_in_box",
-    "geo_nearest_poi",
-    "scan_jsonl_nested",
-    "graph_random_walk_deterministic",
-    "ts_event_pattern_detect",
-    "text_bpe_train_merges",
-    "agg_skyline_pareto",
-    "sim_mmr_select",
-    "text_collocation_pmi",
-    "dq_schema_contract",
-    "agg_mode_pack",
-    "training_shard_snake",
-    "text_rake_keywords",
-    "ml_roc_points",
-    "ml_kfold_assign",
-    "join_pit_feature_store",
-    "window_rolling_slope",
-    "ml_ndcg_eval",
-    "ts_m4_downsample",
-    "dq_ab_srm_check",
-    "join_interval_overlap",
-    "ml_lift_gain_deciles",
-    "scan_gzip_nonsplittable",
-    "ml_f1_threshold_pick",
-    "window_touch_attribution",
     "graph_hits_scores",
     "text_ngram_novelty",
     "ts_period_over_period",
@@ -410,6 +402,16 @@ _NEXT: list[str] = [
     "er_blocking_quality_report",
     "fn_business_days_pack",
     "join_asof_forward",
+    # round-7 additions (queries/round10.py; net new held to 5, per
+    # VERDICT r6 #1) — certified locally (oracle hash-green at all
+    # three SFs in vanilla sessions, pytest replicas in
+    # tests/test_round10_ops.py, K=100 soak in NOTES_r07.md), awaiting
+    # their first driver row in the round-8 window:
+    "ml_cramers_v",
+    "ml_cohens_kappa",
+    "ts_allen_interval_relations",
+    "geo_geohash_encode",
+    "text_zipf_slope",
 ]
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1,0 +1,499 @@
+"""Round-7 additions: categorical-association statistics (Cramér's V,
+Cohen's kappa), Allen interval algebra, geohash cell encoding, and a
+Zipf rank-frequency fit.
+
+Everything follows the registry conventions (__init__ docstring):
+identical aliases on both sides and exact integer arithmetic wherever
+a quotient crosses the engine boundary. Where a double is unavoidable
+(sqrt/ln), BOTH sides compute the identical IEEE expression shape on
+identical inputs and round once at the end — deterministic because
+IEEE +,-,*,/,sqrt are correctly rounded (ln differs by <=1 ulp between
+libms; every ln here is micro-quantized, putting the rounding boundary
+~1e9 ulps away).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+# ---------------------------------------------------------------------------
+# Cramér's V — chi²-based association between two categorical columns
+# ---------------------------------------------------------------------------
+
+_CRAMER_CELL_MICRO = """
+CAST(ROUND(((CAST(dev AS DOUBLE) / n_x) * (CAST(dev AS DOUBLE) / n_y))
+           / n_tot * 1000000) AS BIGINT)
+"""
+
+
+@query(
+    "ml_cramers_v",
+    oracle=f"""
+    WITH cells AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_xy
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    marg AS (
+      SELECT l_returnflag, l_linestatus, n_xy,
+             SUM(n_xy) OVER (PARTITION BY l_returnflag) AS n_x,
+             SUM(n_xy) OVER (PARTITION BY l_linestatus) AS n_y,
+             SUM(n_xy) OVER () AS n_tot,
+             COUNT(DISTINCT l_returnflag) OVER () AS r_dim,
+             COUNT(DISTINCT l_linestatus) OVER () AS c_dim
+      FROM cells
+    ),
+    dev AS (
+      SELECT *, n_xy * n_tot - n_x * n_y AS dev FROM marg
+    ),
+    cellchi AS (
+      SELECT *, {_CRAMER_CELL_MICRO} AS cell_chi2_micro FROM dev
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(n_xy AS BIGINT) AS n_xy,
+           CAST(n_x AS BIGINT) AS n_x,
+           CAST(n_y AS BIGINT) AS n_y,
+           CAST(n_tot AS BIGINT) AS n_tot,
+           cell_chi2_micro,
+           CAST(SUM(cell_chi2_micro) OVER () AS BIGINT) AS chi2_micro,
+           CAST(ROUND(SQRT((CAST(SUM(cell_chi2_micro) OVER () AS DOUBLE)
+                            / 1000000)
+                           / (n_tot * (least(r_dim, c_dim) - 1)))
+                      * 1000000) AS BIGINT) AS cramers_v_micro
+    FROM cellchi
+    """,
+)
+def ml_cramers_v(spark, sf_dir):
+    """Cramér's V association between two categorical columns
+    (l_returnflag × l_linestatus) — the curation-time check for
+    redundant / leaking categorical features. Per-cell chi²
+    contributions are computed from EXACT integer counts; the single
+    unavoidable double expression ``((dev/n_x)·(dev/n_y))/N`` is
+    micro-rounded per cell (IEEE-deterministic on both engines) and
+    the total is an exact BIGINT sum of those micro integers, so the
+    cross-engine hash is stable. Scale shape: ONE shuffle (the cell
+    group-by, map-side combined); marginals and V are windows over the
+    r×c cell table (6 rows), never over the fact table."""
+    cells = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    wx = W.partitionBy("l_returnflag")
+    wy = W.partitionBy("l_linestatus")
+    wall = W.partitionBy()
+    marg = cells.select(
+        "*",
+        F.sum("n_xy").over(wx).alias("n_x"),
+        F.sum("n_xy").over(wy).alias("n_y"),
+        F.sum("n_xy").over(wall).alias("n_tot"),
+        F.size(F.collect_set("l_returnflag").over(wall)).alias("r_dim"),
+        F.size(F.collect_set("l_linestatus").over(wall)).alias("c_dim"),
+    )
+    dev = marg.withColumn(
+        "dev", F.col("n_xy") * F.col("n_tot") - F.col("n_x") * F.col("n_y")
+    )
+    cellchi = dev.withColumn(
+        "cell_chi2_micro", F.expr(_CRAMER_CELL_MICRO)
+    )
+    return cellchi.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("n_xy").cast("long").alias("n_xy"),
+        F.col("n_x").cast("long").alias("n_x"),
+        F.col("n_y").cast("long").alias("n_y"),
+        F.col("n_tot").cast("long").alias("n_tot"),
+        "cell_chi2_micro",
+        F.sum("cell_chi2_micro").over(wall).cast("long").alias("chi2_micro"),
+        F.expr(
+            """CAST(ROUND(SQRT((CAST(SUM(cell_chi2_micro) OVER () AS DOUBLE)
+                                / 1000000)
+                               / (n_tot * (least(r_dim, c_dim) - 1)))
+                          * 1000000) AS BIGINT)"""
+        ).alias("cramers_v_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa — inter-rater agreement, exact rational arithmetic
+# ---------------------------------------------------------------------------
+
+_KAPPA_BASE = """
+  SELECT CASE WHEN l_quantity >= 25 THEN 'H' ELSE 'L' END AS pred,
+         CASE WHEN l_extendedprice >= 25000 THEN 'H' ELSE 'L' END AS actual
+  FROM lineitem
+"""
+
+
+@query(
+    "ml_cohens_kappa",
+    oracle=f"""
+    WITH base AS ({_KAPPA_BASE}),
+    cells AS (
+      SELECT pred, actual, COUNT(*) AS n FROM base GROUP BY pred, actual
+    ),
+    marg AS (
+      SELECT *,
+             SUM(n) OVER (PARTITION BY pred) AS rm,
+             SUM(n) OVER (PARTITION BY actual) AS cm
+      FROM cells
+    ),
+    agg AS (
+      SELECT SUM(n) AS n_tot,
+             SUM(CASE WHEN pred = actual THEN n ELSE 0 END) AS agree,
+             SUM(CASE WHEN pred = actual THEN rm * cm ELSE 0 END) AS pe_num
+      FROM marg
+    )
+    SELECT CAST(n_tot AS BIGINT) AS n_tot,
+           CAST(agree AS BIGINT) AS agree,
+           CAST(pe_num AS BIGINT) AS pe_num,
+           CAST(n_tot * agree - pe_num AS BIGINT) AS kappa_num,
+           CAST(n_tot * n_tot - pe_num AS BIGINT) AS kappa_den,
+           CAST(ROUND(CAST(n_tot * agree - pe_num AS DOUBLE) * 1000000
+                      / CAST(n_tot * n_tot - pe_num AS DOUBLE))
+                AS BIGINT) AS kappa_micro
+    FROM agg
+    """,
+)
+def ml_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa — chance-corrected agreement between two
+    labelers (threshold classifiers over l_quantity and
+    l_extendedprice standing in for rater columns) — the standard
+    annotation-quality gate for labeled training data. Exact rational
+    form: kappa = (N·Σnᵢᵢ − Σ rmₖ·cmₖ) / (N² − Σ rmₖ·cmₖ); numerator
+    and denominator are EXACT BIGINTs in the output, the micro-rounded
+    quotient is one deterministic double division. The Σ rmₖ·cmₖ term
+    sums rm·cm over DIAGONAL cells, valid because each label's
+    diagonal cell is nonempty on this data (pinned by the pytest
+    replica). Scale shape: one map-side-combined group-by to the k²
+    cell table (4 rows), then windows + a single global aggregate on
+    it — the fact table shuffles once."""
+    base = t(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_quantity") >= 25, "H").otherwise("L").alias("pred"),
+        F.when(F.col("l_extendedprice") >= 25000, "H")
+        .otherwise("L")
+        .alias("actual"),
+    )
+    cells = base.groupBy("pred", "actual").agg(F.count(F.lit(1)).alias("n"))
+    marg = cells.select(
+        "*",
+        F.sum("n").over(W.partitionBy("pred")).alias("rm"),
+        F.sum("n").over(W.partitionBy("actual")).alias("cm"),
+    )
+    diag = F.col("pred") == F.col("actual")
+    agg = marg.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum(F.when(diag, F.col("n")).otherwise(F.lit(0))).alias("agree"),
+        F.sum(
+            F.when(diag, F.col("rm") * F.col("cm")).otherwise(F.lit(0))
+        ).alias("pe_num"),
+    )
+    kappa_num = F.col("n_tot") * F.col("agree") - F.col("pe_num")
+    kappa_den = F.col("n_tot") * F.col("n_tot") - F.col("pe_num")
+    return agg.select(
+        F.col("n_tot").cast("long").alias("n_tot"),
+        F.col("agree").cast("long").alias("agree"),
+        F.col("pe_num").cast("long").alias("pe_num"),
+        kappa_num.cast("long").alias("kappa_num"),
+        kappa_den.cast("long").alias("kappa_den"),
+        F.round(
+            kappa_num.cast("double") * 1000000 / kappa_den.cast("double")
+        )
+        .cast("long")
+        .alias("kappa_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Allen interval relations — temporal interval algebra per user
+# ---------------------------------------------------------------------------
+
+# The 13 Allen relations, classified with one CASE tree evaluated
+# identically on both engines. Order matters: equality cases first
+# (equals, meets/met_by, starts/started_by, finishes/finished_by),
+# then the strict containment/overlap cases.
+_ALLEN_CASE = """
+CASE
+  WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+  WHEN a_e < b_s THEN 'precedes'
+  WHEN b_e < a_s THEN 'preceded_by'
+  WHEN a_e = b_s THEN 'meets'
+  WHEN b_e = a_s THEN 'met_by'
+  WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+  WHEN a_s = b_s AND a_e > b_e THEN 'started_by'
+  WHEN a_e = b_e AND a_s > b_s THEN 'finishes'
+  WHEN a_e = b_e AND a_s < b_s THEN 'finished_by'
+  WHEN a_s > b_s AND a_e < b_e THEN 'during'
+  WHEN a_s < b_s AND a_e > b_e THEN 'contains'
+  WHEN a_s < b_s AND a_e < b_e THEN 'overlaps'
+  ELSE 'overlapped_by'
+END
+"""
+
+
+@query(
+    "ts_allen_interval_relations",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_type,
+             MIN(ts) AS i_start, MAX(ts) AS i_end
+      FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+      SELECT a.user_id, a.event_type AS et_a, b.event_type AS et_b,
+             a.i_start AS a_s, a.i_end AS a_e,
+             b.i_start AS b_s, b.i_end AS b_e
+      FROM iv a JOIN iv b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+    )
+    SELECT CAST(user_id AS BIGINT) AS user_id, et_a, et_b,
+           {_ALLEN_CASE} AS relation
+    FROM pairs
+    """,
+)
+def ts_allen_interval_relations(spark, sf_dir):
+    """Allen's interval algebra — classify every ordered pair of
+    per-(user, event_type) activity intervals into one of the 13
+    Allen relations (precedes/meets/overlaps/starts/during/finishes/
+    equals + inverses), the temporal-reasoning primitive behind
+    temporal joins and overlap constraints. Intervals are
+    [min(ts), max(ts)] per user × event_type; classification is pure
+    timestamp comparison — exact on both engines. Scale shape: one
+    map-side-combined group-by builds the interval table, then a
+    SELF equi-join on user_id whose per-user fan-out is bounded by
+    the event-type cardinality (≤ C(|types|,2) pairs per user, |types|
+    = 5 here) — Σ per-user products, never |iv|²; a hot user salts
+    like any skewed equi-key."""
+    iv = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("i_start"), F.max("ts").alias("i_end"))
+    )
+    a = iv.select(
+        "user_id",
+        F.col("event_type").alias("et_a"),
+        F.col("i_start").alias("a_s"),
+        F.col("i_end").alias("a_e"),
+    )
+    b = iv.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_type").alias("et_b"),
+        F.col("i_start").alias("b_s"),
+        F.col("i_end").alias("b_e"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("user_id") == F.col("user_id_b"))
+        & (F.col("et_a") < F.col("et_b")),
+    )
+    return pairs.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "et_a",
+        "et_b",
+        F.expr(_ALLEN_CASE).alias("relation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Geohash cell encoding — bit-interleaved base32 spatial index key
+# ---------------------------------------------------------------------------
+
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_PRECISION = 5  # 25 bits: 13 longitude + 12 latitude
+
+
+def _geohash_int_expr(div: str) -> str:
+    """The 25-bit interleaved geohash integer from ilon (13 bits) and
+    ilat (12 bits), as pure integer div/mod arithmetic. ``div`` is the
+    engine's integer-division token ('//' DuckDB, 'div' Spark)."""
+    terms = []
+    for p in range(25):
+        if p % 2 == 0:
+            src, k = "ilon", 12 - p // 2
+        else:
+            src, k = "ilat", 11 - (p - 1) // 2
+        terms.append(f"(({src} {div} {2 ** k}) % 2) * {2 ** (24 - p)}")
+    return " + ".join(terms)
+
+
+def _geohash_char_expr(div: str) -> str:
+    """Base32 string from the 25-bit integer ``g`` — five substr
+    lookups into the geohash alphabet."""
+    chars = [
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST((g {div} {32 ** (4 - j)}) % 32 AS INT) + 1, 1)"
+        for j in range(GEOHASH_PRECISION)
+    ]
+    return "concat(" + ", ".join(chars) + ")"
+
+
+@query(
+    "geo_geohash_encode",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_id,
+             (user_id * 7919) % 18000 - 9000 AS lat_c,
+             (event_id * 104729) % 36000 - 18000 AS lon_c
+      FROM events
+    ),
+    cells AS (
+      SELECT event_id,
+             (lon_c + 18000) * 8192 // 36000 AS ilon,
+             (lat_c + 9000) * 4096 // 18000 AS ilat
+      FROM pts
+    ),
+    g AS (
+      SELECT event_id, {_geohash_int_expr('//')} AS g FROM cells
+    )
+    SELECT {_geohash_char_expr('//')} AS geohash,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+           CAST(MIN(g) AS BIGINT) AS cell_code
+    FROM g GROUP BY geohash
+    """,
+)
+def geo_geohash_encode(spark, sf_dir):
+    """Geohash encoding — the standard bit-interleaved base32 spatial
+    index key (precision 5 = 25 bits, longitude first), over the same
+    synthetic centi-degree geography as ``geo_grid_point_in_box``.
+    The whole encode is integer div/mod arithmetic GENERATED once and
+    rendered for each engine's integer-division token, so the
+    cross-engine hash is exact; no UDF, fully inside whole-stage
+    codegen. Geohash prefixes are the production spatial-join /
+    dedup-bucketing key: equal prefixes ⇒ nearby (the Z-order curve
+    ``fn_zorder_key`` generalizes). Scale shape: map-only encode +
+    one map-side-combined group-by on the cell key."""
+    pts = t(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("user_id") * 7919) % 18000 - 9000).alias("lat_c"),
+        ((F.col("event_id") * 104729) % 36000 - 18000).alias("lon_c"),
+    )
+    cells = pts.select(
+        "event_id",
+        F.expr("(lon_c + 18000) * 8192 div 36000").alias("ilon"),
+        F.expr("(lat_c + 9000) * 4096 div 18000").alias("ilat"),
+    )
+    g = cells.select(
+        "event_id", F.expr(_geohash_int_expr("div")).alias("g")
+    )
+    return (
+        g.select(F.expr(_geohash_char_expr("div")).alias("geohash"), "event_id", "g")
+        .groupBy("geohash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min("event_id").cast("long").alias("min_event_id"),
+            F.min("g").cast("long").alias("cell_code"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency fit — OLS slope in log-log space
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 200
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok, COUNT(*) AS f FROM tok WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, f,
+             ROW_NUMBER() OVER (ORDER BY f DESC, tok) AS rnk
+      FROM freq
+    ),
+    pts AS (
+      SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE rnk <= {ZIPF_TOP_N}
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           CAST(sx AS BIGINT) AS sum_lnrank_micro,
+           CAST(sy AS BIGINT) AS sum_lnfreq_micro,
+           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000
+                      / CAST(n * sxx - sx * sx AS DOUBLE))
+                AS BIGINT) AS slope_micro,
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                       - (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE))
+                         * CAST(sx AS DOUBLE)) / n)
+                AS BIGINT) AS intercept_micro
+    FROM s
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law fit over the corpus token frequencies — OLS slope
+    and intercept in log-log (rank, frequency) space, the classic
+    corpus-health diagnostic (natural text slopes ≈ −1; synthetic or
+    template-heavy corpora flatten). Tokens are whitespace-split
+    (the text-family convention); ln(rank) / ln(freq) are
+    micro-quantized BIGINTs so every sum is exact integer arithmetic
+    — the two closed-form OLS divisions are the only doubles, computed
+    with the identical expression shape on both engines. Bounds: with
+    the top-{ZIPF_TOP_N} cap, n·Σxy ≤ 200·(200·5.3e6·2e7) < 2^63 — no
+    overflow. Scale shape: one shuffle for token counts (map-side
+    combined), a {ZIPF_TOP_N}-row global top-k, then a single-row
+    aggregate; the corpus scan is map-only."""
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
+    ranked = freq.select(
+        "f",
+        F.row_number()
+        .over(W.orderBy(F.col("f").desc(), F.col("tok")))
+        .alias("rnk"),
+    ).filter(F.col("rnk") <= ZIPF_TOP_N)
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1000000)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.col("sx").cast("long").alias("sum_lnrank_micro"),
+        F.col("sy").cast("long").alias("sum_lnfreq_micro"),
+        F.round(num * 1000000 / den).cast("long").alias("slope_micro"),
+        F.round(
+            (F.col("sy").cast("double") - (num / den) * F.col("sx").cast("double"))
+            / F.col("n")
+        )
+        .cast("long")
+        .alias("intercept_micro"),
+    )

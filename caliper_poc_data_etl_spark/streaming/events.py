@@ -26,18 +26,28 @@ _replay_counter = itertools.count()
 # Populated by record_stream_progress() after each replay terminates;
 # tools/stream_audit.py reads it to grade the streaming surface's
 # PLANS (state operators, watermark, input completeness), not just the
-# answers. Bounded: cleared by the audit between queries.
+# answers. Bounded two ways: the audit clears it between queries, and
+# record_stream_progress() itself evicts the oldest replays beyond
+# _MAX_RECORDED_REPLAYS — without that, a long bench/check_oracle
+# session (each replay records under a unique 'replay_N' key) would
+# accumulate every replay's history in driver memory (ADVICE r6).
 RECENT_STREAM_PROGRESS: dict[str, list[dict]] = {}
+
+_MAX_RECORDED_REPLAYS = 16
 
 
 def record_stream_progress(name: str, q) -> None:
     """Stash a terminated StreamingQuery's progress history for
     auditing. ``recentProgress`` covers every micro-batch of an
-    availableNow replay at this scale (default retention 100)."""
+    availableNow replay at this scale (default retention 100; the
+    audit session raises ``numRecentProgressUpdates`` so longer
+    replays are fully covered too)."""
     try:
         RECENT_STREAM_PROGRESS[name] = [dict(p) for p in q.recentProgress]
     except Exception:  # noqa: BLE001 — audit trace must never fail a replay
         RECENT_STREAM_PROGRESS[name] = []
+    while len(RECENT_STREAM_PROGRESS) > _MAX_RECORDED_REPLAYS:
+        RECENT_STREAM_PROGRESS.pop(next(iter(RECENT_STREAM_PROGRESS)))
 
 
 def read_event_stream(

@@ -63,8 +63,9 @@ class TestTheilSenEvenPairCount:
         assert len(out) == 1, "even pair count must not drop the series"
         r = out[0]
         # pairs (dy cents, dx): slopes 100,150,200,200,250,300 — sorted by
-        # (slope, dy, dx): [(100,1),(300,2),(600,3),(200,1),(500,2),(300,1)]
-        # lower median = rank (6+1) div 2 = 3.
+        # (slope, dy, dx): [(100,1),(300,2),(200,1),(600,3),(500,2),(300,1)]
+        # ((200,1) precedes (600,3) at slope 200 on the dy tie-break);
+        # lower median = rank (6+1) div 2 = 3 -> (200,1).
         pairs = []
         ys = {0: 0, 1: 100, 2: 300, 3: 600}
         for d1 in ys:

@@ -39,6 +39,13 @@ EXPECTED_NLJ = {
     "sim_ivf_topk",  # corpus × broadcast 16-centroid table (coarse quantizer)
     "sim_ivf_assign_parity",  # same corpus × broadcast-centroid shape
     "sim_label_centroid_stats",  # |labels|² broadcast self-join of per-label sums
+    # Deliberate broadcast NLJ: the exact-ground-truth side joins the
+    # corpus to a broadcast NQ-row query SAMPLE on vec_id != query_id —
+    # the same sanctioned sample-bounded shape as sim_cosine_topk
+    # (round9.py:124 docstring). Cost is |corpus|×NQ, not |corpus|²;
+    # NQ is fixed (recall-monitoring sample), so it stays broadcastable
+    # at 100 TB.
+    "sim_ivfpq_recall_vs_exact",
 }
 
 # Queries that cross-join a broadcast ONE-ROW aggregate (a scalar

@@ -57,16 +57,40 @@ EXPECT: dict[str, tuple[list[str], str | None, int]] = {
 
 _EPOCH = "1970-01-01T00:00:00.000Z"
 
+# Spark caps q.recentProgress at spark.sql.streaming.numRecentProgressUpdates
+# (default 100) micro-batches; a throttled availableNow replay exceeding
+# that would silently undercount the no-data-loss sum (ADVICE r6). The
+# audit session raises the retention far above any replay's batch count
+# and audit_one flags any replay that still hits the cap.
+_PROGRESS_RETENTION = 10_000
+
 
 def _norm(v):
     return json.loads(v) if isinstance(v, str) else (v or {})
 
 
-def audit_one(name: str, progs: list[dict], base_rows: int) -> list[str]:
+def audit_one(
+    name: str, replays: dict[str, list[dict]], base_rows: int
+) -> list[str]:
+    """Grade one query's recorded replays. Audits per recorded replay
+    name (ADVICE r6): every current stream_* query performs exactly ONE
+    internal replay (source multiplicity is a union INSIDE that replay),
+    so a second recorded replay means the query's shape changed and the
+    EXPECT entry needs a revisit — flag it rather than silently summing
+    across replays against a single multiplicity."""
     notes: list[str] = []
     exp_ops, exp_wm, mult = EXPECT[name]
-    if not progs:
+    if not replays:
         return ["no progress recorded (replay did not run?)"]
+    if len(replays) != 1:
+        notes.append(
+            f"{len(replays)} replays recorded, expected 1 "
+            f"({sorted(replays)}) — declare the new shape in EXPECT"
+        )
+    # Latest replay (insertion order follows replay start order).
+    progs = list(replays.values())[-1]
+    if not progs:
+        return notes + ["latest replay recorded no progress"]
     last = progs[-1]
     ops = [
         _norm(s).get("operatorName")
@@ -87,6 +111,12 @@ def audit_one(name: str, progs: list[dict], base_rows: int) -> list[str]:
             f"input rows {n_in} != staged {base_rows} x {mult} "
             "(availableNow did not drain everything)"
         )
+    if len(progs) >= _PROGRESS_RETENTION:
+        notes.append(
+            f"{len(progs)} batches hits the progress-retention cap "
+            f"({_PROGRESS_RETENTION}) — input-row sum may undercount; "
+            "raise numRecentProgressUpdates further"
+        )
     return notes
 
 
@@ -104,6 +134,10 @@ def main() -> int:
         qs = {k: v for k, v in qs.items() if any(f in k for f in filters)}
     unknown = sorted(set(qs) - set(EXPECT))
     spark = get_spark("stream-audit")
+    spark.conf.set(
+        "spark.sql.streaming.numRecentProgressUpdates",
+        str(_PROGRESS_RETENTION),
+    )
     base_rows = sf_table(spark, SF_DIR, "events").count()
     bad = 0
     for name, fn in sorted(qs.items()):
@@ -118,10 +152,9 @@ def main() -> int:
             print(f"{name}: ERROR {exc}")
             bad += 1
             continue
-        progs = [
-            p for plist in sev.RECENT_STREAM_PROGRESS.values() for p in plist
-        ]
-        notes = audit_one(name, progs, base_rows)
+        replays = {k: list(v) for k, v in sev.RECENT_STREAM_PROGRESS.items()}
+        notes = audit_one(name, replays, base_rows)
+        progs = list(replays.values())[-1] if replays else []
         last = progs[-1] if progs else {}
         ops = [
             _norm(s).get("operatorName")
@@ -130,8 +163,8 @@ def main() -> int:
         wm = _norm(last.get("eventTime")).get("watermark")
         n_in = sum(int(p.get("numInputRows", 0)) for p in progs)
         print(
-            f"{name}: batches={len(progs)} state_ops={ops} "
-            f"watermark={wm} input_rows={n_in}"
+            f"{name}: replays={len(replays)} batches={len(progs)} "
+            f"state_ops={ops} watermark={wm} input_rows={n_in}"
         )
         for n in notes:
             print(f"  !! {n}")
