@@ -160,7 +160,10 @@ def run_join(
     skew_marks = plan.count("skew=true")
     splits = shuffle_read_split_stats(j)
     split_txt = "; ".join(
-        f"reads={s['n_reads']} {s['kinds']}" for s in splits
+        f"reads={s['n_reads']} {s['kinds']}"
+        if "n_reads" in s
+        else f"smj_skew_marked={s['smj_skew_marked']}"
+        for s in splits
     ) or "no AQEShuffleRead (AQE re-read disabled)"
     print(
         f"{label}: {wall:.1f}s  groups={len(rows)}  "
