@@ -368,13 +368,17 @@ def main() -> int:
     # wall) so the round-over-round `value` stays comparable; rows/s is
     # their meaningful axis. reference layout = file-per-attempt parity;
     # bulk = the engine's scale layout (see sinks.write_grouped_json).
+    # These key on MEDIAN, so they get >=5 trials too: with 3, a single
+    # host metadata-throttle stall (documented 30-60x single-trial
+    # outliers; an 86 s trial observed in r7) sets the median.
+    trials_1m = max(trials_n, 5)
     big_wall, big_rps, walls_1m, med_1m = _caliper_trials(
-        spark, CALIPER_ROWS_BIG, "reference", big_csv, trials_n,
+        spark, CALIPER_ROWS_BIG, "reference", big_csv, trials_1m,
         "caliper_items_1m_e2e (reference layout, 5000 durable files)",
     )
     trial_times["caliper_items_1m_e2e"] = walls_1m
     bulk_wall, bulk_rps, walls_bulk, med_bulk = _caliper_trials(
-        spark, CALIPER_ROWS_BIG, "bulk", big_csv, trials_n,
+        spark, CALIPER_ROWS_BIG, "bulk", big_csv, trials_1m,
         "caliper_items_1m_bulk_e2e (JSON-lines scale layout)",
     )
     trial_times["caliper_items_1m_bulk_e2e"] = walls_bulk
