@@ -197,6 +197,19 @@ def _host_calibration() -> tuple[float, float]:
     return gflops, spawn_rate
 
 
+def _volume_shuffle_partitions(raw: str, n_rows: int) -> int | None:
+    """Volume-proportional shuffle-partition count, or None to leave
+    the session value alone. 'auto' (AQE-managed distributions) is
+    non-numeric: skip the override rather than crash (ADVICE r6).
+    Extracted so the regression test exercises THIS code, not a
+    re-implementation (ADVICE r7)."""
+    try:
+        cores = int(raw)
+    except ValueError:
+        return None
+    return max(8, min(cores, n_rows // 6250))
+
+
 def _caliper_throughput(
     spark,
     n_rows: int,
@@ -234,14 +247,9 @@ def _caliper_throughput(
     # downward; the 1M runs hit the core-count cap and are unchanged.
     sp_key = "spark.sql.shuffle.partitions"
     sp_old = spark.conf.get(sp_key)
-    try:
-        # 'auto' (AQE-managed distributions) is non-numeric: skip the
-        # volume-proportional override rather than crash (ADVICE r6).
-        sp_cores = int(sp_old)
-    except ValueError:
-        sp_cores = None
-    if sp_cores is not None:
-        spark.conf.set(sp_key, str(max(8, min(sp_cores, n_rows // 6250))))
+    sp_new = _volume_shuffle_partitions(sp_old, n_rows)
+    if sp_new is not None:
+        spark.conf.set(sp_key, str(sp_new))
     try:
         t0 = time.perf_counter()
         items = read_csv(spark, csv_path, ASSESSMENT_ITEMS_FIDELITY)

@@ -29,21 +29,42 @@ CAST(ROUND(((CAST(dev AS DOUBLE) / n_x) * (CAST(dev AS DOUBLE) / n_y))
 """
 
 
+_CRAMER_V_MICRO = """
+CASE WHEN least(r_dim, c_dim) <= 1 THEN NULL
+     ELSE CAST(ROUND(SQRT((CAST(SUM(cell_chi2_micro) OVER () AS DOUBLE)
+                           / 1000000)
+                          / (n_tot * (least(r_dim, c_dim) - 1)))
+                     * 1000000) AS BIGINT)
+END
+"""
+
+
 @query(
     "ml_cramers_v",
     oracle=f"""
     WITH cells AS (
-      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_xy
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n_obs
       FROM lineitem GROUP BY l_returnflag, l_linestatus
     ),
+    margx AS (
+      SELECT l_returnflag, SUM(n_obs) AS n_x FROM cells GROUP BY l_returnflag
+    ),
+    margy AS (
+      SELECT l_linestatus, SUM(n_obs) AS n_y FROM cells GROUP BY l_linestatus
+    ),
+    grid AS (
+      SELECT x.l_returnflag, y.l_linestatus, x.n_x, y.n_y,
+             COALESCE(c.n_obs, 0) AS n_xy
+      FROM margx x CROSS JOIN margy y
+      LEFT JOIN cells c ON c.l_returnflag = x.l_returnflag
+                       AND c.l_linestatus = y.l_linestatus
+    ),
     marg AS (
-      SELECT l_returnflag, l_linestatus, n_xy,
-             SUM(n_xy) OVER (PARTITION BY l_returnflag) AS n_x,
-             SUM(n_xy) OVER (PARTITION BY l_linestatus) AS n_y,
+      SELECT *,
              SUM(n_xy) OVER () AS n_tot,
              COUNT(DISTINCT l_returnflag) OVER () AS r_dim,
              COUNT(DISTINCT l_linestatus) OVER () AS c_dim
-      FROM cells
+      FROM grid
     ),
     dev AS (
       SELECT *, n_xy * n_tot - n_x * n_y AS dev FROM marg
@@ -58,36 +79,53 @@ CAST(ROUND(((CAST(dev AS DOUBLE) / n_x) * (CAST(dev AS DOUBLE) / n_y))
            CAST(n_tot AS BIGINT) AS n_tot,
            cell_chi2_micro,
            CAST(SUM(cell_chi2_micro) OVER () AS BIGINT) AS chi2_micro,
-           CAST(ROUND(SQRT((CAST(SUM(cell_chi2_micro) OVER () AS DOUBLE)
-                            / 1000000)
-                           / (n_tot * (least(r_dim, c_dim) - 1)))
-                      * 1000000) AS BIGINT) AS cramers_v_micro
+           {_CRAMER_V_MICRO} AS cramers_v_micro
     FROM cellchi
     """,
 )
 def ml_cramers_v(spark, sf_dir):
     """Cramér's V association between two categorical columns
     (l_returnflag × l_linestatus) — the curation-time check for
-    redundant / leaking categorical features. Per-cell chi²
-    contributions are computed from EXACT integer counts; the single
-    unavoidable double expression ``((dev/n_x)·(dev/n_y))/N`` is
-    micro-rounded per cell (IEEE-deterministic on both engines) and
-    the total is an exact BIGINT sum of those micro integers, so the
-    cross-engine hash is stable. Scale shape: ONE shuffle (the cell
-    group-by, map-side combined); marginals and V are windows over the
-    r×c cell table (6 rows), never over the fact table."""
+    redundant / leaking categorical features. chi² sums over the FULL
+    r×c label grid (marginal cross join + left join of observed
+    counts), so structural-zero cells contribute their (0−E)²/E term
+    — dropping them understates V on exactly the strongly-associated
+    tables this query exists to flag. Per-cell contributions come from
+    EXACT integer counts; the single unavoidable double expression
+    ``((dev/n_x)·(dev/n_y))/N`` is micro-rounded per cell
+    (IEEE-deterministic on both engines) and the total is an exact
+    BIGINT sum of those micro integers, so the cross-engine hash is
+    stable. V is NULL when min(r,c) = 1 (association undefined for a
+    single-category column). Scale shape: the fact table reaches one
+    map-side-combined cell group-by; the grid cross join multiplies
+    two per-label aggregates bounded by CATEGORY cardinalities (r×c
+    rows, broadcast — whitelisted in tools/plan_audit.py), and every
+    window runs over that grid. The cell aggregate is branched
+    (marginals ×2 + the left join), which Spark may plan as a replayed
+    fact scan at this size (2 scans in the audited plan — still
+    linear); at 100 TB, stage the r×c cell table once and the rest is
+    label-cardinality work."""
     cells = (
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .agg(F.count(F.lit(1)).alias("n_obs"))
     )
-    wx = W.partitionBy("l_returnflag")
-    wy = W.partitionBy("l_linestatus")
+    margx = cells.groupBy("l_returnflag").agg(F.sum("n_obs").alias("n_x"))
+    margy = cells.groupBy("l_linestatus").agg(F.sum("n_obs").alias("n_y"))
+    grid = (
+        margx.crossJoin(margy)
+        .join(cells, ["l_returnflag", "l_linestatus"], "left")
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "n_x",
+            "n_y",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_xy"),
+        )
+    )
     wall = W.partitionBy()
-    marg = cells.select(
+    marg = grid.select(
         "*",
-        F.sum("n_xy").over(wx).alias("n_x"),
-        F.sum("n_xy").over(wy).alias("n_y"),
         F.sum("n_xy").over(wall).alias("n_tot"),
         F.size(F.collect_set("l_returnflag").over(wall)).alias("r_dim"),
         F.size(F.collect_set("l_linestatus").over(wall)).alias("c_dim"),
@@ -107,12 +145,7 @@ def ml_cramers_v(spark, sf_dir):
         F.col("n_tot").cast("long").alias("n_tot"),
         "cell_chi2_micro",
         F.sum("cell_chi2_micro").over(wall).cast("long").alias("chi2_micro"),
-        F.expr(
-            """CAST(ROUND(SQRT((CAST(SUM(cell_chi2_micro) OVER () AS DOUBLE)
-                                / 1000000)
-                               / (n_tot * (least(r_dim, c_dim) - 1)))
-                          * 1000000) AS BIGINT)"""
-        ).alias("cramers_v_micro"),
+        F.expr(_CRAMER_V_MICRO).alias("cramers_v_micro"),
     )
 
 
@@ -151,9 +184,12 @@ _KAPPA_BASE = """
            CAST(pe_num AS BIGINT) AS pe_num,
            CAST(n_tot * agree - pe_num AS BIGINT) AS kappa_num,
            CAST(n_tot * n_tot - pe_num AS BIGINT) AS kappa_den,
-           CAST(ROUND(CAST(n_tot * agree - pe_num AS DOUBLE) * 1000000
-                      / CAST(n_tot * n_tot - pe_num AS DOUBLE))
-                AS BIGINT) AS kappa_micro
+           CASE WHEN n_tot * n_tot - pe_num = 0 THEN NULL
+                ELSE CAST(ROUND(CAST(n_tot * agree - pe_num AS DOUBLE)
+                                * 1000000
+                                / CAST(n_tot * n_tot - pe_num AS DOUBLE))
+                          AS BIGINT)
+           END AS kappa_micro
     FROM agg
     """,
 )
@@ -164,7 +200,10 @@ def ml_cohens_kappa(spark, sf_dir):
     annotation-quality gate for labeled training data. Exact rational
     form: kappa = (N·Σnᵢᵢ − Σ rmₖ·cmₖ) / (N² − Σ rmₖ·cmₖ); numerator
     and denominator are EXACT BIGINTs in the output, the micro-rounded
-    quotient is one deterministic double division. The Σ rmₖ·cmₖ term
+    quotient is one deterministic double division — NULL when the
+    denominator is 0 (both raters constant on one identical label;
+    kappa is undefined there, and 0/0 would otherwise diverge across
+    engines as NaN). The Σ rmₖ·cmₖ term
     sums rm·cm over DIAGONAL cells, valid because each label's
     diagonal cell is nonempty on this data (pinned by the pytest
     replica). Scale shape: one map-side-combined group-by to the k²
@@ -198,10 +237,14 @@ def ml_cohens_kappa(spark, sf_dir):
         F.col("pe_num").cast("long").alias("pe_num"),
         kappa_num.cast("long").alias("kappa_num"),
         kappa_den.cast("long").alias("kappa_den"),
-        F.round(
-            kappa_num.cast("double") * 1000000 / kappa_den.cast("double")
+        F.when(
+            kappa_den == 0, F.lit(None).cast("long")
         )
-        .cast("long")
+        .otherwise(
+            F.round(
+                kappa_num.cast("double") * 1000000 / kappa_den.cast("double")
+            ).cast("long")
+        )
         .alias("kappa_micro"),
     )
 
@@ -424,14 +467,18 @@ ZIPF_TOP_N = 200
     SELECT CAST(n AS BIGINT) AS n_points,
            CAST(sx AS BIGINT) AS sum_lnrank_micro,
            CAST(sy AS BIGINT) AS sum_lnfreq_micro,
-           CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000
-                      / CAST(n * sxx - sx * sx AS DOUBLE))
-                AS BIGINT) AS slope_micro,
-           CAST(ROUND((CAST(sy AS DOUBLE)
-                       - (CAST(n * sxy - sx * sy AS DOUBLE)
-                          / CAST(n * sxx - sx * sx AS DOUBLE))
-                         * CAST(sx AS DOUBLE)) / n)
-                AS BIGINT) AS intercept_micro
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * 1000000
+                                / CAST(n * sxx - sx * sx AS DOUBLE))
+                          AS BIGINT)
+           END AS slope_micro,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(ROUND((CAST(sy AS DOUBLE)
+                                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                                   * CAST(sx AS DOUBLE)) / n)
+                          AS BIGINT)
+           END AS intercept_micro
     FROM s
     """,
 )
@@ -443,11 +490,16 @@ def text_zipf_slope(spark, sf_dir):
     (the text-family convention); ln(rank) / ln(freq) are
     micro-quantized BIGINTs so every sum is exact integer arithmetic
     — the two closed-form OLS divisions are the only doubles, computed
-    with the identical expression shape on both engines. Bounds: with
-    the top-{ZIPF_TOP_N} cap, n·Σxy ≤ 200·(200·5.3e6·2e7) < 2^63 — no
-    overflow. Scale shape: one shuffle for token counts (map-side
-    combined), a {ZIPF_TOP_N}-row global top-k, then a single-row
-    aggregate; the corpus scan is map-only."""
+    with the identical expression shape on both engines (NULL when the
+    x-variance denominator is 0, i.e. a single-token vocabulary).
+    Bounds: with the top-{ZIPF_TOP_N} cap, n·Σxy ≤ 200·(200·5.3e6·2e7)
+    < 2^63 — no overflow. Scale shape: one shuffle for token counts
+    (map-side combined), then orderBy().limit({ZIPF_TOP_N}) — Spark's
+    TakeOrdered, a parallel per-partition top-k + tiny merge, NOT a
+    single-task global-window sort of the whole vocabulary (which
+    grows with the corpus) — and the rank window runs over only the
+    {ZIPF_TOP_N} surviving rows before a single-row aggregate; the
+    corpus scan is map-only."""
     toks = (
         t(spark, sf_dir, "documents")
         .select(
@@ -458,12 +510,13 @@ def text_zipf_slope(spark, sf_dir):
         .filter(F.col("tok") != "")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("f"))
-    ranked = freq.select(
+    top = freq.orderBy(F.col("f").desc(), F.col("tok")).limit(ZIPF_TOP_N)
+    ranked = top.select(
         "f",
         F.row_number()
         .over(W.orderBy(F.col("f").desc(), F.col("tok")))
         .alias("rnk"),
-    ).filter(F.col("rnk") <= ZIPF_TOP_N)
+    )
     pts = ranked.select(
         F.round(F.log(F.col("rnk").cast("double")) * 1000000)
         .cast("long")
@@ -479,21 +532,28 @@ def text_zipf_slope(spark, sf_dir):
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    den_int = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
         "double"
     )
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-        "double"
-    )
+    den = den_int.cast("double")
+    null_long = F.lit(None).cast("long")
     return s.select(
         F.col("n").cast("long").alias("n_points"),
         F.col("sx").cast("long").alias("sum_lnrank_micro"),
         F.col("sy").cast("long").alias("sum_lnfreq_micro"),
-        F.round(num * 1000000 / den).cast("long").alias("slope_micro"),
-        F.round(
-            (F.col("sy").cast("double") - (num / den) * F.col("sx").cast("double"))
-            / F.col("n")
+        F.when(den_int == 0, null_long)
+        .otherwise(F.round(num * 1000000 / den).cast("long"))
+        .alias("slope_micro"),
+        F.when(den_int == 0, null_long)
+        .otherwise(
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - (num / den) * F.col("sx").cast("double")
+                )
+                / F.col("n")
+            ).cast("long")
         )
-        .cast("long")
         .alias("intercept_micro"),
     )

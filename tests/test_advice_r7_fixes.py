@@ -24,10 +24,6 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-sys.path.insert(
-    0,
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-)
 
 from caliper_poc_data_etl_spark.streaming import events as sev
 
@@ -129,11 +125,12 @@ class TestAuditPerReplay:
 
 class TestBenchShufflePartitionParse:
     def test_non_numeric_conf_skips_override(self):
-        # Replicates bench.py's guarded parse: 'auto' must not raise.
-        for raw, expect in [("32", 16), ("auto", None)]:
-            try:
-                cores = int(raw)
-            except ValueError:
-                cores = None
-            got = max(8, min(cores, 100_000 // 6250)) if cores is not None else None
-            assert got == expect
+        # Exercises bench.py's ACTUAL helper (not a re-implementation,
+        # ADVICE r7): 'auto' must not raise, numeric confs scale to
+        # volume with the 8-partition floor.
+        import bench
+
+        assert bench._volume_shuffle_partitions("32", 100_000) == 16
+        assert bench._volume_shuffle_partitions("auto", 100_000) is None
+        assert bench._volume_shuffle_partitions("32", 1_000_000) == 32
+        assert bench._volume_shuffle_partitions("32", 10_000) == 8

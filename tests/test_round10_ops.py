@@ -33,17 +33,21 @@ class TestCramersV:
             "SELECT l_returnflag, l_linestatus, COUNT(*) FROM lineitem "
             "GROUP BY 1, 2",
         )
-        cells = {(x, y): n for x, y, n in raw}
-        n_tot = sum(cells.values())
-        xs = sorted({x for x, _ in cells})
-        ys = sorted({y for _, y in cells})
-        nx = {x: sum(n for (a, _), n in cells.items() if a == x) for x in xs}
-        ny = {y: sum(n for (_, b), n in cells.items() if b == y) for y in ys}
+        obs = {(x, y): n for x, y, n in raw}
+        n_tot = sum(obs.values())
+        xs = sorted({x for x, _ in obs})
+        ys = sorted({y for _, y in obs})
+        nx = {x: sum(n for (a, _), n in obs.items() if a == x) for x in xs}
+        ny = {y: sum(n for (_, b), n in obs.items() if b == y) for y in ys}
+        # chi2 sums over the FULL r x c grid — empty cells contribute
+        # their (0 - E)^2 / E term (the review-fixed semantics)
         cell_micro = {}
-        for (x, y), n_xy in cells.items():
-            dev = n_xy * n_tot - nx[x] * ny[y]
-            e = ((dev / nx[x]) * (dev / ny[y])) / n_tot
-            cell_micro[(x, y)] = round(e * 1000000)
+        for x in xs:
+            for y in ys:
+                n_xy = obs.get((x, y), 0)
+                dev = n_xy * n_tot - nx[x] * ny[y]
+                e = ((dev / nx[x]) * (dev / ny[y])) / n_tot
+                cell_micro[(x, y)] = round(e * 1000000)
         chi2_micro = sum(cell_micro.values())
         mindim = min(len(xs), len(ys)) - 1
         v_micro = round(
@@ -51,10 +55,10 @@ class TestCramersV:
         )
 
         rows = QUERIES["ml_cramers_v"].spark(spark, sf_dir).collect()
-        assert len(rows) == len(cells)
+        assert len(rows) == len(xs) * len(ys)
         for r in rows:
             key = (r["l_returnflag"], r["l_linestatus"])
-            assert r["n_xy"] == cells[key]
+            assert r["n_xy"] == obs.get(key, 0)
             assert r["n_x"] == nx[key[0]]
             assert r["n_y"] == ny[key[1]]
             assert r["n_tot"] == n_tot
@@ -264,3 +268,111 @@ class TestZipfSlope:
         assert r["intercept_micro"] == intercept_micro
         # a frequency-ranked fit must slope downward
         assert r["slope_micro"] < 0
+
+
+def _stage_parquet(tmpdir: str, table: str, create_sql: str) -> None:
+    con = duckdb.connect()
+    con.execute(
+        f"COPY ({create_sql}) TO '{tmpdir}/{table}.parquet' (FORMAT PARQUET)"
+    )
+
+
+def _oracle_rows(tmpdir: str, name: str):
+    from caliper_poc_data_etl_spark.queries import QUERIES as Q
+
+    con = duckdb.connect()
+    for t in ["lineitem", "documents"]:
+        import os
+
+        if os.path.exists(f"{tmpdir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmpdir}/{t}.parquet')"
+            )
+    return con.execute(Q[name].oracle).fetchall()
+
+
+class TestRound10EdgeGuards:
+    """Constructed-fixture edge cases for the ADVICE-r7-review fixes:
+    structural-zero contingency cells, zero denominators (kappa,
+    Cramér mindim, zipf x-variance) — each run END TO END on BOTH
+    engines (Spark query over staged parquet + DuckDB oracle over the
+    same file) and checked for agreement."""
+
+    def test_cramers_structural_zero_cells(self, spark, tmp_path):
+        d = str(tmp_path)
+        # perfect 2x2 association with both off-diagonal cells EMPTY:
+        # full-grid chi2 = N -> V = 1.0 exactly
+        _stage_parquet(
+            d,
+            "lineitem",
+            "SELECT 'A' AS l_returnflag, 'O' AS l_linestatus "
+            "FROM range(5) UNION ALL "
+            "SELECT 'R', 'F' FROM range(3)",
+        )
+        rows = QUERIES["ml_cramers_v"].spark(spark, d).collect()
+        assert len(rows) == 4  # full 2x2 grid, not just 2 observed cells
+        by_cell = {
+            (r["l_returnflag"], r["l_linestatus"]): r for r in rows
+        }
+        assert by_cell[("A", "F")]["n_xy"] == 0
+        assert by_cell[("R", "O")]["n_xy"] == 0
+        # empty-cell contribution: dev = -n_x*n_y, e = n_x*n_y/N
+        assert by_cell[("A", "F")]["cell_chi2_micro"] == round(
+            5 * 3 / 8 * 1e6
+        )
+        r0 = rows[0]
+        assert r0["chi2_micro"] == 8_000_000  # chi2 == N for V=1
+        assert r0["cramers_v_micro"] == 1_000_000
+        spark_canon = sorted(tuple(r) for r in rows)
+        duck = sorted(tuple(r) for r in _oracle_rows(d, "ml_cramers_v"))
+        assert spark_canon == duck
+
+    def test_cramers_single_category_null_v(self, spark, tmp_path):
+        d = str(tmp_path)
+        _stage_parquet(
+            d,
+            "lineitem",
+            "SELECT 'A' AS l_returnflag, "
+            "CASE WHEN range % 2 = 0 THEN 'O' ELSE 'F' END AS l_linestatus "
+            "FROM range(10)",
+        )
+        rows = QUERIES["ml_cramers_v"].spark(spark, d).collect()
+        assert len(rows) == 2
+        assert all(r["cramers_v_micro"] is None for r in rows)
+        duck = _oracle_rows(d, "ml_cramers_v")
+        assert all(r[-1] is None for r in duck)
+
+    def test_kappa_degenerate_single_label_null(self, spark, tmp_path):
+        d = str(tmp_path)
+        # every row classifies H on both raters -> kappa_den = 0
+        _stage_parquet(
+            d,
+            "lineitem",
+            "SELECT 30.0 AS l_quantity, 50000.0 AS l_extendedprice "
+            "FROM range(7)",
+        )
+        rows = QUERIES["ml_cohens_kappa"].spark(spark, d).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["kappa_den"] == 0 and r["kappa_num"] == 0
+        assert r["kappa_micro"] is None
+        duck = _oracle_rows(d, "ml_cohens_kappa")
+        assert duck[0][-1] is None
+
+    def test_zipf_single_token_null_slope(self, spark, tmp_path):
+        d = str(tmp_path)
+        _stage_parquet(
+            d,
+            "documents",
+            "SELECT range AS doc_id, 'hello hello hello' AS text, "
+            "'en' AS lang, 'web' AS source, 17 AS n_chars FROM range(4)",
+        )
+        rows = QUERIES["text_zipf_slope"].spark(spark, d).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_points"] == 1
+        assert r["slope_micro"] is None
+        assert r["intercept_micro"] is None
+        duck = _oracle_rows(d, "text_zipf_slope")
+        assert duck[0][3] is None and duck[0][4] is None

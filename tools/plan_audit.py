@@ -46,6 +46,12 @@ EXPECTED_NLJ = {
     # NQ is fixed (recall-monitoring sample), so it stays broadcastable
     # at 100 TB.
     "sim_ivfpq_recall_vs_exact",
+    # Label-grid construction (round10.py): the r×c contingency grid is
+    # the cross join of the two per-label marginal aggregates (r and c
+    # are CATEGORY cardinalities — single-digit here, bounded by the
+    # domain at any data size), needed so structural-zero cells
+    # contribute their (0−E)²/E chi² term. |r|×|c| rows, broadcast.
+    "ml_cramers_v",
 }
 
 # Queries that cross-join a broadcast ONE-ROW aggregate (a scalar

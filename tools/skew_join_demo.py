@@ -189,10 +189,15 @@ def main() -> int:
     t_off = run_join(spark, "AQE skew-join OFF", hot_key)
     spark.stop()
 
-    # The engine's explicit salted join, with AQE's skew splitting OFF:
-    # shows the beyond-AQE-reach mitigation standing on its own (the
-    # hot key is pre-spread over 16 salts, so no reducer ever sees it
-    # whole and there is nothing for AQE to split).
+    # The engine's explicit salted join, with AQE's skew splitting OFF.
+    # NOTE this deliberately VIOLATES salted_join's small-dim
+    # precondition: the demo's dim side is the K=100-tiled orders
+    # (~150M rows), which salting replicates n_salts(16)x (~2.4B build
+    # rows). The measured number is the decision boundary, not a
+    # mitigation benchmark — replicated-dim salting is for
+    # broadcast-incompatible SMALL dims (the graded
+    # join_salted_supplier shape); for fact-x-fact hot keys, AQE's
+    # split (run 1) is the right tool.
     spark = build_spark(skew_on=False)
     t_salted = run_join(
         spark, "salted join (AQE skew OFF)", hot_key, salted=True
@@ -200,7 +205,13 @@ def main() -> int:
     spark.stop()
 
     print(f"speedup from AQE skew split: {t_off / t_on:.2f}x")
-    print(f"speedup from explicit salting: {t_off / t_salted:.2f}x")
+    print(
+        f"salted-join wall ratio vs OFF: {t_off / t_salted:.2f}x "
+        f"(expected <1 here: the {K}x-tiled dim violates salted_join's "
+        f"small-dim precondition {16}x over — this run MEASURES the "
+        f"boundary where replicated-dim salting stops paying; see "
+        f"NOTES_r07.md)"
+    )
     return 0
 
 
