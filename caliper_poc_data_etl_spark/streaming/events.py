@@ -43,9 +43,15 @@ def record_stream_progress(name: str, q) -> None:
     audit session raises ``numRecentProgressUpdates`` so longer
     replays are fully covered too)."""
     try:
-        RECENT_STREAM_PROGRESS[name] = [dict(p) for p in q.recentProgress]
+        progress = [dict(p) for p in q.recentProgress]
     except Exception:  # noqa: BLE001 — audit trace must never fail a replay
-        RECENT_STREAM_PROGRESS[name] = []
+        progress = []
+    # Pop-and-reinsert so dict insertion order tracks recency of
+    # RECORDING: re-recording an existing name must move it to the
+    # back, or a just-refreshed replay could be evicted as "oldest"
+    # while stale entries survive (ADVICE r7).
+    RECENT_STREAM_PROGRESS.pop(name, None)
+    RECENT_STREAM_PROGRESS[name] = progress
     while len(RECENT_STREAM_PROGRESS) > _MAX_RECORDED_REPLAYS:
         RECENT_STREAM_PROGRESS.pop(next(iter(RECENT_STREAM_PROGRESS)))
 

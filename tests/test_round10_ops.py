@@ -78,10 +78,11 @@ class TestCohensKappa:
             "COUNT(*) FROM lineitem GROUP BY 1, 2",
         )
         cells = {(p, a): n for p, a, n in raw}
-        # the diagonal-cell identity the query relies on: every label's
-        # (k, k) cell is nonempty on this data
+        # pe is the marginal form Σ rmₖ·cmₖ over ALL labels — the query
+        # computes it from the marginal tables too (ADVICE r7 removed
+        # the diagonal-cell shortcut and its data-dependent
+        # precondition), so no nonempty-diagonal assumption is needed.
         labels = {p for p, _ in cells} | {a for _, a in cells}
-        assert all((k, k) in cells for k in labels)
         n_tot = sum(cells.values())
         agree = sum(n for (p, a), n in cells.items() if p == a)
         rm = {k: sum(n for (p, _), n in cells.items() if p == k) for k in labels}

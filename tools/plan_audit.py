@@ -77,6 +77,11 @@ EXPECTED_SCALAR_BNLJ = {
     "dq_freshness_lag",  # broadcast 1-row global-max-ts anchor
     "ml_calibration_bins",  # broadcast 1-row min/max bin-edge anchor
     "dq_benford_digits",  # broadcast 1-row population total
+    # (n_tot, agree) 1-row aggregate × 1-row Σ rm·cm chance term — the
+    # marginal-form pe fix (ADVICE r7) replaced the diagonal-cell
+    # window shortcut with two label-cardinality aggregates combined
+    # by a scalar cross join; multiplies 1 row by 1 row.
+    "ml_cohens_kappa",
 }
 # Deliberate probe-set × corpus broadcast join (tiny probe side, the
 # sim_cosine_topk posture): the corpus never shuffles.
