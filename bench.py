@@ -379,7 +379,11 @@ def main() -> int:
         "caliper_items_100k_e2e (reference single-core baseline: 154k rows/s)",
     )
     big_csv = _caliper_csv(CALIPER_ROWS_BIG)
-    timings["caliper_items_100k_e2e"] = caliper_wall
+    # Key the summed headline entry on the MEDIAN like every other
+    # headline query — a min among medians would make the total a
+    # mixed statistic and round-over-round comparisons mislabeled.
+    # The min stays in caliper_items_100k_min_sec + trial_times.
+    timings["caliper_items_100k_e2e"] = med_100k
     trial_times["caliper_items_100k_e2e"] = walls_100k
     # 1M-row entries live OUTSIDE the summed headline (the sf0.1 query
     # wall) so the round-over-round `value` stays comparable; rows/s is
@@ -447,7 +451,12 @@ def main() -> int:
         json.dumps(
             {
                 "detail": "bench_diagnostics",
+                # per-loop trial counts (the caliper entries run more
+                # trials than the headline loop — the trial_times
+                # arrays are the ground truth)
                 "trials": trials_h,
+                "trials_caliper_100k": trials_100k,
+                "trials_caliper_1m": trials_1m,
                 "trial_times": trial_times,
                 "caliper_items_100k_min_sec": caliper_wall,
                 "caliper_items_1m_min_sec": big_wall,

@@ -82,9 +82,14 @@ def _spread(d: DataFrame) -> DataFrame:
     current partition count via ``d.rdd.getNumPartitions()`` forces an
     RDD plan conversion at build time (VERDICT r7), and the shuffle it
     would skip is a few rows of (doc_id, text) — cheaper than the
-    probe. At 100 TB the scan already yields ≥ defaultParallelism
-    splits and this repartition is dropped in favor of the scan's
-    natural partitioning (tune spark.sql.files.maxPartitionBytes)."""
+    probe. Spark never elides a user repartition, so this IS a real
+    exchange at every scale; it stays correct because
+    defaultParallelism tracks total cluster cores (32 here, ~tens of
+    thousands on a 1000-executor cluster), normalizing partitioning to
+    the CPU budget right before the CPU-bound shingle/signature
+    expressions. Only for scan-dominated corpora whose natural split
+    count already exceeds cluster cores would a deployment delete this
+    line and tune spark.sql.files.maxPartitionBytes instead."""
     sc = d.sparkSession.sparkContext
     return d.repartition(sc.defaultParallelism)
 

@@ -220,9 +220,13 @@ def curation_span_dedup_rewrite(spark, sf_dir):
            CAST(tot_a AS BIGINT) AS tot_a,
            CAST(tot_b AS BIGINT) AS tot_b,
            CAST(diff_scaled AS BIGINT) AS diff_scaled,
-           CAST(ROUND(CAST(MAX(diff_scaled) OVER () AS DOUBLE) * 1000000
-                      / (CAST(tot_a AS DOUBLE) * CAST(tot_b AS DOUBLE)))
-                AS BIGINT) AS ks_d_micro
+           CASE WHEN tot_a = 0 OR tot_b = 0 THEN NULL
+                ELSE CAST(ROUND(CAST(MAX(diff_scaled) OVER () AS DOUBLE)
+                                * 1000000
+                                / (CAST(tot_a AS DOUBLE)
+                                   * CAST(tot_b AS DOUBLE)))
+                     AS BIGINT)
+           END AS ks_d_micro
     FROM dd
     """,
 )
@@ -235,7 +239,9 @@ def ml_ks_two_sample(spark, sf_dir):
     |cum_a·tot_b − cum_b·tot_a| is an exact BIGINT (D's numerator over
     the common denominator tot_a·tot_b), the max is an exact integer
     max, and the single micro-rounded double division happens once in
-    the identical shape on both engines. Overflow bound: cum·tot ≤
+    the identical shape on both engines — NULL when either population
+    is empty (0/0 would otherwise produce NaN, which Spark casts to a
+    value while DuckDB errors — the kappa/PSI NULL-guard class). Overflow bound: cum·tot ≤
     (6e7)² at the K=100 soak — well under 2^63. Output keeps the full
     per-value ECDF table (the drift-report surface) with the global D
     repeated per row. Scale shape: one map-side-combined groupBy on
@@ -287,12 +293,20 @@ def ml_ks_two_sample(spark, sf_dir):
         F.col("tot_a").cast("long").alias("tot_a"),
         F.col("tot_b").cast("long").alias("tot_b"),
         F.col("diff_scaled").cast("long").alias("diff_scaled"),
-        F.round(
-            F.max("diff_scaled").over(w_all).cast("double")
-            * 1000000
-            / (F.col("tot_a").cast("double") * F.col("tot_b").cast("double"))
+        F.when(
+            (F.col("tot_a") == 0) | (F.col("tot_b") == 0),
+            F.lit(None).cast("long"),
         )
-        .cast("long")
+        .otherwise(
+            F.round(
+                F.max("diff_scaled").over(w_all).cast("double")
+                * 1000000
+                / (
+                    F.col("tot_a").cast("double")
+                    * F.col("tot_b").cast("double")
+                )
+            ).cast("long")
+        )
         .alias("ks_d_micro"),
     )
 
@@ -517,8 +531,9 @@ def fn_hilbert_key(spark, sf_dir):
     codegen; the chain stays 16 separate narrow projections (each
     state column is referenced multiple times by non-cheap CASEs, so
     CollapseProject keeps them — no exponential expression blowup).
-    Assumes nonnegative inputs like ``fn_zorder_key`` (o_orderkey ≥ 0
-    pinned by the fixtures). Scale shape: map-only; the clustering
+    Assumes nonnegative inputs like ``fn_zorder_key`` — pinned against
+    both fixture dirs in tests/test_round11_ops.py (the geohash pin's
+    sibling: DuckDB // floors, Spark div truncates on negatives). Scale shape: map-only; the clustering
     write is ``repartitionByRange(hkey) + sortWithinPartitions``
     exactly as the Z-order docstring describes."""
     o = t(spark, sf_dir, "orders")

@@ -20,6 +20,14 @@ from caliper_poc_data_etl_spark.queries.round11 import (
 )
 
 
+def _round_half_away(x: float) -> int:
+    """Round half away from zero — what Spark ROUND (HALF_UP) and
+    DuckDB ROUND both do. Python's built-in round() is banker's
+    (half-to-even), so an exact-.5 quotient would make a replica
+    disagree with a correctly-matching engine pair."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
 def _duck(sf_dir: str, sql: str):
     con = duckdb.connect()
     for t in ["lineitem", "orders", "events", "documents"]:
@@ -197,7 +205,7 @@ class TestKsTwoSample:
             diff = abs(cum_a * tot_b - cum_b * tot_a)
             max_diff = max(max_diff, diff)
             ecdf[v] = (cum_a, cum_b, diff)
-        ks_micro = round(max_diff * 1_000_000 / (tot_a * tot_b))
+        ks_micro = _round_half_away(max_diff * 1_000_000 / (tot_a * tot_b))
 
         rows = QUERIES["ml_ks_two_sample"].spark(spark, sf_dir).collect()
         assert len(rows) == len(vals)
@@ -239,6 +247,31 @@ class TestKsTwoSample:
         )
         assert all(r["ks_d_micro"] == 1_000_000 for r in rows)
 
+    def test_single_population_null_d(self, spark, tmp_path):
+        # only flag 'A' present: tot_b = 0 makes D undefined (0/0);
+        # the guard emits NULL on both engines instead of Spark
+        # silently casting NaN while DuckDB errors
+        con = duckdb.connect()
+        con.execute(
+            f"COPY (SELECT (range % 5) * 1.0 AS l_quantity, "
+            f"'A' AS l_returnflag FROM range(10)) "
+            f"TO '{tmp_path}/lineitem.parquet' (FORMAT PARQUET)"
+        )
+        rows = (
+            QUERIES["ml_ks_two_sample"].spark(spark, str(tmp_path)).collect()
+        )
+        assert len(rows) == 5
+        assert all(r["tot_b"] == 0 for r in rows)
+        assert all(r["ks_d_micro"] is None for r in rows)
+        con2 = duckdb.connect()
+        con2.execute(
+            f"CREATE VIEW lineitem AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/lineitem.parquet')"
+        )
+        duck = con2.execute(QUERIES["ml_ks_two_sample"].oracle).fetchall()
+        assert len(duck) == 5
+        assert all(r[-1] is None for r in duck)
+
 
 class TestPsiDrift:
     def test_python_replica_sf0001(self, spark, sf_dir):
@@ -262,8 +295,10 @@ class TestPsiDrift:
                 n_zero += 1
                 expect[b] = (ne, nl, None, None)
                 continue
-            lr = round(math.log((ne * tot_l) / (nl * tot_e)) * 1_000_000)
-            term = round(
+            lr = _round_half_away(
+                math.log((ne * tot_l) / (nl * tot_e)) * 1_000_000
+            )
+            term = _round_half_away(
                 ((ne * tot_l - nl * tot_e) / (tot_e * tot_l))
                 * lr
                 / 1_000_000
@@ -363,6 +398,27 @@ def _zorder(bits: int, x: int, y: int) -> int:
 
 
 class TestHilbertKey:
+    def test_fixture_inputs_nonnegative(self):
+        # fn_hilbert_key (like fn_zorder_key) assumes nonnegative
+        # o_orderkey / o_totalprice: on negative operands DuckDB //
+        # floors while Spark div truncates, breaking parity. Pin the
+        # assumption against both fixture dirs (the geohash pin's
+        # sibling) so a generator change fails loudly here.
+        import os
+
+        con = duckdb.connect()
+        for sf_dir in {
+            os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
+            os.environ.get(
+                "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+            ),
+        }:
+            lo_key, lo_price = con.execute(
+                f"SELECT MIN(o_orderkey), MIN(o_totalprice) FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')"
+            ).fetchone()
+            assert lo_key >= 0 and lo_price >= 0, sf_dir
+
     def test_python_replica_sf0001(self, spark, sf_dir):
         rows = QUERIES["fn_hilbert_key"].spark(spark, sf_dir).collect()
         assert len(rows) > 0
