@@ -423,7 +423,7 @@ _DEFERRED = [
 # demand #1, the FINAL certification rotation): the full 21-entry r7
 # `_NEXT` queue (graph_hits_scores … text_zipf_slope) is now in the
 # front of the registry, together with the round-8 additions
-# (queries/round11.py — net new held to 4, inside the ≤5 budget) and
+# (queries/round11.py — net new held to 5, at the ≤5 budget) and
 # 8 regrades whose implementations changed this round (the dedup
 # family transitively touched by the `_spread` fix — VERDICT r7
 # What's-wrong #3 — plus dedup_cluster_cc which composes

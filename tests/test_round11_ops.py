@@ -367,6 +367,100 @@ class TestPsiDrift:
         )
 
 
+def _cusum_replica(daily: list[tuple[str, int]]) -> dict[str, tuple]:
+    """DIRECT Page recursion Sᵢ = max(0, Sᵢ₋₁ + dᵢ) — deliberately NOT
+    the reflected-walk identity the query uses, so the test pins the
+    identity itself, not a shared formula."""
+    daily = sorted(daily)
+    n_days = len(daily)
+    total = sum(n for _, n in daily)
+    s_pos = s_neg = cum = 0
+    out = {}
+    for day, n in daily:
+        d = n_days * n - total
+        cum += d
+        s_pos = max(0, s_pos + d)
+        s_neg = max(0, s_neg - d)
+        out[day] = (n, d, cum, s_pos, s_neg)
+    return out
+
+
+class TestCusumPageReflected:
+    def test_reflection_identity_vs_direct_recursion(self, spark, sf_dir):
+        raw = _duck(
+            sf_dir,
+            "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d'), COUNT(*) "
+            "FROM events GROUP BY 1",
+        )
+        expect = _cusum_replica([(d, n) for d, n in raw])
+        peak = max(v[3] for v in expect.values())
+        rows = (
+            QUERIES["ts_cusum_page_reflected"].spark(spark, sf_dir).collect()
+        )
+        assert len(rows) == len(expect)
+        for r in rows:
+            n, d, cum, s_pos, s_neg = expect[r["day"]]
+            assert r["n_events"] == n
+            assert r["dev_scaled"] == d
+            assert r["cum_scaled"] == cum
+            assert r["cusum_pos_scaled"] == s_pos
+            assert r["cusum_neg_scaled"] == s_neg
+            assert r["cusum_peak_scaled"] == peak
+            assert r["is_pos_peak"] == (s_pos == peak)
+
+    def test_level_shift_peaks_after_change(self, spark, tmp_path):
+        # 10 quiet days (2 events) then 10 elevated days (8 events):
+        # the upward CUSUM must reset-hug zero before the shift and
+        # peak on the LAST day of the elevated run
+        con = duckdb.connect()
+        con.execute(
+            f"COPY (SELECT (range % 100) AS event_id, range AS user_id, "
+            f"'click' AS event_type, 1.0 AS value, "
+            f"TIMESTAMP '2024-01-01' + INTERVAL (CASE WHEN range < 20 "
+            f"THEN range // 2 ELSE 10 + (range - 20) // 8 END) DAY "
+            f"+ INTERVAL (range % 9) HOUR AS ts "
+            f"FROM range(100)) "
+            f"TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"
+        )
+        rows = sorted(
+            QUERIES["ts_cusum_page_reflected"]
+            .spark(spark, str(tmp_path))
+            .collect(),
+            key=lambda r: r["day"],
+        )
+        assert len(rows) == 20
+        # quiet half: the upward statistic stays pinned at/near zero
+        # (never above one day's absolute deviation)
+        n_days, total = 20, 100
+        quiet_dev = abs(n_days * 2 - total)  # 60
+        assert all(r["cusum_pos_scaled"] <= quiet_dev for r in rows[:10])
+        # the peak is the final elevated day and is flagged
+        assert rows[-1]["is_pos_peak"]
+        assert rows[-1]["cusum_peak_scaled"] == rows[-1]["cusum_pos_scaled"]
+        assert rows[-1]["cusum_pos_scaled"] > quiet_dev
+
+    def test_constant_rate_is_flat_zero(self, spark, tmp_path):
+        con = duckdb.connect()
+        con.execute(
+            f"COPY (SELECT range AS event_id, range AS user_id, "
+            f"'view' AS event_type, 1.0 AS value, "
+            f"TIMESTAMP '2024-02-01' + INTERVAL (range // 5) DAY AS ts "
+            f"FROM range(50)) "
+            f"TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"
+        )
+        rows = (
+            QUERIES["ts_cusum_page_reflected"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        )
+        assert len(rows) == 10
+        for r in rows:
+            assert r["dev_scaled"] == 0
+            assert r["cusum_pos_scaled"] == 0
+            assert r["cusum_neg_scaled"] == 0
+            assert r["is_pos_peak"]  # all tie at the zero peak
+
+
 def _rot_xy2d(bits: int, x: int, y: int) -> int:
     """Literal transcription of the classic Wikipedia xy2d (with the
     coordinate mask that keeps the reflection inside the remaining
