@@ -26,7 +26,16 @@ from caliper_poc_data_etl_spark.queries.round6 import _DRIFT_CUTOFF
 SPAN_K = 8  # span unit: k-word exact grams (Lee et al. use 50 BPE
 # tokens on web text; 8 words matches this corpus' ~54-word documents
 # and the LD_CHUNK_WORDS granularity of the chunk-rewrite stage)
-_SPAN_IDX_BASE = 100_000  # doc-local gram position < 1e5 by construction
+# Survivorship key = doc_id * _SPAN_IDX_BASE + pos encodes lexicographic
+# (doc_id, pos) min as a single BIGINT min. The base bounds the gram
+# position, NOT just "by construction": a document with >= base words
+# would mis-rank first-occurrence survivorship identically on both
+# engines (hash-green yet wrong — ADVICE r8). 1e9 leaves headroom for
+# any realistic document (1e9 words ≈ 6 GB of text in one row) while
+# doc_id stays < 9.2e9 before BIGINT overflow; a fixture pin in
+# tests/test_advice_r9_fixes.py asserts max(n_words) < base at both
+# fixture SFs, the nonnegative-id pins' sibling.
+_SPAN_IDX_BASE = 1_000_000_000
 
 
 @query(
@@ -322,7 +331,7 @@ def ml_ks_two_sample(spark, sf_dir):
     WITH q AS (
       SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS centi,
              o_orderdate < TIMESTAMP '{_DRIFT_CUTOFF}' AS early
-      FROM orders WHERE o_totalprice > 0
+      FROM orders WHERE o_totalprice > 0 AND o_orderdate IS NOT NULL
     ),
     bins AS (
       SELECT CAST(length(bin(centi)) - 1 AS INT) AS bucket_log2,
@@ -391,9 +400,13 @@ def ml_psi_drift(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     centi = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     early = F.col("o_orderdate") < F.lit(_DRIFT_CUTOFF).cast("timestamp")
-    q = o.filter(F.col("o_totalprice") > 0).select(
-        centi.alias("centi"), early.alias("early")
-    )
+    # NULL o_orderdate is excluded EXPLICITLY on both engines (ADVICE
+    # r8: the oracle's CASE classified a NULL date as late while
+    # Spark's sum skipped the NULL boolean — a row counted on neither
+    # side there, on one side here; filtering aligns the semantics).
+    q = o.filter(
+        (F.col("o_totalprice") > 0) & F.col("o_orderdate").isNotNull()
+    ).select(centi.alias("centi"), early.alias("early"))
     bins = q.groupBy(
         (F.length(F.bin("centi")) - 1).cast("int").alias("bucket_log2")
     ).agg(

@@ -1912,9 +1912,10 @@ POP_MICRO = 1_000_000
       FROM daily c LEFT JOIN daily p
         ON p.day = c.day - INTERVAL {POP_LAG_DAYS} DAY
     )
-    SELECT strftime(day, '%Y-%m-%d') AS day, cur AS cur_centi,
-           prev AS prev_centi,
-           cur - prev AS delta_centi,
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(cur AS BIGINT) AS cur_centi,
+           CAST(prev AS BIGINT) AS prev_centi,
+           CAST(cur - prev AS BIGINT) AS delta_centi,
            CASE WHEN prev IS NOT NULL THEN
              CAST(((cur - prev) * {POP_MICRO}
                    - ((((cur - prev) * {POP_MICRO}) % prev + prev) % prev))
@@ -2465,8 +2466,9 @@ _SAA_ANCHOR = "2024-01-01"  # a Monday; dow = days-since-anchor mod 7
     )
     SELECT dev.event_type, strftime(dev.day, '%Y-%m-%d') AS day,
            CAST(dev.dow AS BIGINT) AS dow,
-           dev.v AS daily_centi, dev.expected AS expected_centi,
-           dev.adjusted AS adjusted_centi,
+           CAST(dev.v AS BIGINT) AS daily_centi,
+           CAST(dev.expected AS BIGINT) AS expected_centi,
+           CAST(dev.adjusted AS BIGINT) AS adjusted_centi,
            2 * dev.dev2 > 3 * mad.mad4 AS is_anomaly
     FROM dev JOIN mad USING (event_type)
     """,

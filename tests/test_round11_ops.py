@@ -497,16 +497,14 @@ class TestHilbertKey:
         # o_orderkey / o_totalprice: on negative operands DuckDB //
         # floors while Spark div truncates, breaking parity. Pin the
         # assumption against both fixture dirs (the geohash pin's
-        # sibling) so a generator change fails loudly here.
-        import os
+        # sibling) so a generator change fails loudly here. SF_DIR /
+        # SF_DIR_ORACLE come from tests.conftest (ADVICE r8: the
+        # hardcoded fallbacks here could silently diverge from the
+        # dirs the rest of the suite actually runs against).
+        from tests.conftest import SF_DIR, SF_DIR_ORACLE
 
         con = duckdb.connect()
-        for sf_dir in {
-            os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"),
-            os.environ.get(
-                "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
-            ),
-        }:
+        for sf_dir in {SF_DIR, SF_DIR_ORACLE}:
             lo_key, lo_price = con.execute(
                 f"SELECT MIN(o_orderkey), MIN(o_totalprice) FROM "
                 f"read_parquet('{sf_dir}/orders.parquet')"

@@ -34,6 +34,27 @@ from caliper_poc_data_etl_spark.sources.readers import TABLE_NAMES
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 
+# DuckDB type names (substring match, covers nested ARRAY/STRUCT wrappers)
+# that the driver's TYPE-SENSITIVE value hash cannot round-trip: DuckDB
+# widens SUM(BIGINT) to INT128 (HUGEINT) unless the oracle re-casts, and
+# the driver hash then diverges even when every value matches numerically.
+# r08 shipped 2 red rows exactly this way while _norm's numeric compare
+# stayed green (VERDICT r8 §What's-wrong #3) — so the gate now fails any
+# oracle whose RESULT schema leaks these families, independent of values.
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def _banned_oracle_types(duck_types, colnames):
+    """Return [(col, type_str)] for oracle output columns whose DuckDB
+    type is in the INT128/DECIMAL family the driver hash can't match."""
+    bad = []
+    for col, t in zip(colnames, duck_types):
+        ts = str(t).upper()
+        if any(b in ts for b in _BANNED_DUCK_TYPES):
+            bad.append((col, str(t)))
+    return bad
+
+
 def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -122,9 +143,10 @@ def main() -> int:
             }
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(oracles[name])
+            dcols = list(rel.columns)
+            dtypes = list(rel.types)
+            drows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
@@ -136,6 +158,12 @@ def main() -> int:
             }
             continue
         problems = []
+        bad_types = _banned_oracle_types(dtypes, dcols)
+        if bad_types:
+            problems.append(
+                "oracle type leak (driver hash is type-sensitive): "
+                + ", ".join(f"{c}:{t}" for c, t in bad_types)
+            )
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
         if len(srows) != len(drows):
