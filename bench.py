@@ -393,11 +393,28 @@ def main() -> int:
     # host metadata-throttle stall (documented 30-60x single-trial
     # outliers; an 86 s trial observed in r7) sets the median.
     trials_1m = max(trials_n, 5)
+    # The grouped (reference) layout's 5000-file sink is the one entry
+    # where the host's metadata throttle can land 30-86 s stalls INSIDE
+    # the median (r8: trials [2.19, 2.60, 30.53, 25.67, 18.41] put an
+    # 18 s stall at position 3 of 5). VERDICT r8 #4: give it enough
+    # trials that the median is a throughput read, not a stall read —
+    # AND report a stall-trimmed median alongside (trim rule: drop
+    # trials > 5x the min, the documented 10-40x stall class; every
+    # raw trial stays in trial_times — no silent trimming).
+    trials_1m_grouped = max(trials_n, 9)
     big_wall, big_rps, walls_1m, med_1m = _caliper_trials(
-        spark, CALIPER_ROWS_BIG, "reference", big_csv, trials_1m,
+        spark, CALIPER_ROWS_BIG, "reference", big_csv, trials_1m_grouped,
         "caliper_items_1m_e2e (reference layout, 5000 durable files)",
     )
     trial_times["caliper_items_1m_e2e"] = walls_1m
+    nonstall_1m = [w for w in walls_1m if w <= 5 * min(walls_1m)]
+    med_1m_trimmed = round(statistics.median(nonstall_1m), 3)
+    print(
+        f"# caliper_items_1m_e2e stall-trimmed median {med_1m_trimmed}s "
+        f"over {len(nonstall_1m)}/{len(walls_1m)} non-stall trials "
+        f"(trim rule: > 5x min = {5 * min(walls_1m):.1f}s)",
+        file=sys.stderr,
+    )
     bulk_wall, bulk_rps, walls_bulk, med_bulk = _caliper_trials(
         spark, CALIPER_ROWS_BIG, "bulk", big_csv, trials_1m,
         "caliper_items_1m_bulk_e2e (JSON-lines scale layout)",
@@ -457,6 +474,7 @@ def main() -> int:
                 "trials": trials_h,
                 "trials_caliper_100k": trials_100k,
                 "trials_caliper_1m": trials_1m,
+                "trials_caliper_1m_grouped": trials_1m_grouped,
                 "trial_times": trial_times,
                 "caliper_items_100k_min_sec": caliper_wall,
                 "caliper_items_1m_min_sec": big_wall,
@@ -483,6 +501,7 @@ def main() -> int:
                 "caliper_items_rows_per_sec": caliper_rps,
                 "caliper_items_100k_median_sec": med_100k,
                 "caliper_items_1m_e2e_sec": med_1m,
+                "caliper_items_1m_e2e_trimmed_sec": med_1m_trimmed,
                 "caliper_items_1m_rows_per_sec": round(
                     CALIPER_ROWS_BIG / med_1m, 1
                 ),

@@ -48,6 +48,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     round9,
     round10,
     round11,
+    round12,
 )
 
 # ---------------------------------------------------------------------------
@@ -71,23 +72,10 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
 # (new operators register at the front in module order).
 # ---------------------------------------------------------------------------
 _DEFERRED = [
-    # green in r01, implementation unchanged since:
-    "caliper_eventize_flat",
-    "caliper_group_events",
-    "caliper_fanout",
-    "caliper_split_multivalue",
-    "q1_pricing_summary",
-    "scan_project",
-    "q5_local_supplier_revenue",
-    "filter_predicates",
-    "filter_null_semantics",
-    "join_inner",
-    "join_right_outer",
-    "join_full_outer",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_broadcast_dims",
+    # green in r01, implementation unchanged since (the 16 r01 entries
+    # that backfilled the r08 window were re-graded GREEN there and
+    # rotate to the TAIL below — deferral backfill is a rolling
+    # re-certification, oldest un-re-checked first):
     "join_range_predicate",
     "join_theta",
     "agg_distinct",
@@ -417,21 +405,75 @@ _DEFERRED = [
     "scan_gzip_nonsplittable",
     "ml_f1_threshold_pick",
     "window_touch_attribution",
+    # green in r08 (CORRECTNESS_r08), implementation unchanged since.
+    # NOT deferred from the r08 window: ts_period_over_period and
+    # ts_anomaly_seasonal_adjusted (driver-red on oracle HUGEINT
+    # leaks, oracles BIGINT-recast in r9 → regrade), ml_psi_drift
+    # (NULL-date semantics aligned in r9 → regrade), and
+    # curation_span_dedup_rewrite (_SPAN_IDX_BASE raised in r9 →
+    # regrade) — all four stay at the front of the r9 window.
+    "dedup_ngram_jaccard",
+    "dedup_minhash_md5_parity",
+    "dedup_minhash_lsh",
+    "dedup_simhash_md5_parity",
+    "dedup_simhash",
+    "dedup_ngram_containment",
+    "dedup_minhash_jaccard_estimate",
+    "dedup_cluster_cc",
+    "graph_hits_scores",
+    "text_ngram_novelty",
+    "ml_regression_metrics",
+    "graph_personalized_pagerank",
+    "ml_ab_chi2_outcome",
+    "ml_pr_curve_points",
+    "mix_token_budget_fill",
+    "sink_compact_small_files",
+    "fn_zorder_key",
+    "graph_modularity_score",
+    "ml_bootstrap_ci_mean",
+    "er_blocking_quality_report",
+    "fn_business_days_pack",
+    "join_asof_forward",
+    "ml_cramers_v",
+    "ml_cohens_kappa",
+    "ts_allen_interval_relations",
+    "geo_geohash_encode",
+    "text_zipf_slope",
+    "ml_ks_two_sample",
+    "ts_cusum_page_reflected",
+    "fn_hilbert_key",
+    # re-graded GREEN in r08 as deferral backfill (r01 originals);
+    # rotated to the tail so the rolling re-certification advances
+    # through the rest of the r01/r02 block first:
+    "caliper_eventize_flat",
+    "caliper_group_events",
+    "caliper_fanout",
+    "caliper_split_multivalue",
+    "q1_pricing_summary",
+    "scan_project",
+    "q5_local_supplier_revenue",
+    "filter_predicates",
+    "filter_null_semantics",
+    "join_inner",
+    "join_right_outer",
+    "join_full_outer",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dims",
 ]
 
-# Round-8 graded window (the r7 rotation plan, executed — VERDICT r7
-# demand #1, the FINAL certification rotation): the full 21-entry r7
-# `_NEXT` queue (graph_hits_scores … text_zipf_slope) is now in the
-# front of the registry, together with the round-8 additions
-# (queries/round11.py — net new held to 5, at the ≤5 budget) and
-# 8 regrades whose implementations changed this round (the dedup
-# family transitively touched by the `_spread` fix — VERDICT r7
-# What's-wrong #3 — plus dedup_cluster_cc which composes
-# dedup_ngram_jaccard; all re-verified hash-green/rows-only locally
-# after the change). The remaining window slots backfill from the
-# HEAD of `_DEFERRED` (r01 greens, deferrals-only backfill per the
-# demand). After this round every declared query carries a
-# driver-graded row; `_NEXT` is empty.
+# Round-9 graded window (VERDICT r8 demands #1/#3): the front holds
+# the four regrades — ts_period_over_period + ts_anomaly_seasonal_
+# adjusted (oracle HUGEINT leaks BIGINT-recast, the only r08 reds,
+# demand #1 "it goes first"), ml_psi_drift (ADVICE NULL-date
+# alignment), curation_span_dedup_rewrite (_SPAN_IDX_BASE raised) —
+# plus the round-9 additions (queries/round12.py, net new held to 3
+# of the ≤5 budget). The remaining slots backfill from the HEAD of
+# `_DEFERRED`, which now rotates: entries re-graded as backfill move
+# to the tail, so the rolling re-certification sweeps oldest-first
+# through the r01/r02 block. `_NEXT` stays empty — every declared
+# query carries a driver-graded row since r08.
 _NEXT: list[str] = []
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1,0 +1,583 @@
+"""Round-9 additions: mergeable-summary quantile drift (the unbinned
+companion to ``ml_ks_two_sample`` / ``ml_psi_drift``), weighted
+priority sampling (the corpus downsampler the mixing pack lacked), and
+the MinHash-LSH recall-vs-exact curve (the dedup family's graded
+recall evidence, ``sim_ivfpq_recall_vs_exact``'s sibling).
+
+Everything follows the registry conventions (__init__ docstring):
+identical aliases on both sides, exact integer arithmetic wherever a
+quotient crosses the engine boundary, doubles only in identical IEEE
+expression shapes (+,-,*,/ are correctly rounded, so identical exact
+inputs give bit-identical results on both engines — no transcendental
+enters a comparison), md5 as the only cross-engine hash primitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+from caliper_poc_data_etl_spark.queries.round6 import _DRIFT_CUTOFF
+from caliper_poc_data_etl_spark.queries.dedup import (
+    MERSENNE_P,
+    MINHASH_BANDS,
+    MINHASH_K,
+    _doc_shingle_sets,
+    _minhash_coeffs,
+)
+
+# ---------------------------------------------------------------------------
+# Quantile drift from the mergeable value-count summary
+# ---------------------------------------------------------------------------
+
+_QD_MICRO = 1_000_000
+
+
+@query(
+    "ml_quantile_drift",
+    oracle=f"""
+    WITH q AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS centi,
+             o_orderdate < TIMESTAMP '{_DRIFT_CUTOFF}' AS early
+      FROM orders WHERE o_totalprice > 0 AND o_orderdate IS NOT NULL
+    ),
+    vals AS (
+      SELECT centi,
+             SUM(CASE WHEN early THEN 1 ELSE 0 END) AS n_early,
+             SUM(CASE WHEN early THEN 0 ELSE 1 END) AS n_late
+      FROM q GROUP BY 1
+    ),
+    cum AS (
+      SELECT centi, n_early, n_late,
+             SUM(n_early) OVER (ORDER BY centi) AS ce,
+             SUM(n_late) OVER (ORDER BY centi) AS cl,
+             SUM(n_early) OVER () AS te,
+             SUM(n_late) OVER () AS tl
+      FROM vals
+    ),
+    eq AS (
+      SELECT u.q AS decile, centi AS q_early_centi
+      FROM (SELECT centi,
+                   CAST((10 * (ce - n_early)) // te + 1 AS BIGINT) AS q_lo,
+                   CAST(LEAST((10 * ce) // te, 9) AS BIGINT) AS q_hi
+            FROM cum),
+           unnest(CASE WHEN q_lo <= q_hi
+                       THEN range(q_lo, q_hi + 1)
+                       ELSE CAST([] AS BIGINT[]) END) AS u(q)
+    ),
+    lq AS (
+      SELECT u.q AS decile, centi AS q_late_centi
+      FROM (SELECT centi,
+                   CAST((10 * (cl - n_late)) // tl + 1 AS BIGINT) AS q_lo,
+                   CAST(LEAST((10 * cl) // tl, 9) AS BIGINT) AS q_hi
+            FROM cum),
+           unnest(CASE WHEN q_lo <= q_hi
+                       THEN range(q_lo, q_hi + 1)
+                       ELSE CAST([] AS BIGINT[]) END) AS u(q)
+    )
+    SELECT CAST(eq.decile AS BIGINT) AS decile,
+           CAST(q_early_centi AS BIGINT) AS q_early_centi,
+           CAST(q_late_centi AS BIGINT) AS q_late_centi,
+           CAST(q_late_centi - q_early_centi AS BIGINT) AS shift_centi,
+           CAST(((q_late_centi - q_early_centi) * {_QD_MICRO}
+                 - ((((q_late_centi - q_early_centi) * {_QD_MICRO})
+                     % q_early_centi + q_early_centi) % q_early_centi))
+                // q_early_centi AS BIGINT) AS shift_pct_micro
+    FROM eq JOIN lq ON eq.decile = lq.decile
+    """,
+)
+def ml_quantile_drift(spark, sf_dir):
+    """Quantile drift between the early/late order-value
+    distributions — the UNBINNED companion to ``ml_ks_two_sample``
+    (one max statistic) and ``ml_psi_drift`` (log2-binned): all nine
+    deciles of both distributions plus the per-decile shift, the
+    report a model-monitoring dashboard draws as a Q-Q drift strip.
+    The sketch is the centi-quantized (value → count) summary — the
+    exact-rank equivalent of a KLL/t-digest mergeable sketch on this
+    grid (map-side-combined groupBy partials merge associatively;
+    unlike KLL's randomized compaction it is deterministic, which the
+    cross-engine hash requires, and the quantization bounds its size
+    at any corpus scale). Quantiles are integer rank queries
+    (inverted CDF: smallest v with cum ≥ ceil(q·n/10)) computed
+    WITHOUT a decile cross join: value v answers exactly the deciles
+    q with 10·cum_prev < q·n ≤ 10·cum, so each summary row explodes
+    its own (possibly empty) decile range — ceil never materializes
+    (the inequality is pre-multiplied through). The relative shift
+    uses the floor-division identity (s − pmod(s, d)) div d on both
+    engines (shifts go negative; DuckDB // floors, Spark div
+    truncates — the ``ts_period_over_period`` recipe). Scale shape:
+    one fact scan into a map-side-combined groupBy on the quantized
+    value; every window and explode runs over that bounded summary,
+    never the corpus."""
+    o = t(spark, sf_dir, "orders")
+    centi = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    early = F.col("o_orderdate") < F.lit(_DRIFT_CUTOFF).cast("timestamp")
+    vals = (
+        o.filter((F.col("o_totalprice") > 0) & F.col("o_orderdate").isNotNull())
+        .select(centi.alias("centi"), early.alias("early"))
+        .groupBy("centi")
+        .agg(
+            F.sum(F.col("early").cast("int")).alias("n_early"),
+            F.sum((~F.col("early")).cast("int")).alias("n_late"),
+        )
+    )
+    w_cum = W.orderBy("centi")
+    w_all = W.orderBy("centi").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = vals.select(
+        "centi",
+        "n_early",
+        "n_late",
+        F.sum("n_early").over(w_cum).alias("ce"),
+        F.sum("n_late").over(w_cum).alias("cl"),
+        F.sum("n_early").over(w_all).alias("te"),
+        F.sum("n_late").over(w_all).alias("tl"),
+    )
+
+    def side(cum_col, n_col, tot_col, out_alias):
+        q_lo = F.expr(f"(10 * ({cum_col} - {n_col})) div {tot_col}") + 1
+        q_hi = F.least(F.expr(f"(10 * {cum_col}) div {tot_col}"), F.lit(9))
+        qs = F.when(q_lo <= q_hi, F.sequence(q_lo, q_hi)).otherwise(
+            F.array().cast("array<long>")
+        )
+        return cum.select(
+            F.explode(qs).alias("decile"), F.col("centi").alias(out_alias)
+        )
+
+    eq = side("ce", "n_early", "te", "q_early_centi")
+    lq = side("cl", "n_late", "tl", "q_late_centi")
+    shift = F.col("q_late_centi") - F.col("q_early_centi")
+    s_micro = shift * _QD_MICRO
+    return eq.join(lq, "decile").select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("q_early_centi").cast("long").alias("q_early_centi"),
+        F.col("q_late_centi").cast("long").alias("q_late_centi"),
+        shift.cast("long").alias("shift_centi"),
+        F.expr(
+            f"((q_late_centi - q_early_centi) * {_QD_MICRO} "
+            f"- pmod((q_late_centi - q_early_centi) * {_QD_MICRO}, "
+            f"q_early_centi)) div q_early_centi"
+        )
+        .cast("long")
+        .alias("shift_pct_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling (Duffield–Lund–Thorup) — deterministic
+# ---------------------------------------------------------------------------
+
+PRIORITY_SAMPLE_K = 100
+_U52 = 1 << 52  # md5 13-hex-char prefix → 52 bits, exact in a DOUBLE
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH wdocs AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS weight,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+               + 1 AS u52
+      FROM documents
+    ),
+    pr AS (
+      SELECT doc_id, weight, u52,
+             (CAST(weight AS DOUBLE) / CAST(u52 AS DOUBLE)) * {_U52}.0
+               AS prio
+      FROM wdocs
+    ),
+    top AS (
+      SELECT * FROM pr
+      ORDER BY prio DESC, doc_id
+      LIMIT {PRIORITY_SAMPLE_K + 1}
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (ORDER BY prio DESC, doc_id) AS rn,
+             COALESCE(MAX(CASE WHEN rn0 = {PRIORITY_SAMPLE_K + 1}
+                                THEN prio END) OVER (), 0.0) AS tau
+      FROM (SELECT *,
+                   ROW_NUMBER() OVER (ORDER BY prio DESC, doc_id) AS rn0
+            FROM top)
+    ),
+    sampled AS (
+      SELECT doc_id, weight, u52, rn,
+             CAST(ROUND(GREATEST(CAST(weight AS DOUBLE), tau) * 1000000)
+                  AS BIGINT) AS est_micro
+      FROM ranked WHERE rn <= {PRIORITY_SAMPLE_K}
+    ),
+    tot AS (SELECT CAST(SUM(weight) AS BIGINT) AS total_weight FROM wdocs)
+    SELECT s.doc_id,
+           s.weight,
+           CAST(s.u52 AS BIGINT) AS u52,
+           CAST(s.rn AS BIGINT) AS prio_rank,
+           s.est_micro,
+           CAST(SUM(s.est_micro) OVER () AS BIGINT) AS est_total_micro,
+           t.total_weight,
+           CAST(SUM(s.est_micro) OVER () // t.total_weight AS BIGINT)
+             AS est_over_true_micro
+    FROM sampled s, tot t
+    """,
+)
+def sample_weighted_reservoir(spark, sf_dir):
+    """Weighted reservoir via PRIORITY SAMPLING (Duffield, Lund &
+    Thorup 2007) — the standard corpus downsampler the mixing pack
+    lacked: sample k documents with probability increasing in weight
+    (words per doc), carrying the UNBIASED per-item total-weight
+    estimator max(wᵢ, τ) where τ is the (k+1)-th largest priority.
+    Deterministic and cross-engine exact: each doc's uniform draw is
+    an md5-derived 52-bit integer u (exactly representable in a
+    DOUBLE), its priority is w/(u/2^52) computed as (w/u)·2^52 —
+    one correctly-rounded IEEE division then an exact power-of-two
+    scaling, so both engines produce BIT-IDENTICAL priorities and the
+    top-k boundary can never flip (this is why priority sampling is
+    chosen over A-ExpJ/A-Res here: their u^(1/w) / ln(u)/w keys go
+    through pow/ln, whose last-ulp behavior differs between JVM and
+    C libm — a rank-k boundary flip the hash gate would catch but a
+    production run would silently suffer). est_over_true_micro grades
+    the estimator: Σ max(w, τ) over the sample vs the true Σ w, ≈1e6
+    when the sketch is honest (pinned in tests). τ ~ W/k in
+    expectation, so est_micro stays far inside BIGINT. Scale shape:
+    the top-(k+1) is orderBy+limit → TakeOrderedAndProject
+    (per-partition top-k, merged on the driver — the corpus never
+    globally sorts and never shuffles); the windows run over the
+    bounded (k+1)-row frame; the true total is one map-side-combined
+    1-row aggregate broadcast back (whitelisted scalar shape)."""
+    d = t(spark, sf_dir, "documents")
+    wdocs = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+        .cast("long")
+        .alias("weight"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ).alias("u52"),
+    )
+    pr = wdocs.select(
+        "*",
+        (
+            (F.col("weight").cast("double") / F.col("u52").cast("double"))
+            * float(_U52)
+        ).alias("prio"),
+    )
+    top = pr.orderBy(F.desc("prio"), "doc_id").limit(PRIORITY_SAMPLE_K + 1)
+    w_rank = W.orderBy(F.desc("prio"), "doc_id")
+    w_all = W.orderBy(F.desc("prio"), "doc_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = top.select("*", F.row_number().over(w_rank).alias("rn")).select(
+        "*",
+        F.coalesce(
+            F.max(
+                F.when(F.col("rn") == PRIORITY_SAMPLE_K + 1, F.col("prio"))
+            ).over(w_all),
+            F.lit(0.0),
+        ).alias("tau"),
+    )
+    sampled = ranked.filter(F.col("rn") <= PRIORITY_SAMPLE_K).select(
+        "doc_id",
+        "weight",
+        "u52",
+        F.col("rn").cast("long").alias("prio_rank"),
+        F.round(
+            F.greatest(F.col("weight").cast("double"), F.col("tau")) * 1000000
+        )
+        .cast("long")
+        .alias("est_micro"),
+    )
+    tot = wdocs.agg(F.sum("weight").cast("long").alias("total_weight"))
+    w_s = W.orderBy("prio_rank").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return sampled.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "weight",
+        "u52",
+        "prio_rank",
+        "est_micro",
+        F.sum("est_micro").over(w_s).cast("long").alias("est_total_micro"),
+        "total_weight",
+        F.expr("sum(est_micro) over () div total_weight")
+        .cast("long")
+        .alias("est_over_true_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall vs exact Jaccard — the dedup family's graded curve
+# ---------------------------------------------------------------------------
+
+# Mean recall floor for HIGH-SIMILARITY pairs (exact Jaccard >= 0.8,
+# the dedup design threshold): with b=16 bands of r=2 rows the
+# analytic candidate probability at j=0.8 is 1-(1-0.64)^16 ≈ 1-9e-8,
+# so the md5-signature pipeline must catch essentially every
+# >=0.8 pair; measured 1000 milli at sf0.001/0.01/0.1.
+LSH_RECALL_FLOOR_MILLI = 950
+
+
+def _minhash_recall_oracle() -> str:
+    perms = ",\n               ".join(
+        f"list_min(list_transform(harr, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for a, b in _minhash_coeffs()
+    )
+    return f"""
+    WITH reps AS MATERIALIZED (
+      SELECT MIN(doc_id) AS rep, text, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+      GROUP BY text
+    ),
+    sh AS MATERIALIZED (
+      SELECT rep, c,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shset
+      FROM (SELECT rep, c,
+                   string_split_regex(trim(text), '\\s+') AS tk
+            FROM reps)
+    ),
+    sigs AS MATERIALIZED (
+      SELECT rep, [{perms}] AS sig
+      FROM (SELECT rep,
+                   list_transform(shset,
+                     s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                          % {MERSENNE_P}) AS harr
+            FROM sh)
+    ),
+    bands AS (
+      SELECT rep, u.b AS band,
+             CAST(sig[2 * u.b + 1] AS VARCHAR) || ','
+               || CAST(sig[2 * u.b + 2] AS VARCHAR) AS bkey
+      FROM sigs, unnest(range(0, {MINHASH_BANDS})) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.rep < b.rep
+    ),
+    ex AS (SELECT rep, unnest(shset) AS shingle FROM sh),
+    sizes AS (SELECT rep, c, len(shset) AS n FROM sh),
+    cross_pairs AS (
+      SELECT rep_a, rep_b, (i * 10) // u AS decile, w FROM (
+        SELECT a.rep AS rep_a, b.rep AS rep_b, COUNT(*) AS i,
+               sa.n + sb.n - COUNT(*) AS u, sa.c * sb.c AS w
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.rep < b.rep
+        JOIN sizes sa ON sa.rep = a.rep
+        JOIN sizes sb ON sb.rep = b.rep
+        GROUP BY 1, 2, sa.n, sb.n, sa.c, sb.c
+      ) WHERE (i * 10) // u >= 5
+    ),
+    hits AS (
+      SELECT t.decile, t.w AS n_true,
+             CASE WHEN cd.rep_a IS NULL THEN 0 ELSE t.w END AS n_caught
+      FROM cross_pairs t LEFT JOIN cand cd
+        ON cd.rep_a = t.rep_a AND cd.rep_b = t.rep_b
+      UNION ALL
+      SELECT 10 AS decile, c * (c - 1) // 2 AS n_true,
+             c * (c - 1) // 2 AS n_caught
+      FROM sizes WHERE c >= 2
+    ),
+    curve AS (
+      SELECT decile, SUM(n_true) AS n_true, SUM(n_caught) AS n_caught
+      FROM hits GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           CAST((n_caught * 1000) // n_true AS BIGINT) AS recall_milli,
+           CAST(SUM(CASE WHEN decile >= 8 THEN n_caught ELSE 0 END) OVER ()
+                * 1000
+                // SUM(CASE WHEN decile >= 8 THEN n_true ELSE 0 END) OVER ()
+                AS BIGINT) AS hi_recall_milli,
+           SUM(CASE WHEN decile >= 8 THEN n_caught ELSE 0 END) OVER () * 1000
+             // SUM(CASE WHEN decile >= 8 THEN n_true ELSE 0 END) OVER ()
+             >= {LSH_RECALL_FLOOR_MILLI} AS meets_floor
+    FROM curve
+    """
+
+
+@query("dedup_minhash_recall_vs_exact", oracle=_minhash_recall_oracle())
+def dedup_minhash_recall_vs_exact(spark, sf_dir):
+    """MinHash-LSH recall-vs-exact CURVE — the dedup family's graded
+    quality evidence (``sim_ivfpq_recall_vs_exact``'s sibling; until
+    now the LSH recall claim lived only in pytest). Ground truth is
+    every pair with exact shingle Jaccard ≥ 0.5, bucketed by integer
+    decile (i·10) div (union size) — exact on both engines, no double
+    ever compared. Candidates come from the md5-parity MinHash
+    signatures (the ``dedup_minhash_md5_parity`` math: same shingles,
+    same fixed-seed universal-hash family) banded into
+    {MINHASH_BANDS} bands of r={MINHASH_K}//{MINHASH_BANDS}; a band's
+    bucket key is the raw signature slice itself (the production path
+    xxhash64-compresses the slice to a 64-bit key — identical
+    semantics minus a negligible collision probability, and xxhash64
+    is not reproducible cross-engine). The output is the LSH S-curve:
+    per-decile recall plus the high-similarity (≥0.8, the design
+    threshold) aggregate pinned against LSH_RECALL_FLOOR_MILLI —
+    analytically 1-(1-j^r)^b ≈ 1-9e-8 at j=0.8. Scale shape: EXACT
+    DUPLICATES ARE COLLAPSED FIRST — documents group by text into
+    (representative, multiplicity c) and every downstream stage runs
+    on distinct texts only, with pair counts expanded algebraically
+    (cross-text pairs weigh cₐ·c_b; within-text pairs are C(c,2) at
+    decile 10, always caught since identical texts have identical
+    signatures) — the curve is EXACTLY the naive all-documents curve
+    (pinned against the naive pure-Python replica in pytest) but a
+    corpus that is 100 copies of itself costs the same as its
+    distinct core instead of 10,000× (the first K=100 soak of the
+    naive form filled the host disk on the 24.75M-identical-pair
+    truth join; production exact-hash dedup before MinHash is this
+    same move). Signatures are map-only per distinct text; candidates
+    come from the banded groupBy (Σ bucket², never n²); the exact-
+    truth side over distinct texts is the GRADING query, run on a
+    monitoring sample in production exactly like
+    ``er_blocking_quality_report``'s all-pairs truth. At 100 TB the
+    text groupBy would key on md5(text) rather than the raw string —
+    identical semantics, 32-byte shuffle keys."""
+    d = t(spark, sf_dir, "documents")
+    reps = (
+        d.filter(F.size(F.split(F.trim(F.col("text")), "\\s+")) >= 3)
+        .groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    sets = _doc_shingle_sets(reps.select("doc_id", "text")).join(
+        reps.select("doc_id", "c"), "doc_id"
+    )
+    h = sets.select(
+        "doc_id",
+        F.transform(
+            "shset",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % MERSENNE_P,
+        ).alias("harr"),
+    )
+    harr = F.col("harr")
+    mins = [
+        F.array_min(F.transform(harr, lambda x: (a * x + b) % MERSENNE_P))
+        for a, b in _minhash_coeffs()
+    ]
+    sigs = h.select("doc_id", F.array(*mins).alias("sig"))
+    r = MINHASH_K // MINHASH_BANDS
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig").getItem(i * r + j).cast("string")
+                    for j in range(r)
+                ],
+            )
+            for i in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "bkey")
+    )
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+    )
+    docs = F.col("docs")
+    pair_arrays = F.transform(
+        docs,
+        lambda x, i: F.transform(
+            F.slice(docs, i + 2, F.size(docs)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    )
+    cand = (
+        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ex = sets.select("doc_id", F.explode("shset").alias("shingle"))
+    sizes = sets.select("doc_id", F.size("shset").alias("n"), "c")
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    cross_pairs = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"),
+                F.col("c").alias("ca"),
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"),
+                F.col("c").alias("cb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("(i * 10) div (na + nb - i)").alias("decile"),
+            (F.col("ca") * F.col("cb")).alias("w"),
+        )
+        .filter(F.col("decile") >= 5)
+    )
+    hits = cross_pairs.join(cand, ["doc_a", "doc_b"], "left").select(
+        "decile",
+        F.col("w").alias("n_true"),
+        F.when(F.col("hit").isNotNull(), F.col("w"))
+        .otherwise(F.lit(0))
+        .alias("n_caught"),
+    ).unionByName(
+        sizes.filter(F.col("c") >= 2).select(
+            F.lit(10).alias("decile"),
+            F.expr("c * (c - 1) div 2").alias("n_true"),
+            F.expr("c * (c - 1) div 2").alias("n_caught"),
+        )
+    )
+    curve = hits.groupBy("decile").agg(
+        F.sum("n_true").alias("n_true"), F.sum("n_caught").alias("n_caught")
+    )
+    w_all = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    hi_caught = F.sum(
+        F.when(F.col("decile") >= 8, F.col("n_caught")).otherwise(0)
+    ).over(w_all)
+    hi_true = F.sum(
+        F.when(F.col("decile") >= 8, F.col("n_true")).otherwise(0)
+    ).over(w_all)
+    hi_recall = F.expr(
+        "sum(case when decile >= 8 then n_caught else 0 end) over () * 1000 "
+        "div sum(case when decile >= 8 then n_true else 0 end) over ()"
+    )
+    return curve.select(
+        F.col("decile").cast("long").alias("decile"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_caught").cast("long").alias("n_caught"),
+        F.expr("(n_caught * 1000) div n_true").cast("long").alias(
+            "recall_milli"
+        ),
+        hi_recall.cast("long").alias("hi_recall_milli"),
+        (hi_recall >= LSH_RECALL_FLOOR_MILLI).alias("meets_floor"),
+    )

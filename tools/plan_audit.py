@@ -121,6 +121,10 @@ EXPECTED_SCALAR_BNLJ.add("graph_modularity_score")
 EXPECTED_NLJ.add("er_blocking_quality_report")
 # broadcast 1-row series-length + observed-mean scalars.
 EXPECTED_SCALAR_BNLJ.add("ml_bootstrap_ci_mean")
+# broadcast 1-row true-total-weight scalar for the priority-sampling
+# estimator denominator (round12.py): multiplies the bounded k-row
+# sample by 1 row — the tfidf_top_terms shape.
+EXPECTED_SCALAR_BNLJ.add("sample_weighted_reservoir")
 # bounded-calendar daily series × broadcast 8-row lag table.
 EXPECTED_NLJ.add("ts_xcorr_lag_scan")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
