@@ -581,3 +581,336 @@ def dedup_minhash_recall_vs_exact(spark, sf_dir):
         hi_recall.cast("long").alias("hi_recall_milli"),
         (hi_recall >= LSH_RECALL_FLOOR_MILLI).alias("meets_floor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source weighted priority sampling — the group-wise variant
+# ---------------------------------------------------------------------------
+
+PRIORITY_SAMPLE_K_SRC = 10
+
+
+@query(
+    "sample_weighted_reservoir_per_source",
+    oracle=f"""
+    WITH wdocs AS (
+      SELECT source, doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS weight,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+               + 1 AS u52
+      FROM documents
+    ),
+    pr AS (
+      SELECT *, (CAST(weight AS DOUBLE) / CAST(u52 AS DOUBLE)) * {_U52}.0
+               AS prio
+      FROM wdocs
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY prio DESC, doc_id) AS rn
+      FROM pr
+    ),
+    tq AS (
+      SELECT *,
+             COALESCE(MAX(CASE WHEN rn = {PRIORITY_SAMPLE_K_SRC + 1}
+                               THEN prio END)
+                      OVER (PARTITION BY source), 0.0) AS tau
+      FROM ranked WHERE rn <= {PRIORITY_SAMPLE_K_SRC + 1}
+    ),
+    sampled AS (
+      SELECT source, doc_id, weight, CAST(u52 AS BIGINT) AS u52,
+             CAST(rn AS BIGINT) AS prio_rank,
+             CAST(ROUND(GREATEST(CAST(weight AS DOUBLE), tau) * 1000000)
+                  AS BIGINT) AS est_micro
+      FROM tq WHERE rn <= {PRIORITY_SAMPLE_K_SRC}
+    ),
+    tot AS (
+      SELECT source, CAST(SUM(weight) AS BIGINT) AS src_total_weight
+      FROM wdocs GROUP BY source
+    )
+    SELECT s.source, s.doc_id, s.weight, s.u52, s.prio_rank, s.est_micro,
+           CAST(SUM(s.est_micro) OVER (PARTITION BY s.source) AS BIGINT)
+             AS src_est_total_micro,
+           t.src_total_weight,
+           CAST(SUM(s.est_micro) OVER (PARTITION BY s.source)
+                // t.src_total_weight AS BIGINT) AS est_over_true_micro
+    FROM sampled s JOIN tot t ON t.source = s.source
+    """,
+)
+def sample_weighted_reservoir_per_source(spark, sf_dir):
+    """Per-SOURCE weighted priority sampling — the group-wise variant
+    of ``sample_weighted_reservoir`` (k={PRIORITY_SAMPLE_K_SRC} docs
+    per source, weight-proportional within each): the corpus-mixing
+    downsampler that keeps every domain represented while still
+    favoring heavy documents inside each domain. Same exactness
+    recipe as the global variant (md5-derived 52-bit uniforms, one
+    correctly-rounded IEEE division, exact power-of-two scale →
+    bit-identical cross-engine priorities; per-source τ = the
+    (k+1)-th priority; unbiased max(w, τ) per-source total
+    estimator). Scale shape: ONE hash exchange on source, then
+    per-partition rank-filter (the ``window_rank_topk_per_group``
+    pattern — Spark's WindowGroupLimit pushes the rn ≤ k+1 filter
+    below the full sort at execution); per-source totals are a
+    map-side-combined groupBy joined back on the 20-key dimension —
+    plain equi-joins, no NLJ. A pathologically hot source skews the
+    rank exchange like any hot group key — salt-and-merge two-phase
+    top-k is the documented mitigation, not needed at fixture
+    cardinalities."""
+    d = t(spark, sf_dir, "documents")
+    wdocs = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), "\\s+"))
+        .cast("long")
+        .alias("weight"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                16,
+                10,
+            ).cast("long")
+            + 1
+        ).alias("u52"),
+    )
+    pr = wdocs.select(
+        "*",
+        (
+            (F.col("weight").cast("double") / F.col("u52").cast("double"))
+            * float(_U52)
+        ).alias("prio"),
+    )
+    w_rank = W.partitionBy("source").orderBy(F.desc("prio"), "doc_id")
+    w_src = (
+        W.partitionBy("source")
+        .orderBy(F.desc("prio"), "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    ranked = pr.select("*", F.row_number().over(w_rank).alias("rn")).filter(
+        F.col("rn") <= PRIORITY_SAMPLE_K_SRC + 1
+    )
+    tq = ranked.select(
+        "*",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("rn") == PRIORITY_SAMPLE_K_SRC + 1, F.col("prio")
+                )
+            ).over(w_src),
+            F.lit(0.0),
+        ).alias("tau"),
+    )
+    sampled = tq.filter(F.col("rn") <= PRIORITY_SAMPLE_K_SRC).select(
+        "source",
+        "doc_id",
+        "weight",
+        "u52",
+        F.col("rn").cast("long").alias("prio_rank"),
+        F.round(
+            F.greatest(F.col("weight").cast("double"), F.col("tau")) * 1000000
+        )
+        .cast("long")
+        .alias("est_micro"),
+    )
+    tot = wdocs.groupBy("source").agg(
+        F.sum("weight").cast("long").alias("src_total_weight")
+    )
+    w_est = W.partitionBy("source").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return sampled.join(tot, "source").select(
+        "source",
+        "doc_id",
+        "weight",
+        "u52",
+        "prio_rank",
+        "est_micro",
+        F.sum("est_micro").over(w_est).cast("long").alias(
+            "src_est_total_micro"
+        ),
+        "src_total_weight",
+        F.expr(
+            "sum(est_micro) over (partition by source) div src_total_weight"
+        )
+        .cast("long")
+        .alias("est_over_true_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus fuzzy decontamination via MinHash-LSH
+# ---------------------------------------------------------------------------
+
+DECONTAM_EVAL_MOD = 31  # ~3% deterministic held-out eval sample
+DECONTAM_JACC_MILLI = 500  # recall-oriented: looser than dedup's 0.8
+
+
+def _decontam_minhash_oracle() -> str:
+    perms = ",\n               ".join(
+        f"list_min(list_transform(harr, x -> ({a} * x + {b}) % {MERSENNE_P}))"
+        for a, b in _minhash_coeffs()
+    )
+    return f"""
+    WITH sh AS MATERIALIZED (
+      SELECT doc_id, doc_id % {DECONTAM_EVAL_MOD} = 0 AS is_eval,
+             list_distinct(list_transform(range(1, len(tk) - 1),
+               i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shset
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+            FROM documents)
+      WHERE len(tk) >= 3
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, is_eval, [{perms}] AS sig
+      FROM (SELECT doc_id, is_eval,
+                   list_transform(shset,
+                     s -> ('0x' || substr(md5(s), 1, 15))::BIGINT
+                          % {MERSENNE_P}) AS harr
+            FROM sh)
+    ),
+    bands AS (
+      SELECT doc_id, is_eval, u.b AS band,
+             CAST(sig[2 * u.b + 1] AS VARCHAR) || ','
+               || CAST(sig[2 * u.b + 2] AS VARCHAR) AS bkey
+      FROM sigs, unnest(range(0, {MINHASH_BANDS})) AS u(b)
+    ),
+    cand AS (
+      SELECT DISTINCT tr.doc_id AS train_id, ev.doc_id AS eval_id
+      FROM bands tr JOIN bands ev
+        ON tr.band = ev.band AND tr.bkey = ev.bkey
+       AND NOT tr.is_eval AND ev.is_eval
+    ),
+    verified AS (
+      SELECT c.train_id, c.eval_id,
+             (len(list_intersect(a.shset, b.shset)) * 1000)
+               // (len(a.shset) + len(b.shset)
+                   - len(list_intersect(a.shset, b.shset))) AS jacc_milli
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.train_id
+      JOIN sh b ON b.doc_id = c.eval_id
+    ),
+    flagged AS (
+      SELECT train_id, eval_id, jacc_milli,
+             ROW_NUMBER() OVER (PARTITION BY train_id
+                                ORDER BY jacc_milli DESC, eval_id) AS rk,
+             COUNT(*) OVER (PARTITION BY train_id) AS n_eval_matches
+      FROM verified WHERE jacc_milli >= {DECONTAM_JACC_MILLI}
+    )
+    SELECT train_id AS doc_id,
+           CAST(n_eval_matches AS BIGINT) AS n_eval_matches,
+           eval_id AS best_eval_id,
+           CAST(jacc_milli AS BIGINT) AS best_jacc_milli
+    FROM flagged WHERE rk = 1
+    """
+
+
+@query("decontam_minhash_crosscorpus", oracle=_decontam_minhash_oracle())
+def decontam_minhash_crosscorpus(spark, sf_dir):
+    """Cross-corpus FUZZY decontamination — the near-dup variant the
+    decontamination pack lacked (``decontam_ngram_overlap`` /
+    ``decontam_exact_substring`` / ``decontam_bloom_ngram`` all catch
+    verbatim or n-gram-exact leakage; paraphrased eval contamination
+    needs MinHash): flag every training document whose md5-parity
+    MinHash signature shares a band with any held-out eval document
+    (doc_id % {DECONTAM_EVAL_MOD} = 0, a deterministic ~3% sample
+    standing in for the eval suite) AND whose verified exact shingle
+    Jaccard against that eval doc is ≥ {DECONTAM_JACC_MILLI}/1000 —
+    the looser, recall-oriented threshold decontamination wants (a
+    half-overlapping doc leaks; dedup's 0.8 would miss it). Output
+    per flagged train doc: match count, best-matching eval doc
+    (highest Jaccard, ties to the smallest id), and its exact
+    integer-milli Jaccard. Scale shape: signatures map-only per doc;
+    the candidate step is a band-key EQUI-join where the eval side is
+    eval-suite-sized (broadcastable at any corpus scale); exact
+    verification runs on candidates only (array_intersect on the two
+    bounded shingle sets), never all train × eval pairs."""
+    d = t(spark, sf_dir, "documents")
+    flagged_side = F.col("doc_id") % DECONTAM_EVAL_MOD == 0
+    sets = _doc_shingle_sets(d).withColumn("is_eval", flagged_side)
+    h = sets.select(
+        "doc_id",
+        "is_eval",
+        F.transform(
+            "shset",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % MERSENNE_P,
+        ).alias("harr"),
+    )
+    harr = F.col("harr")
+    mins = [
+        F.array_min(F.transform(harr, lambda x: (a * x + b) % MERSENNE_P))
+        for a, b in _minhash_coeffs()
+    ]
+    sigs = h.select("doc_id", "is_eval", F.array(*mins).alias("sig"))
+    r = MINHASH_K // MINHASH_BANDS
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("sig").getItem(i * r + j).cast("string")
+                    for j in range(r)
+                ],
+            )
+            for i in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", "is_eval", F.posexplode(band_keys).alias("band", "bkey")
+    )
+    ev = bands.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_id"), "band", "bkey"
+    )
+    tr = bands.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_id"), "band", "bkey"
+    )
+    cand = (
+        tr.join(F.broadcast(ev), ["band", "bkey"])
+        .select("train_id", "eval_id")
+        .distinct()
+    )
+    sh_train = sets.select(
+        F.col("doc_id").alias("train_id"), F.col("shset").alias("sh_a")
+    )
+    sh_eval = sets.select(
+        F.col("doc_id").alias("eval_id"), F.col("shset").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        cand.join(sh_train, "train_id")
+        .join(F.broadcast(sh_eval), "eval_id")
+        .select(
+            "train_id",
+            "eval_id",
+            F.expr(
+                "(size(array_intersect(sh_a, sh_b)) * 1000) div "
+                "(size(sh_a) + size(sh_b) "
+                "- size(array_intersect(sh_a, sh_b)))"
+            ).alias("jacc_milli"),
+        )
+        .filter(F.col("jacc_milli") >= DECONTAM_JACC_MILLI)
+    )
+    w_rk = W.partitionBy("train_id").orderBy(
+        F.desc("jacc_milli"), "eval_id"
+    )
+    w_cnt = W.partitionBy("train_id").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return (
+        verified.select(
+            "train_id",
+            "eval_id",
+            "jacc_milli",
+            F.row_number().over(w_rk).alias("rk"),
+            F.count(F.lit(1)).over(w_cnt).alias("n_eval_matches"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("train_id").alias("doc_id"),
+            F.col("n_eval_matches").cast("long").alias("n_eval_matches"),
+            F.col("eval_id").alias("best_eval_id"),
+            F.col("jacc_milli").cast("long").alias("best_jacc_milli"),
+        )
+    )

@@ -276,3 +276,179 @@ class TestMinhashRecallCurve:
         assert any(d < 8 for d in want), "synthetic lower tail missing"
         for n_true, n_caught in got.values():
             assert 0 <= n_caught <= n_true
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_reservoir_per_source
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_source(sf_dir: str) -> list[tuple[int, str, str]]:
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, text, source FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+
+
+class TestPerSourcePrioritySampling:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round12 import (
+            PRIORITY_SAMPLE_K_SRC as K,
+        )
+
+        groups: dict[str, list[tuple[float, int, int, int]]] = {}
+        totals: dict[str, int] = {}
+        for doc_id, text, source in _docs_with_source(sf_dir):
+            w = len(text.strip().split())
+            u = _u52(doc_id)
+            groups.setdefault(source, []).append(((w / u) * _U52, doc_id, w, u))
+            totals[source] = totals.get(source, 0) + w
+        want = {}
+        est_totals: dict[str, int] = {}
+        for source, pr in groups.items():
+            pr.sort(key=lambda t: (-t[0], t[1]))
+            tau = pr[K][0] if len(pr) > K else 0.0
+            for rank, (p, doc_id, w, u) in enumerate(pr[:K]):
+                est = round(max(float(w), tau) * 1_000_000)
+                want[doc_id] = (source, rank + 1, w, u, est)
+                est_totals[source] = est_totals.get(source, 0) + est
+        rows = (
+            QUERIES["sample_weighted_reservoir_per_source"]
+            .spark(spark, sf_dir)
+            .collect()
+        )
+        assert len(rows) == len(want)
+        for r in rows:
+            source, rank, w, u, est = want[r["doc_id"]]
+            assert (
+                r["source"],
+                r["prio_rank"],
+                r["weight"],
+                r["u52"],
+                r["est_micro"],
+            ) == (source, rank, w, u, est), r["doc_id"]
+            assert r["src_total_weight"] == totals[source]
+            assert r["src_est_total_micro"] == est_totals[source]
+            assert (
+                r["est_over_true_micro"] == est_totals[source] // totals[source]
+            )
+
+    def test_every_source_represented(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round12 import (
+            PRIORITY_SAMPLE_K_SRC as K,
+        )
+
+        con = duckdb.connect()
+        per_src = dict(
+            con.execute(
+                f"SELECT source, COUNT(*) FROM '{sf_dir}/documents.parquet' "
+                "GROUP BY source"
+            ).fetchall()
+        )
+        rows = (
+            QUERIES["sample_weighted_reservoir_per_source"]
+            .spark(spark, sf_dir)
+            .groupBy("source")
+            .count()
+            .collect()
+        )
+        got = {r["source"]: r["count"] for r in rows}
+        assert set(got) == set(per_src)
+        for s, n in per_src.items():
+            assert got[s] == min(K, n)
+
+
+# ---------------------------------------------------------------------------
+# decontam_minhash_crosscorpus
+# ---------------------------------------------------------------------------
+
+
+def _py_decontam(docs: list[tuple[int, str]]):
+    from caliper_poc_data_etl_spark.queries.round12 import (
+        DECONTAM_EVAL_MOD,
+        DECONTAM_JACC_MILLI,
+    )
+
+    sh = {d: _shingles(t) for d, t in docs if _shingles(t)}
+    sigs = {d: _sig(s) for d, s in sh.items()}
+    r = MINHASH_K // MINHASH_BANDS
+    ev_bands: dict[tuple[int, str], set[int]] = {}
+    for d, sig in sigs.items():
+        if d % DECONTAM_EVAL_MOD == 0:
+            for b in range(MINHASH_BANDS):
+                key = ",".join(str(x) for x in sig[b * r : (b + 1) * r])
+                ev_bands.setdefault((b, key), set()).add(d)
+    matches: dict[int, list[tuple[int, int]]] = {}
+    for d, sig in sigs.items():
+        if d % DECONTAM_EVAL_MOD == 0:
+            continue
+        cands = set()
+        for b in range(MINHASH_BANDS):
+            key = ",".join(str(x) for x in sig[b * r : (b + 1) * r])
+            cands |= ev_bands.get((b, key), set())
+        for e in cands:
+            inter = len(sh[d] & sh[e])
+            u = len(sh[d] | sh[e])
+            jm = (inter * 1000) // u
+            if jm >= DECONTAM_JACC_MILLI:
+                matches.setdefault(d, []).append((jm, e))
+    out = {}
+    for d, ms in matches.items():
+        ms.sort(key=lambda t: (-t[0], t[1]))
+        out[d] = (len(ms), ms[0][1], ms[0][0])
+    return out
+
+
+class TestDecontamMinhash:
+    def test_python_replica(self, spark, sf_dir):
+        want = _py_decontam(_docs(sf_dir))
+        rows = (
+            QUERIES["decontam_minhash_crosscorpus"].spark(spark, sf_dir).collect()
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_eval_matches"],
+                r["best_eval_id"],
+                r["best_jacc_milli"],
+            )
+            for r in rows
+        }
+        assert got == want
+        assert got, "fixture must flag at least one contaminated doc"
+
+    def test_no_eval_docs_flagged(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round12 import DECONTAM_EVAL_MOD
+
+        rows = (
+            QUERIES["decontam_minhash_crosscorpus"].spark(spark, sf_dir).collect()
+        )
+        for r in rows:
+            assert r["doc_id"] % DECONTAM_EVAL_MOD != 0
+            assert r["best_eval_id"] % DECONTAM_EVAL_MOD == 0
+            assert r["best_jacc_milli"] >= 500
+
+    def test_planted_contamination(self, spark, tmp_path):
+        # A training doc sharing exactly half its shingle set with an
+        # eval doc must be flagged; a disjoint doc must not.
+        from caliper_poc_data_etl_spark.queries.round12 import DECONTAM_EVAL_MOD
+
+        base = [f"w{i}" for i in range(40)]
+        ev_id = DECONTAM_EVAL_MOD  # % mod == 0 -> eval side
+        rows = [
+            (ev_id, " ".join(base)),
+            (1, " ".join(base[:30] + [f"x{i}" for i in range(10)])),
+            (2, " ".join(f"z{i}" for i in range(40))),
+        ]
+        sdf = spark.createDataFrame(rows, "doc_id long, text string")
+        sdf.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+        got = {
+            r["doc_id"]: (r["best_eval_id"], r["best_jacc_milli"])
+            for r in QUERIES["decontam_minhash_crosscorpus"]
+            .spark(spark, str(tmp_path))
+            .collect()
+        }
+        want = _py_decontam(rows)
+        assert got == {d: (v[1], v[2]) for d, v in want.items()}
+        assert 1 in got and got[1][0] == ev_id
+        assert 2 not in got
