@@ -468,8 +468,8 @@ _DEFERRED = [
 # adjusted (oracle HUGEINT leaks BIGINT-recast, the only r08 reds,
 # demand #1 "it goes first"), ml_psi_drift (ADVICE NULL-date
 # alignment), curation_span_dedup_rewrite (_SPAN_IDX_BASE raised) —
-# plus the round-9 additions (queries/round12.py, net new held to 3
-# of the ≤5 budget). The remaining slots backfill from the HEAD of
+# plus the round-9 additions (queries/round12.py, net new at the
+# full ≤5 budget). The remaining slots backfill from the HEAD of
 # `_DEFERRED`, which now rotates: entries re-graded as backfill move
 # to the tail, so the rolling re-certification sweeps oldest-first
 # through the r01/r02 block. `_NEXT` stays empty — every declared

@@ -324,6 +324,17 @@ def sample_weighted_reservoir(spark, sf_dir):
 LSH_RECALL_FLOOR_MILLI = 950
 
 
+def _band_key_sql() -> str:
+    """Band bucket key rendered from the SAME r = K/bands constants
+    the Spark side derives — never hardcode the slice width (if
+    MINHASH_K changes, a literal `sig[2*b+…]` would silently band
+    wrongly on the oracle side only)."""
+    r = MINHASH_K // MINHASH_BANDS
+    return " || ',' || ".join(
+        f"CAST(sig[{r} * u.b + {j + 1}] AS VARCHAR)" for j in range(r)
+    )
+
+
 def _minhash_recall_oracle() -> str:
     perms = ",\n               ".join(
         f"list_min(list_transform(harr, x -> ({a} * x + {b}) % {MERSENNE_P}))"
@@ -354,8 +365,7 @@ def _minhash_recall_oracle() -> str:
     ),
     bands AS (
       SELECT rep, u.b AS band,
-             CAST(sig[2 * u.b + 1] AS VARCHAR) || ','
-               || CAST(sig[2 * u.b + 2] AS VARCHAR) AS bkey
+             {_band_key_sql()} AS bkey
       FROM sigs, unnest(range(0, {MINHASH_BANDS})) AS u(b)
     ),
     cand AS (
@@ -558,15 +568,6 @@ def dedup_minhash_recall_vs_exact(spark, sf_dir):
     curve = hits.groupBy("decile").agg(
         F.sum("n_true").alias("n_true"), F.sum("n_caught").alias("n_caught")
     )
-    w_all = W.orderBy("decile").rowsBetween(
-        W.unboundedPreceding, W.unboundedFollowing
-    )
-    hi_caught = F.sum(
-        F.when(F.col("decile") >= 8, F.col("n_caught")).otherwise(0)
-    ).over(w_all)
-    hi_true = F.sum(
-        F.when(F.col("decile") >= 8, F.col("n_true")).otherwise(0)
-    ).over(w_all)
     hi_recall = F.expr(
         "sum(case when decile >= 8 then n_caught else 0 end) over () * 1000 "
         "div sum(case when decile >= 8 then n_true else 0 end) over ()"
@@ -770,8 +771,7 @@ def _decontam_minhash_oracle() -> str:
     ),
     bands AS (
       SELECT doc_id, is_eval, u.b AS band,
-             CAST(sig[2 * u.b + 1] AS VARCHAR) || ','
-               || CAST(sig[2 * u.b + 2] AS VARCHAR) AS bkey
+             {_band_key_sql()} AS bkey
       FROM sigs, unnest(range(0, {MINHASH_BANDS})) AS u(b)
     ),
     cand AS (

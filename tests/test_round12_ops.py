@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import re
 
 import duckdb
 import pytest
@@ -26,6 +27,18 @@ from caliper_poc_data_etl_spark.queries.round12 import (
     PRIORITY_SAMPLE_K,
     _U52,
 )
+
+
+def _n_words(text: str) -> int:
+    """Engine-faithful weight: split(trim(text), '\\s+') yields ['']
+    on empty text (weight 1), unlike str.split() which drops it."""
+    return len(re.split(r"\s+", text.strip()))
+
+
+def _round_half_up(v: float) -> int:
+    """Both engines round half AWAY from zero for positives (Spark
+    F.round / DuckDB ROUND); Python round() is half-to-even."""
+    return math.floor(v + 0.5)
 
 
 def _docs(sf_dir: str) -> list[tuple[int, str]]:
@@ -116,7 +129,7 @@ class TestPrioritySampling:
         docs = _docs(sf_dir)
         pr = []
         for doc_id, text in docs:
-            w = len(text.strip().split())
+            w = _n_words(text)
             u = _u52(doc_id)
             pr.append(((w / u) * _U52, doc_id, w, u))
         pr.sort(key=lambda t: (-t[0], t[1]))
@@ -127,13 +140,13 @@ class TestPrioritySampling:
                 rank + 1,
                 w,
                 u,
-                round(max(float(w), tau) * 1_000_000),
+                _round_half_up(max(float(w), tau) * 1_000_000),
             )
             for rank, (p, doc_id, w, u) in enumerate(pr[:k])
         }
         rows = QUERIES["sample_weighted_reservoir"].spark(spark, sf_dir).collect()
         assert len(rows) == k
-        total_w = sum(len(t.strip().split()) for _, t in docs)
+        total_w = sum(_n_words(t) for _, t in docs)
         est_total = sum(v[3] for v in want.values())
         for r in rows:
             rank, w, u, est = want[r["doc_id"]]
@@ -164,7 +177,7 @@ class TestPrioritySampling:
         # Priority sampling favors heavy items: the sampled docs' mean
         # weight must exceed the corpus mean weight.
         docs = _docs(sf_dir)
-        corpus_mean = sum(len(t.strip().split()) for _, t in docs) / len(docs)
+        corpus_mean = sum(_n_words(t) for _, t in docs) / len(docs)
         rows = QUERIES["sample_weighted_reservoir"].spark(spark, sf_dir).collect()
         sample_mean = sum(r["weight"] for r in rows) / len(rows)
         assert sample_mean > corpus_mean
@@ -300,7 +313,7 @@ class TestPerSourcePrioritySampling:
         groups: dict[str, list[tuple[float, int, int, int]]] = {}
         totals: dict[str, int] = {}
         for doc_id, text, source in _docs_with_source(sf_dir):
-            w = len(text.strip().split())
+            w = _n_words(text)
             u = _u52(doc_id)
             groups.setdefault(source, []).append(((w / u) * _U52, doc_id, w, u))
             totals[source] = totals.get(source, 0) + w
@@ -310,7 +323,7 @@ class TestPerSourcePrioritySampling:
             pr.sort(key=lambda t: (-t[0], t[1]))
             tau = pr[K][0] if len(pr) > K else 0.0
             for rank, (p, doc_id, w, u) in enumerate(pr[:K]):
-                est = round(max(float(w), tau) * 1_000_000)
+                est = _round_half_up(max(float(w), tau) * 1_000_000)
                 want[doc_id] = (source, rank + 1, w, u, est)
                 est_totals[source] = est_totals.get(source, 0) + est
         rows = (

@@ -55,6 +55,47 @@ def _banned_oracle_types(duck_types, colnames):
     return bad
 
 
+def _type_family(type_str: str) -> str:
+    """Collapse an engine type name to the family the driver hash
+    cares about. Spark int-vs-long width differences hash identically
+    (both land in an int64 pandas column), but int-vs-float,
+    int-vs-str, etc. do not — the second half of VERDICT r8 demand
+    #2(a): flag any oracle/Spark dtype-family divergence, not just
+    INT128 leaks."""
+    t = type_str.upper()
+    if any(b in t for b in _BANNED_DUCK_TYPES):
+        return "banned"
+    for fam, names in (
+        ("int", ("BIGINT", "INTEGER", "SMALLINT", "TINYINT", "INT", "LONG", "SHORT", "BYTE")),
+        ("float", ("DOUBLE", "FLOAT", "REAL")),
+        ("bool", ("BOOL",)),
+        ("ts", ("TIMESTAMP",)),
+        ("date", ("DATE",)),
+        ("str", ("VARCHAR", "STRING", "CHAR", "TEXT")),
+    ):
+        if any(n in t for n in names):
+            return fam
+    return "other"  # arrays/structs/binary: graded outputs are
+    # scalar-only by house rule; anything else is compared by value.
+
+
+def _family_mismatches(spark_dtypes, duck_types, duck_cols):
+    """[(col, spark_type, duck_type)] where the two engines' output
+    column types land in DIFFERENT driver-hash families."""
+    sfam = {c: _type_family(t) for c, t in spark_dtypes}
+    out = []
+    for col, t in zip(duck_cols, duck_types):
+        dfam = _type_family(str(t))
+        sf = sfam.get(col)
+        if sf is None or "banned" in (sf, dfam):
+            continue  # missing column / banned handled elsewhere
+        if "other" in (sf, dfam):
+            continue
+        if sf != dfam:
+            out.append((col, dict(spark_dtypes)[col], str(t)))
+    return out
+
+
 def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -122,6 +163,7 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
+            sdtypes = sdf.dtypes
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
@@ -163,6 +205,12 @@ def main() -> int:
             problems.append(
                 "oracle type leak (driver hash is type-sensitive): "
                 + ", ".join(f"{c}:{t}" for c, t in bad_types)
+            )
+        fam_bad = _family_mismatches(sdtypes, dtypes, dcols)
+        if fam_bad:
+            problems.append(
+                "dtype family mismatch (driver hash is type-sensitive): "
+                + ", ".join(f"{c}: spark={s} duck={d}" for c, s, d in fam_bad)
             )
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
