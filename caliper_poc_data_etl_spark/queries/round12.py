@@ -136,21 +136,46 @@ def ml_quantile_drift(spark, sf_dir):
         F.sum("n_late").over(w_all).alias("tl"),
     )
 
-    def side(cum_col, n_col, tot_col, out_alias):
+    # Both sides' decile claims are emitted from ONE pass over the
+    # summary (each row explodes a concat of its early- and late-side
+    # decile ranges, tagged by side) and met in a single 9-group
+    # aggregate — the first form joined two branches that each
+    # re-scanned the fact table (plan_audit showed scans=2; at 100 TB
+    # that is a doubled fact scan for a 9-row answer).
+    def side_structs(cum_col, n_col, tot_col, side_tag):
         q_lo = F.expr(f"(10 * ({cum_col} - {n_col})) div {tot_col}") + 1
         q_hi = F.least(F.expr(f"(10 * {cum_col}) div {tot_col}"), F.lit(9))
-        qs = F.when(q_lo <= q_hi, F.sequence(q_lo, q_hi)).otherwise(
-            F.array().cast("array<long>")
-        )
-        return cum.select(
-            F.explode(qs).alias("decile"), F.col("centi").alias(out_alias)
-        )
+        empty = F.array().cast("array<struct<decile:bigint,side:string>>")
+        return F.when(
+            q_lo <= q_hi,
+            F.transform(
+                F.sequence(q_lo, q_hi),
+                lambda q: F.struct(
+                    q.cast("long").alias("decile"),
+                    F.lit(side_tag).alias("side"),
+                ),
+            ),
+        ).otherwise(empty)
 
-    eq = side("ce", "n_early", "te", "q_early_centi")
-    lq = side("cl", "n_late", "tl", "q_late_centi")
+    claims = cum.select(
+        "centi",
+        F.explode(
+            F.concat(
+                side_structs("ce", "n_early", "te", "e"),
+                side_structs("cl", "n_late", "tl", "l"),
+            )
+        ).alias("claim"),
+    )
+    both = claims.groupBy(F.col("claim.decile").alias("decile")).agg(
+        F.max(F.when(F.col("claim.side") == "e", F.col("centi"))).alias(
+            "q_early_centi"
+        ),
+        F.max(F.when(F.col("claim.side") == "l", F.col("centi"))).alias(
+            "q_late_centi"
+        ),
+    )
     shift = F.col("q_late_centi") - F.col("q_early_centi")
-    s_micro = shift * _QD_MICRO
-    return eq.join(lq, "decile").select(
+    return both.select(
         F.col("decile").cast("long").alias("decile"),
         F.col("q_early_centi").cast("long").alias("q_early_centi"),
         F.col("q_late_centi").cast("long").alias("q_late_centi"),
