@@ -146,15 +146,22 @@ def ml_quantile_drift(spark, sf_dir):
         q_lo = F.expr(f"(10 * ({cum_col} - {n_col})) div {tot_col}") + 1
         q_hi = F.least(F.expr(f"(10 * {cum_col}) div {tot_col}"), F.lit(9))
         empty = F.array().cast("array<struct<decile:bigint,side:string>>")
+        # Outer guard: a side with zero rows (degenerate all-early /
+        # all-late input) must yield no claims WITHOUT evaluating the
+        # rank division — ANSI mode turns div-by-zero into a runtime
+        # error, and CaseWhen only evaluates the matched branch.
         return F.when(
-            q_lo <= q_hi,
-            F.transform(
-                F.sequence(q_lo, q_hi),
-                lambda q: F.struct(
-                    q.cast("long").alias("decile"),
-                    F.lit(side_tag).alias("side"),
+            F.col(tot_col) > 0,
+            F.when(
+                q_lo <= q_hi,
+                F.transform(
+                    F.sequence(q_lo, q_hi),
+                    lambda q: F.struct(
+                        q.cast("long").alias("decile"),
+                        F.lit(side_tag).alias("side"),
+                    ),
                 ),
-            ),
+            ).otherwise(empty),
         ).otherwise(empty)
 
     claims = cum.select(
@@ -173,6 +180,14 @@ def ml_quantile_drift(spark, sf_dir):
         F.max(F.when(F.col("claim.side") == "l", F.col("centi"))).alias(
             "q_late_centi"
         ),
+    )
+    # Inner-join parity with the oracle: a decile claimed by only one
+    # side (degenerate all-early / all-late inputs) must vanish, not
+    # surface as a NULL-sided row — max() over zero matching claims
+    # would otherwise emit 9 NULL rows where both engines' join forms
+    # emit 0.
+    both = both.where(
+        F.col("q_early_centi").isNotNull() & F.col("q_late_centi").isNotNull()
     )
     shift = F.col("q_late_centi") - F.col("q_early_centi")
     return both.select(

@@ -88,6 +88,22 @@ class TestQuantileDrift:
                 (dl[q] - de[q]) * 1_000_000 / de[q]
             )
 
+    def test_degenerate_one_sided_input_emits_zero_rows(self, spark, tmp_path):
+        # Inner-join parity pin (r9 code review): with every order on
+        # ONE side of _DRIFT_CUTOFF the other side has no claims, and
+        # the conditional-aggregate form must emit 0 rows like the
+        # oracle's eq JOIN lq — not 9 NULL-sided rows (max over zero
+        # matching claims). Spark-side: div-by-zero on the empty
+        # side's total yields NULL bounds, which fall through to the
+        # empty claim array.
+        rows = [(float(100 + i), "1999-06-0%d 00:00:00" % (i + 1)) for i in range(5)]
+        df = spark.createDataFrame(rows, "o_totalprice double, d string").select(
+            "o_totalprice", F.col("d").cast("timestamp").alias("o_orderdate")
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+        out = QUERIES["ml_quantile_drift"].spark(spark, str(tmp_path))
+        assert out.count() == 0
+
     def test_decile_range_algebra(self):
         # The explode bounds (10*cum_prev < q*n <= 10*cum) must cover
         # each decile exactly once — checked against the direct
