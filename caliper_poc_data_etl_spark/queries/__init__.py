@@ -468,12 +468,14 @@ _DEFERRED = [
 # adjusted (oracle HUGEINT leaks BIGINT-recast, the only r08 reds,
 # demand #1 "it goes first"), ml_psi_drift (ADVICE NULL-date
 # alignment), curation_span_dedup_rewrite (_SPAN_IDX_BASE raised) —
-# plus the round-9 additions (queries/round12.py, net new at the
-# full ≤5 budget). The remaining slots backfill from the HEAD of
-# `_DEFERRED`, which now rotates: entries re-graded as backfill move
-# to the tail, so the rolling re-certification sweeps oldest-first
-# through the r01/r02 block. `_NEXT` stays empty — every declared
-# query carries a driver-graded row since r08.
+# plus the round-9 additions (queries/round12.py: the five demanded
+# ops, then two late-round extras — mix_importance_select and
+# sample_neyman_allocation — certified under the same gate). The
+# remaining slots backfill from the HEAD of `_DEFERRED`, which now
+# rotates: entries re-graded as backfill move to the tail, so the
+# rolling re-certification sweeps oldest-first through the r01/r02
+# block. `_NEXT` stays empty — every declared query carries a
+# driver-graded row since r08.
 _NEXT: list[str] = []
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -1,8 +1,12 @@
 """Round-9 additions: mergeable-summary quantile drift (the unbinned
 companion to ``ml_ks_two_sample`` / ``ml_psi_drift``), weighted
-priority sampling (the corpus downsampler the mixing pack lacked), and
-the MinHash-LSH recall-vs-exact curve (the dedup family's graded
-recall evidence, ``sim_ivfpq_recall_vs_exact``'s sibling).
+priority sampling global and per-source (the corpus downsampler the
+mixing pack lacked), the MinHash-LSH recall-vs-exact curve (the dedup
+family's graded recall evidence, ``sim_ivfpq_recall_vs_exact``'s
+sibling), MinHash cross-corpus decontamination (the paraphrase-leak
+detector), DSIR-style importance selection (hashed-feature domain
+weighting for corpus mixing), and Neyman-optimal stratified sample
+allocation (the minimum-variance budget splitter).
 
 Everything follows the registry conventions (__init__ docstring):
 identical aliases on both sides, exact integer arithmetic wherever a
@@ -953,4 +957,232 @@ def decontam_minhash_crosscorpus(spark, sf_dir):
             F.col("eval_id").alias("best_eval_id"),
             F.col("jacc_milli").cast("long").alias("best_jacc_milli"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance selection (hashed n-gram importance weights)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 8192  # hashed feature vocabulary (bounded, broadcastable)
+DSIR_TOP = 50
+_IR_MICRO = 1_000_000
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "mix_importance_select",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(u.tok), 1, 13))::BIGINT % {DSIR_BUCKETS}
+               AS fid
+      FROM documents,
+           unnest(string_split_regex(trim(text), '\\s+')) AS u(tok)
+    ),
+    ratio AS (
+      SELECT fid,
+             CAST(((SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                             THEN 1 ELSE 0 END) + 1) * {_IR_MICRO})
+                  // (COUNT(*) + 1) AS BIGINT) AS r_micro
+      FROM toks GROUP BY fid
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(SUM(r.r_micro) AS BIGINT) AS score_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_toks
+      FROM toks t JOIN ratio r ON t.fid = r.fid
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, n_toks, score_micro,
+             CAST(score_micro // n_toks AS BIGINT) AS mean_ratio_micro,
+             ROW_NUMBER() OVER (ORDER BY score_micro // n_toks DESC,
+                                         doc_id) AS rk
+      FROM scored
+    )
+    SELECT CAST(rk AS BIGINT) AS rank, doc_id, n_toks, score_micro,
+           mean_ratio_micro
+    FROM ranked WHERE rk <= {DSIR_TOP}
+    """,
+)
+def mix_importance_select(spark, sf_dir):
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023), linearized for deterministic cross-engine grading: score
+    documents by how much their hashed-feature distribution resembles
+    a target domain (here ``lang='en'``) relative to the raw pool,
+    then keep the top-``DSIR_TOP``. Features are word tokens hashed to
+    a ``DSIR_BUCKETS``-ary vocabulary (md5, the house cross-engine
+    hash); each feature's importance ratio is the Laplace-smoothed
+    occurrence ratio ``(cnt_target+1)·1e6 div (cnt_pool+1)`` — an
+    exact positive-integer quotient, so no log-likelihood (ln is
+    banned from the engine boundary) and no float ever enters the
+    ranking. A document's score is the occurrence-weighted sum of its
+    features' ratios; ranking is by per-token MEAN ratio (sum is
+    length-biased), ties by doc_id. The published DSIR resamples from
+    the weight distribution; this variant selects the head
+    deterministically, which is the hash-gradeable equivalent (the
+    sampling step is ``sample_weighted_reservoir`` composed on these
+    weights). Empty text tokenizes to [''] (weight 1), the
+    engine-faithful convention. Scale shape: two scans of the pruned
+    (doc_id, lang, text) projection — one builds the ≤8192-row ratio
+    dimension (map-side-combined groupBy on fid), which then
+    BROADCASTS onto the token stream (no shuffle of the corpus by
+    feature — hot stopword features would skew any fid-partitioned
+    exchange); the per-doc score is one map-side-combined groupBy and
+    the top-50 is TakeOrderedAndProject (never a global sort).
+    Max ratio is 1e6 and scores are Σ n_toks·1e6, far inside BIGINT
+    at any corpus scale."""
+    d = t(spark, sf_dir, "documents")
+    fid = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 13), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok"),
+    ).select("doc_id", "lang", fid.alias("fid"))
+    ratio = toks.groupBy("fid").agg(
+        F.expr(
+            f"((sum(cast(lang = '{_DSIR_TARGET_LANG}' as long)) + 1) "
+            f"* {_IR_MICRO}) div (count(1) + 1)"
+        ).alias("r_micro")
+    )
+    scored = (
+        toks.join(F.broadcast(ratio), "fid")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("r_micro").cast("long").alias("score_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+        )
+    )
+    mean = F.expr("score_micro div n_toks")
+    ranked = scored.select(
+        "doc_id",
+        "n_toks",
+        "score_micro",
+        mean.cast("long").alias("mean_ratio_micro"),
+    )
+    top = ranked.orderBy(
+        F.desc("mean_ratio_micro"), "doc_id"
+    ).limit(DSIR_TOP)
+    w_rk = W.orderBy(F.desc("mean_ratio_micro"), "doc_id")
+    return top.select(
+        F.row_number().over(w_rk).cast("long").alias("rank"),
+        "doc_id",
+        "n_toks",
+        "score_micro",
+        "mean_ratio_micro",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling design
+# ---------------------------------------------------------------------------
+
+NEYMAN_K = 1000
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_v,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_v2
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs,
+             CAST(FLOOR(SQRT(CAST(n_docs * sum_v2 - sum_v * sum_v
+                                  AS DOUBLE))) AS BIGINT) AS sigma_n
+      FROM s
+    ),
+    alloc AS (
+      SELECT lang, n_docs, sigma_n,
+             CAST(({NEYMAN_K} * sigma_n) // SUM(sigma_n) OVER ()
+                  AS BIGINT) AS base,
+             CAST(({NEYMAN_K} * sigma_n) % SUM(sigma_n) OVER ()
+                  AS BIGINT) AS rem
+      FROM w
+    ),
+    fill AS (
+      SELECT lang, n_docs, sigma_n, base, rem,
+             {NEYMAN_K} - SUM(base) OVER () AS leftover,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM alloc
+    )
+    SELECT lang, n_docs, sigma_n,
+           CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM fill
+    """,
+)
+def sample_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified sample allocation: given a total
+    budget of ``NEYMAN_K`` documents and strata = language, allocate
+    n_h ∝ N_h·σ_h (minimum-variance allocation for estimating the
+    mean of ``n_chars``). Cross-engine exact by two identities:
+    N_h·σ_h = √(N_h·Σv² − (Σv)²) exactly (population σ), and IEEE-754
+    REQUIRES sqrt to be correctly rounded — unlike ln/pow it is safe
+    at the engine boundary, so FLOOR(SQRT(ss)) is bit-identical on
+    JVM and C for the same BIGINT ss (both engines first round ss to
+    the same DOUBLE). Rounding allocations to integers that sum to
+    EXACTLY K uses the largest-remainder (Hamilton) method: floor
+    quotas plus one for the strata with the largest remainders, ties
+    by lang — deterministic on both engines with truncating division
+    on positive operands. Degenerate all-constant strata (Σσ_n = 0)
+    emit 0 rows rather than divide by zero (ANSI guard, the
+    ``ml_quantile_drift`` precedent). Range pin: ss < 2^63 requires
+    N_h·max(v) < 2^31.5 — ~3e8 char-weighted docs per stratum here
+    (tested as a fixture pin); bigger corpora quantize v down by a
+    power of two first, which scales σ exactly. Scale shape: one
+    fact scan into a map-side-combined 5-row groupBy; every window
+    runs over the 5-row stratum frame."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_v"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("long").alias("sum_v2"),
+    )
+    ss = F.col("n_docs") * F.col("sum_v2") - F.col("sum_v") * F.col("sum_v")
+    w = s.select(
+        "lang",
+        "n_docs",
+        F.floor(F.sqrt(ss.cast("double"))).cast("long").alias("sigma_n"),
+    )
+    w_all = W.orderBy("lang").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    alloc = w.select(
+        "lang",
+        "n_docs",
+        "sigma_n",
+        F.sum("sigma_n").over(w_all).alias("w_total"),
+    ).where(F.col("w_total") > 0)
+    alloc = alloc.select(
+        "lang",
+        "n_docs",
+        "sigma_n",
+        F.expr(f"({NEYMAN_K} * sigma_n) div w_total").alias("base"),
+        F.expr(f"({NEYMAN_K} * sigma_n) % w_total").alias("rem"),
+    )
+    w_rk = W.orderBy(F.desc("rem"), "lang")
+    fill = alloc.select(
+        "*",
+        (F.lit(NEYMAN_K) - F.sum("base").over(w_all)).alias("leftover"),
+        F.row_number().over(w_rk).alias("rk"),
+    )
+    return fill.select(
+        "lang",
+        "n_docs",
+        "sigma_n",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
     )

@@ -481,3 +481,154 @@ class TestDecontamMinhash:
         assert got == {d: (v[1], v[2]) for d, v in want.items()}
         assert 1 in got and got[1][0] == ev_id
         assert 2 not in got
+
+
+# ---------------------------------------------------------------------------
+# mix_importance_select
+# ---------------------------------------------------------------------------
+
+
+def _docs_lang(sf_dir: str) -> list[tuple[int, str, str]]:
+    con = duckdb.connect()
+    return con.execute(
+        f"SELECT doc_id, lang, text FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+
+
+def _py_importance(docs):
+    from caliper_poc_data_etl_spark.queries.round12 import (
+        DSIR_BUCKETS,
+        DSIR_TOP,
+        _DSIR_TARGET_LANG,
+        _IR_MICRO,
+    )
+
+    def fid(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:13], 16) % DSIR_BUCKETS
+
+    cnt_t: dict[int, int] = {}
+    cnt_r: dict[int, int] = {}
+    per_doc: list[tuple[int, list[int]]] = []
+    for doc_id, lang, text in docs:
+        fids = [fid(tok) for tok in re.split(r"\s+", text.strip())]
+        per_doc.append((doc_id, fids))
+        for f in fids:
+            cnt_r[f] = cnt_r.get(f, 0) + 1
+            if lang == _DSIR_TARGET_LANG:
+                cnt_t[f] = cnt_t.get(f, 0) + 1
+    ratio = {
+        f: ((cnt_t.get(f, 0) + 1) * _IR_MICRO) // (cnt_r[f] + 1) for f in cnt_r
+    }
+    scored = []
+    for doc_id, fids in per_doc:
+        score = sum(ratio[f] for f in fids)
+        n = len(fids)
+        scored.append((score // n, doc_id, n, score))
+    scored.sort(key=lambda r: (-r[0], r[1]))
+    return [
+        (rk + 1, doc_id, n, score, mean)
+        for rk, (mean, doc_id, n, score) in enumerate(scored[:DSIR_TOP])
+    ]
+
+
+class TestImportanceSelect:
+    def test_python_replica(self, spark, sf_dir):
+        want = _py_importance(_docs_lang(sf_dir))
+        got = [
+            (
+                r["rank"],
+                r["doc_id"],
+                r["n_toks"],
+                r["score_micro"],
+                r["mean_ratio_micro"],
+            )
+            for r in QUERIES["mix_importance_select"]
+            .spark(spark, sf_dir)
+            .collect()
+        ]
+        got.sort()
+        assert got == want
+
+    def test_target_language_enriched_in_head(self, spark, sf_dir):
+        # Face validity: the selected head must be enriched in the
+        # target language relative to the corpus base rate.
+        from caliper_poc_data_etl_spark.queries.round12 import (
+            _DSIR_TARGET_LANG,
+        )
+
+        docs = _docs_lang(sf_dir)
+        lang_of = {d: l for d, l, _ in docs}
+        base = sum(1 for _, l, _ in docs if l == _DSIR_TARGET_LANG) / len(docs)
+        rows = QUERIES["mix_importance_select"].spark(spark, sf_dir).collect()
+        head = sum(
+            1 for r in rows if lang_of[r["doc_id"]] == _DSIR_TARGET_LANG
+        ) / len(rows)
+        assert head > base
+
+
+# ---------------------------------------------------------------------------
+# sample_neyman_allocation
+# ---------------------------------------------------------------------------
+
+
+class TestNeymanAllocation:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round12 import NEYMAN_K
+
+        con = duckdb.connect()
+        strata = con.execute(
+            f"""
+            SELECT lang, COUNT(*), SUM(n_chars), SUM(n_chars * n_chars)
+            FROM '{sf_dir}/documents.parquet' GROUP BY lang ORDER BY lang
+            """
+        ).fetchall()
+        # Engine-faithful sigma: floor of the IEEE double sqrt (math.sqrt
+        # is correctly rounded, identical to both engines), NOT math.isqrt.
+        w = {
+            lang: math.floor(math.sqrt(float(n * s2 - s * s)))
+            for lang, n, s, s2 in strata
+        }
+        total = sum(w.values())
+        base = {lang: (NEYMAN_K * v) // total for lang, v in w.items()}
+        rem = {lang: (NEYMAN_K * v) % total for lang, v in w.items()}
+        leftover = NEYMAN_K - sum(base.values())
+        order = sorted(w, key=lambda lang: (-rem[lang], lang))
+        want = {
+            lang: base[lang] + (1 if i < leftover else 0)
+            for i, lang in enumerate(order)
+        }
+        rows = QUERIES["sample_neyman_allocation"].spark(spark, sf_dir).collect()
+        got = {r["lang"]: r["alloc"] for r in rows}
+        assert got == want
+        assert sum(got.values()) == NEYMAN_K
+        sigma = {r["lang"]: r["sigma_n"] for r in rows}
+        assert sigma == w
+
+    def test_fixture_range_pin(self, spark):
+        # ss = N*sum(v^2) - (sum v)^2 must stay inside BIGINT: pin
+        # N_h * max(v) < 2^31 per stratum at both fixture SFs (the
+        # _SPAN_IDX_BASE pin pattern). Larger corpora quantize v down
+        # by a power of two first (scales sigma exactly).
+        from tests.conftest import SF_DIR, SF_DIR_ORACLE
+
+        con = duckdb.connect()
+        for d in (SF_DIR, SF_DIR_ORACLE):
+            worst = con.execute(
+                f"""
+                SELECT MAX(cnt * mx) FROM (
+                  SELECT COUNT(*) AS cnt, MAX(n_chars) AS mx
+                  FROM '{d}/documents.parquet' GROUP BY lang)
+                """
+            ).fetchone()[0]
+            assert worst < 2**31
+
+    def test_degenerate_constant_strata_emit_zero_rows(self, spark, tmp_path):
+        # All-constant strata have sigma_n = 0 everywhere; the ANSI
+        # guard must emit 0 rows, not divide by zero.
+        rows = [(i, "en" if i % 2 == 0 else "fr", 100) for i in range(10)]
+        spark.createDataFrame(
+            rows, "doc_id long, lang string, n_chars long"
+        ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        out = QUERIES["sample_neyman_allocation"].spark(spark, str(tmp_path))
+        assert out.count() == 0
