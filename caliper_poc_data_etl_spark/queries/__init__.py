@@ -468,9 +468,12 @@ _DEFERRED = [
 # adjusted (oracle HUGEINT leaks BIGINT-recast, the only r08 reds,
 # demand #1 "it goes first"), ml_psi_drift (ADVICE NULL-date
 # alignment), curation_span_dedup_rewrite (_SPAN_IDX_BASE raised) —
-# plus the round-9 additions (queries/round12.py: the five demanded
-# ops, then two late-round extras — mix_importance_select and
-# sample_neyman_allocation — certified under the same gate). The
+# plus the round-9 additions (queries/round12.py: the five ops of
+# VERDICT r8's ≤5 net-new budget, then two late-round extras —
+# mix_importance_select and sample_neyman_allocation — shipped OVER
+# that budget, flagged as such in NOTES_r09 and certified under the
+# identical gate: oracle twin ×3 SFs, replica pytest, plan audit,
+# K=100 soak). The
 # remaining slots backfill from the HEAD of `_DEFERRED`, which now
 # rotates: entries re-graded as backfill move to the tail, so the
 # rolling re-certification sweeps oldest-first through the r01/r02

@@ -1043,9 +1043,13 @@ def mix_importance_select(spark, sf_dir):
         "lang",
         F.explode(F.split(F.trim(F.col("text")), "\\s+")).alias("tok"),
     ).select("doc_id", "lang", fid.alias("fid"))
+    # CASE WHEN (not a bare boolean cast): a feature occurring only in
+    # NULL-lang documents must count 0 like the oracle's CASE — Spark's
+    # sum over all-NULL would be NULL and silently poison r_micro.
     ratio = toks.groupBy("fid").agg(
         F.expr(
-            f"((sum(cast(lang = '{_DSIR_TARGET_LANG}' as long)) + 1) "
+            f"((sum(case when lang = '{_DSIR_TARGET_LANG}' "
+            f"then 1 else 0 end) + 1) "
             f"* {_IR_MICRO}) div (count(1) + 1)"
         ).alias("r_micro")
     )
@@ -1100,13 +1104,19 @@ NEYMAN_K = 1000
                                   AS DOUBLE))) AS BIGINT) AS sigma_n
       FROM s
     ),
-    alloc AS (
-      SELECT lang, n_docs, sigma_n,
-             CAST(({NEYMAN_K} * sigma_n) // SUM(sigma_n) OVER ()
-                  AS BIGINT) AS base,
-             CAST(({NEYMAN_K} * sigma_n) % SUM(sigma_n) OVER ()
-                  AS BIGINT) AS rem
+    wt AS (
+      SELECT lang, n_docs, sigma_n, SUM(sigma_n) OVER () AS w_total
       FROM w
+    ),
+    alloc AS (
+      -- Degenerate guard mirroring the Spark side: all-constant
+      -- strata (w_total = 0) emit 0 rows; DuckDB's x // 0 is NULL,
+      -- which would otherwise yield NULL-alloc rows the Spark form
+      -- never produces.
+      SELECT lang, n_docs, sigma_n,
+             CAST(({NEYMAN_K} * sigma_n) // w_total AS BIGINT) AS base,
+             CAST(({NEYMAN_K} * sigma_n) % w_total AS BIGINT) AS rem
+      FROM wt WHERE w_total > 0
     ),
     fill AS (
       SELECT lang, n_docs, sigma_n, base, rem,

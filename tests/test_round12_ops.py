@@ -624,11 +624,23 @@ class TestNeymanAllocation:
             assert worst < 2**31
 
     def test_degenerate_constant_strata_emit_zero_rows(self, spark, tmp_path):
-        # All-constant strata have sigma_n = 0 everywhere; the ANSI
-        # guard must emit 0 rows, not divide by zero.
+        # All-constant strata have sigma_n = 0 everywhere; BOTH engines
+        # must emit 0 rows (Spark: ANSI guard, no divide-by-zero;
+        # DuckDB: x // 0 is NULL, so the oracle needs its own w_total
+        # guard — pinned here after the r9 review caught the oracle
+        # emitting NULL-alloc rows the Spark form never produces).
         rows = [(i, "en" if i % 2 == 0 else "fr", 100) for i in range(10)]
         spark.createDataFrame(
             rows, "doc_id long, lang string, n_chars long"
         ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
         out = QUERIES["sample_neyman_allocation"].spark(spark, str(tmp_path))
         assert out.count() == 0
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        oracle_rows = con.execute(
+            QUERIES["sample_neyman_allocation"].oracle
+        ).fetchall()
+        assert oracle_rows == []
