@@ -503,9 +503,19 @@ def dedup_minhash_recall_vs_exact(spark, sf_dir):
             F.count(F.lit(1)).cast("long").alias("c"),
         )
     )
+    # Materialize the distinct-text core: the shingle branch and the
+    # multiplicity join both consume `reps`, and the signature, truth-
+    # explode, and sizes branches all consume `sets` — without
+    # persistence each branch re-ran the full corpus scan + collapse
+    # (plan showed scans=3; that recomputation was the whole 100×-data
+    # soak growth, since everything downstream is distinct-core-sized).
+    # Persisting is the staged-materialization a production dedup
+    # pipeline does after exact-hash collapse; the footprint is the
+    # distinct core (~5 MB here), never the corpus.
+    reps = reps.persist()
     sets = _doc_shingle_sets(reps.select("doc_id", "text")).join(
         reps.select("doc_id", "c"), "doc_id"
-    )
+    ).persist()
     h = sets.select(
         "doc_id",
         F.transform(
