@@ -291,7 +291,8 @@ _DEFERRED = [
     "sql_recursive_cte_bfs",
     "graph_common_neighbors",
     "agg_bloom_filter_membership",
-    "dq_constraint_check",
+    # dq_constraint_check re-implemented in r9 (one-pass join+agg,
+    # scans 8->2) -> pulled OUT of deferral into the graded window.
     "agg_moments_pack",
     "agg_gini_concentration",
     "agg_percentile_disc_pack",

@@ -1355,35 +1355,41 @@ def dq_constraint_check(spark, sf_dir):
     validation gate every 100 TB ingest runs before publishing a
     partition.
 
-    Plan: the five metrics reduce to counting aggregates over ONE
-    scan of orders (Catalyst collapses the scalar subqueries into
-    shared stages) plus one broadcast anti-join for the referential
-    check — constraint checking costs a single pass, not a pass per
-    rule. S6's malformed-row policy is the ingest-time cousin; this
-    is the post-load gate."""
+    Plan: ONE scan of orders — the broadcast customer-key left join
+    runs inside the same stage, so the referential check is a
+    conditional sum in the SAME aggregate as the other four counters
+    (the first form union-ed five branches over a shared scalar
+    frame, and each branch recomputed it: plan_audit showed scans=8
+    where this docstring claimed one pass — the r9 quantile-drift
+    lesson applied here). The five report rows then come from
+    exploding a literal 5-struct array over the single 1-row
+    aggregate, never from re-running it. S6's malformed-row policy is
+    the ingest-time cousin; this is the post-load gate."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    n_orders = F.count("*")
-    agg = o.agg(
-        n_orders.alias("n_orders"),
+    keys = c.select("c_custkey").distinct()
+    joined = o.join(
+        F.broadcast(keys), o.o_custkey == keys.c_custkey, "left"
+    )
+    # Null keys are a COMPLETENESS violation, not a referential one —
+    # each dirty row trips exactly its own rule (pinned in pytest).
+    m = joined.agg(
+        F.count("*").alias("n_orders"),
         F.count("o_custkey").alias("n_custkey"),
         F.countDistinct("o_orderkey").alias("n_distinct_key"),
         F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("n_nonpos_price"),
         F.sum(
             (~F.col("o_orderstatus").isin("F", "O", "P")).cast("long")
         ).alias("n_bad_status"),
+        F.sum(
+            (
+                F.col("o_custkey").isNotNull() & F.col("c_custkey").isNull()
+            ).cast("long")
+        ).alias("n_orphans"),
     )
-    # Null keys are a COMPLETENESS violation, not a referential one —
-    # each dirty row trips exactly its own rule (pinned in pytest).
-    orphans = (
-        o.filter(F.col("o_custkey").isNotNull())
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
-        .agg(F.count("*").alias("n_orphans"))
-    )
-    m = agg.crossJoin(F.broadcast(orphans))
 
     def row(name, metric, violations, passed):
-        return m.select(
+        return F.struct(
             F.lit(name).alias("constraint"),
             F.round(metric, 6).alias("metric"),
             violations.cast("long").alias("violations"),
@@ -1393,12 +1399,11 @@ def dq_constraint_check(spark, sf_dir):
     n, nc = F.col("n_orders"), F.col("n_custkey")
     nd, np_ = F.col("n_distinct_key"), F.col("n_nonpos_price")
     no, nb = F.col("n_orphans"), F.col("n_bad_status")
-    return (
-        row("completeness_custkey", nc / n, n - nc, nc == n)
-        .unionAll(row("uniqueness_orderkey", nd / n, n - nd, nd == n))
-        .unionAll(
-            row("range_totalprice_positive", 1 - np_ / n, np_, np_ == 0)
-        )
-        .unionAll(row("referential_custkey", 1 - no / n, no, no == 0))
-        .unionAll(row("domain_orderstatus", 1 - nb / n, nb, nb == 0))
+    report = F.array(
+        row("completeness_custkey", nc / n, n - nc, nc == n),
+        row("uniqueness_orderkey", nd / n, n - nd, nd == n),
+        row("range_totalprice_positive", 1 - np_ / n, np_, np_ == 0),
+        row("referential_custkey", 1 - no / n, no, no == 0),
+        row("domain_orderstatus", 1 - nb / n, nb, nb == 0),
     )
+    return m.select(F.explode(report).alias("r")).select("r.*")
