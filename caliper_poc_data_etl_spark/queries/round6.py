@@ -225,11 +225,18 @@ def ml_naive_bayes_train(spark, sf_dir):
     bit-identical cross-engine (emitting log-probabilities would
     compare libm outputs; the ratio form doesn't).
 
-    Scale shape: token counts are one partial-aggregated explode →
-    groupBy; per-class totals and the vocabulary size V are scalar/
-    per-class aggregates that ride broadcast joins; the top-N per
-    class is a window over already-aggregated (lang, token) counts.
-    Nothing holds unaggregated tokens past the first combine."""
+    Scale shape: TWO corpus scans total — one partial-aggregated
+    explode → (lang, token) groupBy whose output IS the model's
+    sufficient-statistic table (persisted: every other token-side
+    quantity derives from it — per-class totals are sum(cnt) by lang
+    and V is its distinct-token count, so neither re-tokenizes the
+    corpus), and one column-pruned groupBy for doc counts, whose
+    5-row output carries its own grand total via a window (the first
+    form re-ran the scan+explode for vocab and lang_tot and the doc
+    scan for n_all — plan_audit showed scans=5 for a model whose
+    statistics fit in memory). Top-N per class is a window over the
+    aggregated counts. Nothing holds unaggregated tokens past the
+    first combine."""
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "lang",
@@ -237,11 +244,19 @@ def ml_naive_bayes_train(spark, sf_dir):
             F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
         ).alias("token"),
     )
-    cnts = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
-    vocab = toks.agg(F.countDistinct("token").alias("v"))
-    lang_tot = toks.groupBy("lang").agg(F.count("*").alias("tok_total"))
-    docs_tot = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
-    n_all = d.agg(F.count("*").alias("n"))
+    # Bounded footprint: |langs| × vocabulary — the trained model
+    # itself, never the corpus.
+    cnts = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt")).persist()
+    vocab = cnts.agg(F.countDistinct("token").alias("v"))
+    lang_tot = cnts.groupBy("lang").agg(F.sum("cnt").alias("tok_total"))
+    w_all = W.orderBy("lang").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    docs_tot = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select("lang", "n_docs", F.sum("n_docs").over(w_all).alias("n"))
+    )
     rn = F.row_number().over(
         W.partitionBy("lang").orderBy(F.desc("cnt"), "token")
     )
@@ -251,7 +266,6 @@ def ml_naive_bayes_train(spark, sf_dir):
         .join(F.broadcast(lang_tot), "lang")
         .join(F.broadcast(docs_tot), "lang")
         .crossJoin(F.broadcast(vocab))
-        .crossJoin(F.broadcast(n_all))
         .select(
             "lang",
             "token",
