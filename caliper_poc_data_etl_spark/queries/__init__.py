@@ -268,7 +268,8 @@ _DEFERRED = [
     "dedup_keep_longest",
     "text_perplexity_proxy",
     "text_boilerplate_shingle_ratio",
-    "text_bm25_topk",
+    # text_bm25_topk re-implemented in r9 (tf match-set reuse,
+    # scans 4->2) -> pulled OUT of deferral into the graded window.
     "ts_resample_linear_interp",
     "ts_ewma_smoothing",
     "ts_cusum_changepoint",

@@ -660,27 +660,30 @@ def text_bm25_topk(spark, sf_dir):
     3-term query. This is the retrieval half of RAG data prep: score,
     rank, keep the head.
 
-    Scale shape: corpus stats (N, avgdl) are broadcast 1-row
-    aggregates; term df is a tiny per-term table; only tokens
-    MATCHING the query survive the explode (the IN filter pushes into
-    the token stream), so the scored stream is |query terms| ×
-    matching docs, not the corpus token count. Cross-engine
+    Scale shape: TWO corpus scans — the tf pass (only tokens MATCHING
+    the query survive the explode, and each doc's length rides along
+    as max(dl) so no separate per-doc length join is needed) and the
+    corpus-stats pass (N and avgdl must see ALL docs, matching or
+    not). The tf match set is persisted — term df derives from it by
+    a 3-row groupBy instead of re-running the scan+explode, and its
+    footprint is |query terms| × matching docs, the retrieval
+    candidate set (the first form re-scanned the corpus for df, the
+    length join, and stats: plan_audit showed scans=4). Cross-engine
     determinism: idf rounds to 6 dp before use (the perplexity
     convention), avgdl floor-quantizes to 2 dp, per-term scores round
     to 6 dp and sum in DECIMAL."""
     d = t(spark, sf_dir, "documents")
     tk = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
-    toks = d.select("doc_id", tk.alias("tk"))
-    lens = toks.select("doc_id", F.size("tk").alias("dl"))
-    stats = lens.agg(
+    stats = d.select(F.size(tk).alias("dl")).agg(
         F.count("*").alias("n_docs"),
         (F.floor(F.avg("dl") * 100 + F.lit(0.5)) / 100).alias("avgdl_q"),
     )
     tf = (
-        toks.select("doc_id", F.explode("tk").alias("tok"))
+        d.select("doc_id", F.size(tk).alias("dl"), F.explode(tk).alias("tok"))
         .filter(F.col("tok").isin(*_BM25_QUERY))
         .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("f"))
+        .agg(F.count("*").alias("f"), F.max("dl").alias("dl"))
+        .persist()
     )
     df = tf.groupBy("tok").agg(F.count("*").alias("n_t"))
     idf = F.round(
@@ -697,7 +700,6 @@ def text_bm25_topk(spark, sf_dir):
     ).cast("decimal(18,6)")
     return (
         tf.join(F.broadcast(df), "tok")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", term_score.alias("term_score"))
         .groupBy("doc_id")
