@@ -286,3 +286,100 @@ def ahash_60bit(media: DataFrame) -> DataFrame:
             yield out[out["ahash"].notna()].astype({"ahash": "int64"})
 
     return media.mapInPandas(batches, AHASH_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# pHash (DCT perceptual hash) — integer-exact 8x8 DCT-II
+# ---------------------------------------------------------------------------
+
+PHASH_SIDE = 8
+PHASH_PIXELS = PHASH_SIDE * PHASH_SIDE  # 64 "pixels" = leading payload bytes
+_PHASH_COS_SCALE = 1 << 15
+
+# Integer-scaled DCT-II basis, C[u*8+x] = round(cos((2x+1)*u*pi/16) * 2^15).
+# Generated ONCE here with math.cos at import time and embedded verbatim in
+# the oracle SQL (queries/round13.py), so both engines share the SAME
+# integer table — transcendental parity by construction, never at runtime.
+# Coefficient magnitude bound: |D[u][v]| <= 8*8*255*2^15*2^15 ~ 1.75e13,
+# comfortably inside BIGINT.
+def _phash_cos_table() -> list[int]:
+    import math
+
+    return [
+        int(math.floor(math.cos((2 * x + 1) * u * math.pi / 16) * _PHASH_COS_SCALE + 0.5))
+        for u in range(PHASH_SIDE)
+        for x in range(PHASH_SIDE)
+    ]
+
+
+PHASH_COS = _phash_cos_table()
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash_hi", T.LongType()),
+        T.StructField("phash_lo", T.LongType()),
+        T.StructField("n_bits_set", T.LongType()),
+        T.StructField("dc_coeff", T.LongType()),
+        T.StructField("median_coeff", T.LongType()),
+    ]
+)
+
+
+def phash_dct64(media: DataFrame) -> DataFrame:
+    """DCT perceptual hash over the payload's first 64 bytes as an 8x8
+    grayscale "image": separable integer 2-D DCT-II with the
+    :data:`PHASH_COS` basis (exact int64 matrix products, no floats),
+    bit i = coefficient i exceeds the lower median (33rd-smallest is
+    index 32 1-based; strictly-greater keeps <=32 bits set, so both
+    halves fit unsigned in a signed BIGINT). The 64-bit hash is split
+    into two 32-bit BIGINT halves (hi = bits 63..32 by u-major
+    coefficient index) — no two's-complement edge cases. Swap the
+    frombuffer line for a real decode+resize (PIL) and the hash and
+    downstream Hamming stages are unchanged, exactly like
+    :func:`ahash_60bit`. Payloads shorter than 64 bytes are dropped
+    (truncated media). Arrow-batched mapInPandas; per-row cost is two
+    fixed 8x8 integer matmuls."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        C = np.array(PHASH_COS, dtype=np.int64).reshape(PHASH_SIDE, PHASH_SIDE)
+
+        def one(b: bytes):
+            if len(b) < PHASH_PIXELS:
+                return None
+            p = (
+                np.frombuffer(bytes(b[:PHASH_PIXELS]), dtype=np.uint8)
+                .astype(np.int64)
+                .reshape(PHASH_SIDE, PHASH_SIDE)
+            )
+            t = C @ p  # T[u][y] = sum_x C[u][x] * p[x][y]
+            d = t @ C.T  # D[u][v] = sum_y T[u][y] * C[v][y]
+            flat = d.reshape(-1)
+            med = int(np.sort(flat)[31])
+            bits = flat > med
+            hi = sum(1 << (i - 32) for i in range(32, 64) if bits[i])
+            lo = sum(1 << i for i in range(32) if bits[i])
+            return (hi, lo, int(bits.sum()), int(flat[0]), med)
+
+        for pdf in it:
+            rows = [
+                (mid, *r)
+                for mid, r in zip(pdf["media_id"], pdf["payload"].map(one))
+                if r is not None
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "phash_hi",
+                    "phash_lo",
+                    "n_bits_set",
+                    "dc_coeff",
+                    "median_coeff",
+                ],
+            )
+
+    return media.mapInPandas(batches, PHASH_SCHEMA)

@@ -49,6 +49,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     round10,
     round11,
     round12,
+    round13,
 )
 
 # ---------------------------------------------------------------------------

@@ -52,6 +52,11 @@ EXPECTED_NLJ = {
     # domain at any data size), needed so structural-zero cells
     # contribute their (0−E)²/E chi² term. |r|×|c| rows, broadcast.
     "ml_cramers_v",
+    # Semantic decontamination (round13.py): corpus x broadcast
+    # EVAL-SUITE scoring — the sanctioned sim_cosine_topk shape; the
+    # eval side is a fixed held-out sample at any corpus scale, so the
+    # NLJ cost is |corpus| x |eval|, linear in the corpus.
+    "decontam_embedding_cosine",
 }
 
 # Queries that cross-join a broadcast ONE-ROW aggregate (a scalar
