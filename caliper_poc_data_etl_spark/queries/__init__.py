@@ -50,6 +50,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     round11,
     round12,
     round13,
+    round14,
 )
 
 # ---------------------------------------------------------------------------
