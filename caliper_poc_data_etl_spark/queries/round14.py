@@ -18,6 +18,10 @@ ops in the remaining thin spots:
   order header total vs the line-level recompute, in exact centi
   units: the cross-table AMOUNT check ``dq_referential_integrity``
   (keys only) doesn't do.
+- ``stream_hll_distinct_replay`` — the streaming twin of the HLL
+  sketch: per-tumbling-window registers living in windowed-agg state
+  as 64 conditional-max columns (bounded state per window at any
+  cardinality), availableNow replay graded against the batch oracle.
 
 Registry conventions as everywhere (queries/__init__.py docstring).
 """
@@ -486,3 +490,149 @@ def dq_cross_table_reconciliation(spark, sf_dir):
         F.max(F.abs(diff)).cast("long").alias("max_abs_diff_centi"),
         F.sum(diff).cast("long").alias("sum_diff_centi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL: tumbling-window distinct-user sketch
+# ---------------------------------------------------------------------------
+
+
+def _hll_est_from_registers(reg_cols):
+    """Shared estimator over 64 register Columns (absent bucket =
+    NULL = register 0): returns (zs, hit, checksum, est) Columns using
+    the same alpha / linear-counting literals as ``agg_hll_md5_parity``."""
+    from functools import reduce
+    from operator import add
+
+    zs = reduce(
+        add,
+        [
+            F.expr(
+                f"shiftleft(1L, cast({HLL_W_BITS + 1} "
+                f"- coalesce(m_{j}, 0) as int))"
+            )
+            for j in range(HLL_M)
+        ],
+    )
+    hit = reduce(
+        add, [F.col(f"m_{j}").isNotNull().cast("long") for j in range(HLL_M)]
+    )
+    checksum = reduce(
+        add,
+        [
+            F.coalesce(F.col(f"m_{j}"), F.lit(0)).cast("long") * (j + 1)
+            for j in range(HLL_M)
+        ],
+    )
+    r = F.least(
+        (F.lit((1 << (HLL_W_BITS + 1)) * 1000).cast("long") / zs).cast("long"),
+        F.lit(HLL_R_CAP).cast("long"),
+    )
+    raw_milli = (
+        (F.lit(HLL_ALPHA_MILLI * HLL_M * HLL_M).cast("long") * r) / 1000
+    ).cast("long")
+    v_zero = (F.lit(HLL_M) - hit).cast("int")
+    lc_table = F.array(*[F.lit(v).cast("long") for v in HLL_LC_MILLI])
+    est = F.when(
+        (v_zero > 0) & (raw_milli <= HLL_LC_CUTOFF_MILLI),
+        F.lit(HLL_M).cast("long") * F.element_at(lc_table, v_zero),
+    ).otherwise(raw_milli)
+    return hit, checksum, est
+
+
+@query(
+    "stream_hll_distinct_replay",
+    oracle=f"""
+    WITH h AS (
+      SELECT time_bucket(INTERVAL '1 day', ts) AS d,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+               AS h52
+      FROM events
+    ),
+    b AS (
+      SELECT d, h52 % {HLL_M} AS bucket, h52 // {HLL_M} AS w FROM h
+    ),
+    regs AS (
+      SELECT d, bucket,
+             MAX(CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+                      ELSE {HLL_W_BITS + 1} - length(bin(w)) END) AS m_j
+      FROM b GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT d,
+             SUM(1::BIGINT << CAST({HLL_W_BITS + 1} - m_j AS INT))
+               + ({HLL_M} - COUNT(*)) * (1::BIGINT << {HLL_W_BITS + 1}) AS zs,
+             COUNT(*) AS n_buckets_hit,
+             SUM(m_j * (bucket + 1)) AS register_checksum
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT d, n_buckets_hit, register_checksum,
+             {HLL_ALPHA_MILLI} * {HLL_M} * {HLL_M}
+               * LEAST(((1::BIGINT << {HLL_W_BITS + 1}) * 1000) // zs,
+                       {HLL_R_CAP}) // 1000 AS raw_milli,
+             {HLL_M} - n_buckets_hit AS v_zero
+      FROM z
+    )
+    SELECT strftime(d, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(CASE WHEN v_zero > 0 AND raw_milli <= {HLL_LC_CUTOFF_MILLI}
+                     THEN {HLL_M} * ({_HLL_LC_SQL})[CAST(v_zero AS BIGINT)]
+                     ELSE raw_milli END AS BIGINT) AS hll_est_milli,
+           CAST(n_buckets_hit AS BIGINT) AS n_buckets_hit,
+           CAST(register_checksum AS BIGINT) AS register_checksum
+    FROM est
+    """,
+)
+def stream_hll_distinct_replay(spark, sf_dir):
+    """Streaming HyperLogLog — per-tumbling-day distinct-user sketch
+    over a watermarked readStream, replayed availableNow: the
+    PRODUCTION way to count streaming uniques
+    (``stream_distinct_users_replay`` keeps exact per-key dedupe
+    state that grows with cardinality; the HLL keeps exactly
+    {HLL_M} longs per window regardless of cardinality). The
+    registers live IN the streaming aggregation state as {HLL_M}
+    conditional-max columns — max is the HLL merge, so micro-batch
+    partials combine exactly like production shards and the replayed
+    result equals the batch computation (the oracle recomputes it
+    from scratch; ``agg_hll_md5_parity``'s estimator with the same
+    import-time linear-counting table).
+
+    Scale shape: one stateful windowed aggregation, state =
+    windows x {HLL_M} longs (bounded by the watermark horizon), no
+    per-user state, no second stateful operator — the single-agg form
+    deliberately avoids chained stateful aggregations. Complete-mode
+    memory sink is replay-only; production writes foreachBatch."""
+    from caliper_poc_data_etl_spark.streaming.events import (
+        read_event_stream,
+        replay_to_df,
+    )
+
+    events = read_event_stream(spark, sf_dir)
+    h52 = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    enriched = (
+        events.withWatermark("ts", "2 hours")
+        .withColumn("bucket", h52 % HLL_M)
+        .withColumn("w_rem", (h52 / HLL_M).cast("long"))
+        .withColumn(
+            "rho",
+            F.when(F.col("w_rem") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+                F.lit(HLL_W_BITS + 1) - F.length(F.bin(F.col("w_rem")))
+            ),
+        )
+    )
+    regs = enriched.groupBy(F.window("ts", "1 day").alias("win")).agg(
+        *[
+            F.max(F.when(F.col("bucket") == j, F.col("rho"))).alias(f"m_{j}")
+            for j in range(HLL_M)
+        ]
+    )
+    hit, checksum, est = _hll_est_from_registers(None)
+    out = regs.select(
+        F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        est.cast("long").alias("hll_est_milli"),
+        hit.cast("long").alias("n_buckets_hit"),
+        checksum.cast("long").alias("register_checksum"),
+    )
+    return replay_to_df(out, mode="complete")

@@ -325,3 +325,48 @@ class TestDqCrossTableReconciliation:
         r = rows[0]
         assert r["n_orders"] == 1 and r["n_mismatch"] == 0 and r["n_no_lines"] == 0
         assert r["max_abs_diff_centi"] <= RECON_TOL_CENTI
+
+
+# ---------------------------------------------------------------------------
+# stream_hll_distinct_replay
+# ---------------------------------------------------------------------------
+
+
+class TestStreamHllDistinctReplay:
+    def test_replay_matches_batch_replica(self, spark, sf_dir):
+        # The replayed streaming state must equal the from-scratch
+        # batch computation: per-day registers -> same estimator as
+        # agg_hll_md5_parity (max-merge across micro-batches is the
+        # HLL shard merge).
+        rows = _fetch(
+            sf_dir, "SELECT user_id, ts FROM '{sf}/events.parquet'"
+        )
+        regs: dict[str, dict[int, int]] = defaultdict(dict)
+        for uid, ts in rows:
+            day = ts.strftime("%Y-%m-%d 00:00:00")
+            h = int(hashlib.md5(str(uid).encode()).hexdigest()[:13], 16)
+            bkt, w = h % HLL_M, h // HLL_M
+            rho = (HLL_W_BITS + 1) if w == 0 else (HLL_W_BITS + 1) - w.bit_length()
+            regs[day][bkt] = max(regs[day].get(bkt, 0), rho)
+        want = {}
+        for day, r in regs.items():
+            zs = sum(1 << (HLL_W_BITS + 1 - m) for m in r.values()) + (
+                HLL_M - len(r)
+            ) * (1 << (HLL_W_BITS + 1))
+            inv = min(((1 << (HLL_W_BITS + 1)) * 1000) // zs, HLL_R_CAP)
+            raw = HLL_ALPHA_MILLI * HLL_M * HLL_M * inv // 1000
+            v = HLL_M - len(r)
+            est = HLL_M * HLL_LC_MILLI[v - 1] if v > 0 and raw <= HLL_LC_CUTOFF_MILLI else raw
+            want[day] = (est, len(r), sum(m * (b + 1) for b, m in r.items()))
+        got = {
+            r["window_start"]: (
+                r["hll_est_milli"],
+                r["n_buckets_hit"],
+                r["register_checksum"],
+            )
+            for r in QUERIES["stream_hll_distinct_replay"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == want
+        assert len(got) > 1  # multiple day windows in the fixture

@@ -42,6 +42,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # replay), None (no event-time watermark in the plan).
 EXPECT: dict[str, tuple[list[str], str | None, int]] = {
     "stream_tumbling_replay": (["stateStoreSave"], "present", 1),
+    # Windowed HLL: one stateful windowed agg (64 conditional-max
+    # register columns in state), deliberately no chained stateful op.
+    "stream_hll_distinct_replay": (["stateStoreSave"], "present", 1),
     "stream_sliding_replay": (["stateStoreSave"], "present", 1),
     "stream_session_replay": (["sessionWindowStateStoreSaveExec"], "present", 1),
     "stream_topk_per_window_replay": (["stateStoreSave"], "present", 1),
