@@ -71,6 +71,42 @@ HLL_LC_CUTOFF_MILLI = 2500 * HLL_M  # raw estimate <= 2.5m (in milli)
 _HLL_LC_SQL = "[" + ", ".join(str(v) for v in HLL_LC_MILLI) + "]"
 
 
+def _hll_raw_milli_cols(zs):
+    """(r, raw_milli) Columns from a BIGINT ``zs`` Column — INTEGRAL
+    division only (`div`): the numerators (2^47*1000 ~ 1.4e17 and
+    alpha*m^2*r up to ~8.7e15) exceed 2^53, so a double `/` would
+    round the operands BEFORE dividing and could disagree with the
+    oracle's exact `//` at quotient-boundary values — the silent
+    cross-engine parity class this registry bans. Operands are
+    nonnegative, so Spark's truncating `div` equals DuckDB's flooring
+    `//`."""
+    num = (1 << (HLL_W_BITS + 1)) * 1000
+    r = F.least(
+        F.expr(f"{num}L div zs_for_div"),
+        F.lit(HLL_R_CAP).cast("long"),
+    )
+    return r
+
+
+def _hll_est_from_zs(df, zs_col="zs", hit_col="n_buckets_hit"):
+    """Append ``hll_est_milli`` to ``df`` from BIGINT register-sum and
+    bucket-hit columns, sharing the alpha / linear-counting literals.
+    All quotients use integral `div` (see :func:`_hll_raw_milli_cols`)."""
+    df = df.withColumn("zs_for_div", F.col(zs_col).cast("long"))
+    r = _hll_raw_milli_cols(F.col("zs_for_div"))
+    df = df.withColumn("r_for_div", r)
+    raw_milli = F.expr(f"({HLL_ALPHA_MILLI * HLL_M * HLL_M}L * r_for_div) div 1000")
+    v_zero = (F.lit(HLL_M) - F.col(hit_col)).cast("int")
+    lc_table = F.array(*[F.lit(v).cast("long") for v in HLL_LC_MILLI])
+    est = F.when(
+        (v_zero > 0) & (raw_milli <= HLL_LC_CUTOFF_MILLI),
+        F.lit(HLL_M).cast("long") * F.element_at(lc_table, v_zero),
+    ).otherwise(raw_milli)
+    return df.withColumn("hll_est_milli", est.cast("long")).drop(
+        "zs_for_div", "r_for_div"
+    )
+
+
 @query(
     "agg_hll_md5_parity",
     oracle=f"""
@@ -177,25 +213,10 @@ def agg_hll_md5_parity(spark, sf_dir):
         F.count("*").alias("n_buckets_hit"),
         F.sum(F.col("m_j") * (F.col("bucket") + 1)).alias("register_checksum"),
     )
-    r = F.least(
-        (F.lit((1 << (HLL_W_BITS + 1)) * 1000).cast("long") / F.col("zs")).cast(
-            "long"
-        ),
-        F.lit(HLL_R_CAP).cast("long"),
-    )
-    raw_milli = (
-        (F.lit(HLL_ALPHA_MILLI * HLL_M * HLL_M).cast("long") * r) / 1000
-    ).cast("long")
-    v_zero = (F.lit(HLL_M) - F.col("n_buckets_hit")).cast("int")
-    lc_table = F.array(*[F.lit(v).cast("long") for v in HLL_LC_MILLI])
-    est = F.when(
-        (v_zero > 0) & (raw_milli <= HLL_LC_CUTOFF_MILLI),
-        F.lit(HLL_M).cast("long") * F.element_at(lc_table, v_zero),
-    ).otherwise(raw_milli)
-    return z.select(
+    return _hll_est_from_zs(z).select(
         "event_type",
         F.col("n_exact").cast("long").alias("n_exact"),
-        est.cast("long").alias("hll_est_milli"),
+        "hll_est_milli",
         F.col("n_buckets_hit").cast("long").alias("n_buckets_hit"),
         F.col("register_checksum").cast("long").alias("register_checksum"),
     )
@@ -497,10 +518,11 @@ def dq_cross_table_reconciliation(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _hll_est_from_registers(reg_cols):
-    """Shared estimator over 64 register Columns (absent bucket =
-    NULL = register 0): returns (zs, hit, checksum, est) Columns using
-    the same alpha / linear-counting literals as ``agg_hll_md5_parity``."""
+def _hll_register_summary_cols():
+    """(zs, hit, checksum) Columns over 64 register columns m_0..m_63
+    (absent bucket = NULL = register 0), sharing the batch op's
+    literals. Estimation happens downstream via
+    :func:`_hll_est_from_zs` (integral `div` only)."""
     from functools import reduce
     from operator import add
 
@@ -524,20 +546,7 @@ def _hll_est_from_registers(reg_cols):
             for j in range(HLL_M)
         ],
     )
-    r = F.least(
-        (F.lit((1 << (HLL_W_BITS + 1)) * 1000).cast("long") / zs).cast("long"),
-        F.lit(HLL_R_CAP).cast("long"),
-    )
-    raw_milli = (
-        (F.lit(HLL_ALPHA_MILLI * HLL_M * HLL_M).cast("long") * r) / 1000
-    ).cast("long")
-    v_zero = (F.lit(HLL_M) - hit).cast("int")
-    lc_table = F.array(*[F.lit(v).cast("long") for v in HLL_LC_MILLI])
-    est = F.when(
-        (v_zero > 0) & (raw_milli <= HLL_LC_CUTOFF_MILLI),
-        F.lit(HLL_M).cast("long") * F.element_at(lc_table, v_zero),
-    ).otherwise(raw_milli)
-    return hit, checksum, est
+    return zs, hit, checksum
 
 
 @query(
@@ -628,11 +637,17 @@ def stream_hll_distinct_replay(spark, sf_dir):
             for j in range(HLL_M)
         ]
     )
-    hit, checksum, est = _hll_est_from_registers(None)
-    out = regs.select(
+    zs, hit, checksum = _hll_register_summary_cols()
+    summarized = regs.select(
         F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        est.cast("long").alias("hll_est_milli"),
+        zs.cast("long").alias("zs"),
         hit.cast("long").alias("n_buckets_hit"),
         checksum.cast("long").alias("register_checksum"),
+    )
+    out = _hll_est_from_zs(summarized).select(
+        "window_start",
+        "hll_est_milli",
+        "n_buckets_hit",
+        "register_checksum",
     )
     return replay_to_df(out, mode="complete")

@@ -370,3 +370,21 @@ class TestStreamHllDistinctReplay:
         }
         assert got == want
         assert len(got) > 1  # multiple day windows in the fixture
+
+
+class TestHllIntegralDivision:
+    def test_double_division_class_is_real_and_avoided(self, spark):
+        # Regression pin for the estimator's `div` (not `/`) choice:
+        # the numerator 2^47*1000 exceeds 2^53, so a double `/` rounds
+        # the operand BEFORE dividing. zs=69 is a concrete witness
+        # (reachable: 64 registers summing 2^(47-m_j) can hit 69) —
+        # float division lands one above the exact floor.
+        num = (1 << (HLL_W_BITS + 1)) * 1000
+        zs = 69
+        assert int(float(num) / zs) == num // zs + 1  # the broken path
+        got = (
+            spark.range(1)
+            .selectExpr(f"{num}L div {zs}L as q")
+            .collect()[0]["q"]
+        )
+        assert got == num // zs  # Spark integral div matches the oracle's //
