@@ -276,6 +276,7 @@ FS_MATCH_THRESHOLD = 24
              split_part(p_name, ' ', 1) AS tok1,
              split_part(p_name, ' ', 2) AS tok2
       FROM part
+      WHERE split_part(p_name, ' ', 2) <> ''
     ),
     pairs AS (
       SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
@@ -324,16 +325,30 @@ def er_fellegi_sunter_match(spark, sf_dir):
     scan, one self-equi-join on the block key, per-pair integer
     arithmetic; the comparison-vector bits ride along so a reviewer
     can audit WHY each pair linked (the F-S report shape)."""
-    p = t(spark, sf_dir, "part").select(
-        "p_partkey",
-        "p_brand",
-        "p_type",
-        "p_size",
-        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("centi"),
-        F.split(F.col("p_name"), " ").getItem(0).alias("tok1"),
-        F.split(F.col("p_name"), " ").getItem(1).alias("tok2"),
+    # Single-token names carry no blocking noun and are excluded
+    # EXPLICITLY on both engines: DuckDB's split_part yields '' where
+    # ANSI Spark's getItem(1) THROWS InvalidArrayIndex, so without a
+    # shared guard a one-word p_name either crashes the job or joins
+    # into an '' block, depending on the engine (the ml_psi_drift
+    # NULL-date lesson; absent from the fixtures, pinned in pytest).
+    # try_element_at gives the NULL-on-missing form; the filter then
+    # matches the oracle's split_part(...) <> ''.
+    p = (
+        t(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_type",
+            "p_size",
+            F.floor(F.col("p_retailprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("centi"),
+            F.split(F.col("p_name"), " ").getItem(0).alias("tok1"),
+            F.try_element_at(F.split(F.col("p_name"), " "), F.lit(2)).alias(
+                "tok2"
+            ),
+        )
+        .filter(F.col("tok2").isNotNull() & (F.col("tok2") != ""))
     )
     a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
     b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])

@@ -449,3 +449,36 @@ class TestEmbedResidualQuantize:
         c = out[2]
         assert c["q1_sum"] == 8 * 127 and c["q1_sq_sum"] == 8 * 127 * 127
         assert c["scale2"] == 0.0 and c["q2_sum"] == 0
+
+
+class TestErFellegiSunterSingleTokenGuard:
+    def test_single_token_names_excluded_on_both_engines(self, spark, tmp_path):
+        # DuckDB split_part -> '' vs Spark getItem -> NULL for a
+        # one-word p_name: without the shared explicit guard the ''
+        # rows would block together on one engine and vanish on the
+        # other. Synthetic catalog: two single-token parts that agree
+        # on everything must produce NO pair; two-token twins must.
+        rows = [
+            (1, "widget", "Brand#1", "ECONOMY", 5, 100.0),
+            (2, "widget", "Brand#1", "ECONOMY", 5, 100.5),
+            (3, "red gear", "Brand#2", "SMALL", 7, 200.0),
+            (4, "red gear", "Brand#2", "SMALL", 7, 200.5),
+        ]
+        spark.createDataFrame(
+            rows,
+            "p_partkey long, p_name string, p_brand string, p_type string, "
+            "p_size int, p_retailprice double",
+        ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+        out = QUERIES["er_fellegi_sunter_match"].spark(spark, str(tmp_path))
+        got = {(r["part_a"], r["part_b"]) for r in out.collect()}
+        assert got == {(3, 4)}
+        # and the oracle agrees on the same synthetic catalog
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW part AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/part.parquet/*.parquet')"
+        )
+        oracle_rows = con.execute(
+            QUERIES["er_fellegi_sunter_match"].oracle
+        ).fetchall()
+        assert {(r[0], r[1]) for r in oracle_rows} == {(3, 4)}
