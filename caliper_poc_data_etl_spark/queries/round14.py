@@ -651,3 +651,121 @@ def stream_hll_distinct_replay(spark, sf_dir):
         "register_checksum",
     )
     return replay_to_df(out, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign projection
+# ---------------------------------------------------------------------------
+
+JL_K = 16  # target dimension
+JL_D = 64  # source embedding dimension
+JL_MICRO = 1_000_000  # embedding quantization before projecting
+
+
+def _jl_signs() -> list[list[int]]:
+    """±1 sign matrix, row j = target dim, derived from md5(j:d) ONCE
+    at import and embedded in both engines (the PHASH_COS /
+    HLL_LC_MILLI build-time trick applied to the hash): s = +1 if the
+    first md5 nibble is even. Integers, because the projection runs on
+    the micro-quantized embedding: a first form projected the raw
+    floats through each engine's dot product and DuckDB's
+    list_dot_product accumulates in a DIFFERENT order than Spark's
+    sequential fold — an ulp of disagreement flipped a milli rounding
+    boundary at sf0.01 (caught by the oracle gate, recorded in
+    NOTES_r09). Quantize-then-project is order-free exact integer
+    arithmetic on both engines AND the realistic pipeline shape (ANN
+    stacks project int8/int16-quantized vectors, not raw floats)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for d in range(JL_D)
+        ]
+        for j in range(JL_K)
+    ]
+
+
+JL_SIGNS = _jl_signs()
+
+
+def _jl_signs_sql(j: int) -> str:
+    return "[" + ", ".join(str(v) for v in JL_SIGNS[j]) + "]"
+
+
+@query(
+    "embed_jl_projection_parity",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {JL_MICRO} + 0.5)
+                         AS BIGINT)) AS xm
+      FROM embeddings
+    ),
+    proj AS (
+      SELECT vec_id,
+             {", ".join(
+                 f"CAST(list_sum(list_transform(range(1, {JL_D} + 1), "
+                 f"i -> xm[i] * ({_jl_signs_sql(j)})[i])) AS BIGINT) AS m{j}"
+                 for j in range(JL_K)
+             )}
+      FROM q
+    )
+    SELECT vec_id,
+           m0 AS proj0_micro, m1 AS proj1_micro,
+           m2 AS proj2_micro, m3 AS proj3_micro,
+           CAST({" + ".join(f"m{j} * m{j}" for j in range(JL_K))} AS BIGINT)
+             AS l2sq_micro
+    FROM proj
+    """,
+)
+def embed_jl_projection_parity(spark, sf_dir):
+    """Johnson–Lindenstrauss sign projection ({JL_D} -> {JL_K} dims) —
+    the dimensionality-reduction step an ANN pipeline runs before
+    coarse search (Achlioptas 2003: ±1 entries suffice, no Gaussians).
+    The embedding is micro-quantized FIRST (floor(x*1e6+0.5), the
+    registry's centi/micro recipe), then projected through the
+    import-time md5-derived ±1 matrix :data:`JL_SIGNS` — every value
+    crossing the engine boundary is an exact BIGINT, immune to the
+    accumulation-order ulp divergence that sank the raw-float form
+    (see :func:`_jl_signs`). Outputs the first four projected
+    coordinates plus the full {JL_K}-dim squared norm — the quantity
+    the JL lemma preserves (E[||Px||²] = {JL_K}·||x||²; pinned in
+    pytest, since the hash proves parity, not geometry).
+
+    Scale shape: {JL_K} fixed {JL_D}-term integer folds per row —
+    pure per-row Column math, zero shuffle, linear at any corpus
+    size, and 4x less data shipped to every downstream ANN stage."""
+    e = t(spark, sf_dir, "embeddings")
+    xm = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * JL_MICRO + F.lit(0.5)).cast("long"),
+    )
+    q = e.select("vec_id", xm.alias("xm"))
+
+    def proj(j):
+        signs = F.array(*[F.lit(v).cast("long") for v in JL_SIGNS[j]])
+        return F.aggregate(
+            F.zip_with(F.col("xm"), signs, lambda p, s: p * s),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    pm = q.select(
+        "vec_id", *[proj(j).alias(f"m{j}") for j in range(JL_K)]
+    )
+    from functools import reduce
+    from operator import add
+
+    l2sq = reduce(add, [F.col(f"m{j}") * F.col(f"m{j}") for j in range(JL_K)])
+    return pm.select(
+        "vec_id",
+        F.col("m0").alias("proj0_micro"),
+        F.col("m1").alias("proj1_micro"),
+        F.col("m2").alias("proj2_micro"),
+        F.col("m3").alias("proj3_micro"),
+        l2sq.cast("long").alias("l2sq_micro"),
+    )

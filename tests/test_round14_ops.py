@@ -388,3 +388,84 @@ class TestHllIntegralDivision:
             .collect()[0]["q"]
         )
         assert got == num // zs  # Spark integral div matches the oracle's //
+
+
+# ---------------------------------------------------------------------------
+# embed_jl_projection_parity
+# ---------------------------------------------------------------------------
+
+
+class TestEmbedJlProjectionParity:
+    def test_python_replica(self, spark, sf_dir):
+        import numpy as np
+
+        from caliper_poc_data_etl_spark.queries.round14 import (
+            JL_K,
+            JL_MICRO,
+            JL_SIGNS,
+        )
+
+        rows = _fetch(
+            sf_dir, "SELECT vec_id, embedding FROM '{sf}/embeddings.parquet'"
+        )
+        want = {}
+        for vid, emb in rows:
+            xm = [
+                math.floor(float(np.float32(v)) * JL_MICRO + 0.5) for v in emb
+            ]
+            ms = [
+                sum(x * s for x, s in zip(xm, JL_SIGNS[j])) for j in range(JL_K)
+            ]
+            want[vid] = (ms[0], ms[1], ms[2], ms[3], sum(m * m for m in ms))
+        got = {
+            r["vec_id"]: (
+                r["proj0_micro"],
+                r["proj1_micro"],
+                r["proj2_micro"],
+                r["proj3_micro"],
+                r["l2sq_micro"],
+            )
+            for r in QUERIES["embed_jl_projection_parity"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == want
+
+    def test_jl_norm_preservation(self, sf_dir):
+        # E[||Px||^2] = K * ||x||^2 for +-1 sign projections; over the
+        # fixture the mean ratio must sit near 1 (the lemma's content —
+        # the cross-engine hash proves parity, not geometry).
+        import numpy as np
+
+        from caliper_poc_data_etl_spark.queries.round14 import JL_K, JL_SIGNS
+
+        rows = _fetch(
+            sf_dir, "SELECT embedding FROM '{sf}/embeddings.parquet'"
+        )
+        S = np.array(JL_SIGNS, dtype=np.float64)
+        ratios = []
+        for (emb,) in rows:
+            x = np.array(emb, dtype=np.float64)
+            nx = float(x @ x)
+            if nx == 0:
+                continue
+            p = S @ x
+            ratios.append(float(p @ p) / (JL_K * nx))
+        mean_ratio = sum(ratios) / len(ratios)
+        assert 0.8 < mean_ratio < 1.2
+
+    def test_sign_matrix_regenerates(self):
+        import hashlib
+
+        from caliper_poc_data_etl_spark.queries.round14 import JL_D, JL_K, JL_SIGNS
+
+        for j in range(JL_K):
+            for d in range(JL_D):
+                want = (
+                    1
+                    if int(hashlib.md5(f"{j}:{d}".encode()).hexdigest()[0], 16)
+                    % 2
+                    == 0
+                    else -1
+                )
+                assert JL_SIGNS[j][d] == want
