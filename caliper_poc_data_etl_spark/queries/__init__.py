@@ -51,6 +51,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     round12,
     round13,
     round14,
+    round15,
 )
 
 # ---------------------------------------------------------------------------

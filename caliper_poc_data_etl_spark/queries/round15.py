@@ -1,0 +1,239 @@
+"""Round-9 continuation batch 3 (same session as round13/round14;
+flagged in NOTES_r09 for adjudication). Three ops:
+
+- ``dedup_prefix_filter_jaccard`` — PPJoin-style prefix-filtered
+  set-similarity JOIN: the LOSSLESS scalable alternative to
+  MinHash-LSH (100% recall at the threshold by construction, vs LSH's
+  probabilistic recall — the contrast ``dedup_minhash_recall_vs_exact``
+  measures is exactly what prefix filtering eliminates).
+- ``training_length_bucket_batches`` — power-of-two length-bucketed
+  batching: the dynamic-batching manifest trainers use to bound
+  padding waste (<2x by the pow2 envelope), next to ``pack_sequences``
+  (packing) and ``training_batch_manifest`` (mixing).
+- ``ml_group_kfold_assign`` — GROUP-aware K-fold: all documents of a
+  source land in the same fold, the leakage-safe cross-validation
+  split ``ml_kfold_assign``'s row-level hashing cannot give.
+
+Registry conventions as everywhere (queries/__init__.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered set-similarity join (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+PF_JACC_MILLI = 500  # shingle-set Jaccard >= 0.5
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+            FROM documents)
+      WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST((len(list_intersect(a.ts, b.ts)) * 1000)
+                // (len(a.ts) + len(b.ts)
+                    - len(list_intersect(a.ts, b.ts))) AS BIGINT)
+             AS jacc_milli
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE (len(list_intersect(a.ts, b.ts)) * 1000)
+          // (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+          >= {PF_JACC_MILLI}
+    """,
+)
+def dedup_prefix_filter_jaccard(spark, sf_dir):
+    """Set-similarity join via PPJoin-style PREFIX FILTERING (Xiao et
+    al. 2008) over the family's 3-gram shingle sets — the LOSSLESS
+    scalable similarity join: order each document's shingles
+    rarest-first (global df ascending), index only the first
+    |x| - ceil(t*|x|) + 1, and two documents can reach Jaccard >= t
+    ONLY if their prefixes share a shingle (pigeonhole: a pair with
+    disjoint prefixes has fewer than ceil(t*|x|) common elements).
+    Candidates form per PREFIX SHINGLE (a plain equi-join), exact
+    Jaccard verifies them, and — unlike the MinHash-LSH family —
+    recall at the threshold is 100% BY CONSTRUCTION: the naive
+    all-pairs oracle IS the semantics (equality pinned in pytest; the
+    probabilistic recall curve ``dedup_minhash_recall_vs_exact``
+    measures is exactly what prefix filtering eliminates, at the cost
+    of exact-verify work LSH's banding avoids).
+
+    Scale shape: one scan -> shingle df (map-side-combined groupBy) ->
+    rarest-first prefix explode (prefix = half the set at t=0.5,
+    shrinking as t grows) -> candidate equi-join on the shingle key
+    (cost Σ df_prefix² over PREFIX occurrences only — rarest-first
+    ordering keeps common shingles out of prefixes, the PPJoin trick)
+    -> exact verify on candidates only. The quadratic all-pairs form
+    exists only in the oracle (the ``er_blocking_quality_report``
+    posture). Shingle sets and split idiom shared with dedup.py
+    (``_doc_shingle_sets`` — no second tokenizer to drift)."""
+    from caliper_poc_data_etl_spark.queries.dedup import _doc_shingle_sets
+
+    d = t(spark, sf_dir, "documents")
+    toks = _doc_shingle_sets(d).select(
+        "doc_id", F.col("shset").alias("ts")
+    )
+    tok = toks.select("doc_id", F.explode("ts").alias("tk"))
+    df_tbl = tok.groupBy("tk").agg(F.count("*").alias("df"))
+    ranked = tok.join(df_tbl, "tk")
+    # rarest-first order inside each doc; prefix keeps the first
+    # |x| - ceil(t|x|) + 1 entries (t = 1/2: ceil = (|x|+1) div 2)
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("df", "tk"))).alias("ordered")
+    )
+    sz = F.size("ordered")
+    pref_len = sz - F.expr("(size(ordered) + 1) div 2") + F.lit(1)
+    pref = per_doc.select(
+        "doc_id",
+        F.transform("ordered", lambda s: s["tk"]).alias("ts_sorted"),
+        F.explode(
+            F.transform(
+                F.slice("ordered", 1, pref_len), lambda s: s["tk"]
+            )
+        ).alias("ptk"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("ts_sorted").alias("ts_a"), "ptk"
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("ts_sorted").alias("ts_b"), "ptk"
+    )
+    cand = (
+        a.join(b, ["ptk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ts_a", "ts_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "jacc_milli",
+            F.expr(
+                "(size(array_intersect(ts_a, ts_b)) * 1000) div "
+                "(size(ts_a) + size(ts_b) - size(array_intersect(ts_a, ts_b)))"
+            ),
+        )
+        .filter(F.col("jacc_milli") >= PF_JACC_MILLI)
+        .select("doc_a", "doc_b", F.col("jacc_milli").cast("long").alias("jacc_milli"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Power-of-two length-bucketed batching
+# ---------------------------------------------------------------------------
+
+LB_BATCH_DOCS = 16  # documents per batch within a bucket
+
+
+@query(
+    "training_length_bucket_batches",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(CASE WHEN n_tokens <= 1 THEN 1
+                       ELSE 1::BIGINT << CAST(length(bin(n_tokens - 1)) AS INT)
+                  END AS BIGINT) AS bucket
+      FROM n
+    ),
+    r AS (
+      SELECT doc_id, n_tokens, bucket,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+      FROM b
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST((rn - 1) // {LB_BATCH_DOCS} AS BIGINT) AS batch_idx,
+           CAST(bucket - n_tokens AS BIGINT) AS padding
+    FROM r
+    """,
+)
+def training_length_bucket_batches(spark, sf_dir):
+    """Power-of-two length-bucketed batching — the dynamic-batching
+    manifest a trainer's loader uses to bound padding waste: each
+    document pads to the next power of two of its token count (the
+    envelope guarantees padding < n_tokens, pinned in pytest), and
+    batches of {LB_BATCH_DOCS} form WITHIN a bucket so every batch is
+    rectangular. Complements the pack: ``pack_sequences``
+    concatenates into fixed windows (no padding, loses example
+    boundaries); bucketed batching keeps one example per row and pays
+    bounded padding — the standard trade-off pair.
+
+    Exactness: the bucket is pure integer bit arithmetic — next pow2
+    via the binary-digit length (1 << len(bin(n-1)), the HLL rho
+    idiom), no log. Scale shape: one scan, per-row token count, one
+    bucket-partitioned window (buckets are the natural parallel unit,
+    ~log(max_len) of them, each corpus-sized/|buckets| — at extreme
+    skew a bucket's window range-partitions exactly like any sort)."""
+    d = t(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.trim("text"), "\\s+"), lambda x: x != "")
+    ).cast("long")
+    b = d.select("doc_id", n_tokens.alias("n_tokens")).withColumn(
+        "bucket",
+        F.when(F.col("n_tokens") <= 1, F.lit(1).cast("long")).otherwise(
+            F.expr("shiftleft(1L, cast(length(bin(n_tokens - 1)) as int))")
+        ),
+    )
+    w = W.partitionBy("bucket").orderBy("doc_id")
+    rn = F.row_number().over(w).cast("long")
+    # (rn-1)/{B}: both operands tiny, the double quotient is exact and
+    # the truncation equals the oracle's // on nonnegatives
+    return b.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        ((rn - 1) / LB_BATCH_DOCS).cast("long").alias("batch_idx"),
+        (F.col("bucket") - F.col("n_tokens")).alias("padding"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware K-fold assignment
+# ---------------------------------------------------------------------------
+
+GKF_K = 5
+
+
+@query(
+    "ml_group_kfold_assign",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(('0x' || substr(md5(source), 1, 13))::BIGINT % {GKF_K}
+                AS BIGINT) AS fold
+    FROM documents
+    """,
+)
+def ml_group_kfold_assign(spark, sf_dir):
+    """GROUP-aware K-fold assignment — the leakage-safe
+    cross-validation split: every document of a source lands in the
+    SAME fold (fold = md5(source) % {GKF_K}), so near-duplicate or
+    stylistically-correlated documents from one origin can never sit
+    on both sides of a train/validation boundary.
+    ``ml_kfold_assign`` hashes the ROW id — fine for iid rows, leaky
+    for grouped corpora; this is sklearn's GroupKFold distinction,
+    deterministic via the registry's md5 recipe.
+
+    Scale shape: pure per-row hash arithmetic, zero shuffle, linear;
+    the group-integrity and fold-coverage properties are pinned in
+    pytest (the hash proves parity, not the invariant)."""
+    d = t(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 13), 16, 10).cast("long")
+        % GKF_K
+    )
+    return d.select("doc_id", "source", fold.alias("fold"))
