@@ -52,6 +52,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     round13,
     round14,
     round15,
+    round16,
 )
 
 # ---------------------------------------------------------------------------
@@ -75,31 +76,10 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
 # (new operators register at the front in module order).
 # ---------------------------------------------------------------------------
 _DEFERRED = [
-    # green in r01, implementation unchanged since (the 16 r01 entries
-    # that backfilled the r08 window were re-graded GREEN there and
-    # rotate to the TAIL below — deferral backfill is a rolling
-    # re-certification, oldest un-re-checked first):
-    "join_range_predicate",
-    "join_theta",
-    "agg_distinct",
-    "agg_percentiles",
-    "agg_corr_stats",
-    "agg_approx_distinct",
-    "agg_stats",
-    "agg_collect_sorted",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "pivot_status_by_priority",
-    "setop_union_all",
-    "setop_intersect",
-    "distinct_rows",
-    "sort_topk_global",
-    "limit_rows",
-    "window_rank_topk_per_group",
-    "fn_string_pack",
-    "fn_date_pack",
-    "fn_math_pack",
+    # green in r01, implementation unchanged since (the r01 entries
+    # that backfilled the r08 and r09 windows were re-graded GREEN
+    # there and rotate to the TAIL below — deferral backfill is a
+    # rolling re-certification, oldest un-re-checked first):
     "fn_array_pack",
     "fn_map_pack",
     # green (or rows-only-by-design) in r02, implementation unchanged since.
@@ -467,24 +447,79 @@ _DEFERRED = [
     "join_semi",
     "join_anti",
     "join_broadcast_dims",
+    # re-graded GREEN in r09 as deferral backfill (r01 originals);
+    # rotated to the tail behind the r08 backfill block:
+    "join_range_predicate",
+    "join_theta",
+    "agg_distinct",
+    "agg_percentiles",
+    "agg_corr_stats",
+    "agg_approx_distinct",
+    "agg_stats",
+    "agg_collect_sorted",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "pivot_status_by_priority",
+    "setop_union_all",
+    "setop_intersect",
+    "distinct_rows",
+    "sort_topk_global",
+    "limit_rows",
+    "window_rank_topk_per_group",
+    "fn_string_pack",
+    "fn_date_pack",
+    "fn_math_pack",
+    # green in r09 (CORRECTNESS_r09: 49 hash-green + 1 rows-only),
+    # implementation unchanged since. NOT deferred from the r09
+    # window: dedup_prefix_filter_jaccard (candidate join slimmed to
+    # bare id pairs in r10 -> regrade), agg_hll_md5_parity and
+    # stream_hll_distinct_replay (shared HLL estimator helper renamed
+    # in r10 -- rename-only, but the window rule regrades any query
+    # whose transitively-used helper changed). decontam_embedding_
+    # cosine's r10 change is docstring-only (ADVICE acceptance note)
+    # and does not regrade:
+    "text_bm25_topk",
+    "dq_constraint_check",
+    "ml_naive_bayes_train",
+    "ts_period_over_period",
+    "ts_anomaly_seasonal_adjusted",
+    "curation_span_dedup_rewrite",
+    "ml_psi_drift",
+    "ml_quantile_drift",
+    "sample_weighted_reservoir",
+    "dedup_minhash_recall_vs_exact",
+    "sample_weighted_reservoir_per_source",
+    "decontam_minhash_crosscorpus",
+    "mix_importance_select",
+    "sample_neyman_allocation",
+    "decontam_embedding_cosine",
+    "training_epoch_shuffle_order",
+    "er_fellegi_sunter_match",
+    "mm_phash_dct",
+    "embed_residual_quantize",
+    "funnel_path_topk",
+    "mix_round_robin_interleave",
+    "anomaly_grid_density_events",
+    "dq_cross_table_reconciliation",
+    "embed_jl_projection_parity",
+    "training_length_bucket_batches",
+    "ml_group_kfold_assign",
 ]
 
-# Round-9 graded window (VERDICT r8 demands #1/#3): the front holds
-# the four regrades — ts_period_over_period + ts_anomaly_seasonal_
-# adjusted (oracle HUGEINT leaks BIGINT-recast, the only r08 reds,
-# demand #1 "it goes first"), ml_psi_drift (ADVICE NULL-date
-# alignment), curation_span_dedup_rewrite (_SPAN_IDX_BASE raised) —
-# plus the round-9 additions (queries/round12.py: the five ops of
-# VERDICT r8's ≤5 net-new budget, then two late-round extras —
-# mix_importance_select and sample_neyman_allocation — shipped OVER
-# that budget, flagged as such in NOTES_r09 and certified under the
-# identical gate: oracle twin ×3 SFs, replica pytest, plan audit,
-# K=100 soak). The
-# remaining slots backfill from the HEAD of `_DEFERRED`, which now
+# Round-10 graded window (VERDICT r9 demands #2-#6): the front holds
+# the three regrades — dedup_prefix_filter_jaccard (candidate join
+# slimmed to bare id pairs, demand #2), agg_hll_md5_parity +
+# stream_hll_distinct_replay (shared HLL estimator helper renamed;
+# rename-only but the window rule regrades on any transitively-used
+# helper change) — plus the round-10 additions (queries/round16.py:
+# stream_static_enrich_replay, scd2_dimension_history,
+# agg_kll_quantile_sketch — demands #3/#4/#5, one each). The
+# remaining 44 slots backfill from the HEAD of `_DEFERRED`, which
 # rotates: entries re-graded as backfill move to the tail, so the
-# rolling re-certification sweeps oldest-first through the r01/r02
-# block. `_NEXT` stays empty — every declared query carries a
-# driver-graded row since r08.
+# rolling re-certification sweeps oldest-first (this round: the last
+# two r01 entries, then the r02 block). `_NEXT` stays empty — every
+# declared query carries a driver-graded row since r08.
 _NEXT: list[str] = []
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

@@ -115,7 +115,21 @@ def decontam_embedding_cosine(spark, sf_dir):
     larger eval side exists in-family (``dedup_embedding_lsh``). Dot
     products via zip_with + fold — JVM-side, no UDF; float parity per
     the ``dedup_embedding_cosine`` recipe (identical IEEE expression
-    shape both engines)."""
+    shape both engines).
+
+    RAW-FLOAT FORM ACCEPTED EXPLICITLY (ADVICE r9): the 0.40 threshold
+    and ROUND(...,4) compare raw-double cosines whose summation order
+    could in principle diverge between DuckDB's list_dot_product and
+    Spark's sequential fold — the ulp class that flipped the JL op's
+    gate (round14._jl_signs). It is kept raw-float HERE deliberately,
+    to stay twinned with ``dedup_embedding_cosine`` (the family's
+    deferred-green anchor, same expression shape): both engines sum
+    left-to-right over the same order, the fixtures sit far from the
+    threshold, and the boundary-safe integer recipe exists in-family
+    (``embed_jl_projection_parity``'s quantize-then-score) for any
+    corpus where the margin shrinks. If this op's gate ever flips,
+    port BOTH embedding-cosine ops to the integer recipe together
+    rather than letting the twins drift."""
     e = t(spark, sf_dir, "embeddings")
 
     def dot(x, y):

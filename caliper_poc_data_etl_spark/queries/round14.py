@@ -71,8 +71,10 @@ HLL_LC_CUTOFF_MILLI = 2500 * HLL_M  # raw estimate <= 2.5m (in milli)
 _HLL_LC_SQL = "[" + ", ".join(str(v) for v in HLL_LC_MILLI) + "]"
 
 
-def _hll_raw_milli_cols(zs):
-    """(r, raw_milli) Columns from a BIGINT ``zs`` Column — INTEGRAL
+def _hll_clamped_inverse_col(zs):
+    """The CLAMPED scaled inverse r = min(2^48·1000 div zs, R_CAP) as a
+    Column from a BIGINT ``zs`` Column; the caller
+    (:func:`_hll_est_from_zs`) derives raw_milli from it — INTEGRAL
     division only (`div`): the numerators (2^47*1000 ~ 1.4e17 and
     alpha*m^2*r up to ~8.7e15) exceed 2^53, so a double `/` would
     round the operands BEFORE dividing and could disagree with the
@@ -91,9 +93,10 @@ def _hll_raw_milli_cols(zs):
 def _hll_est_from_zs(df, zs_col="zs", hit_col="n_buckets_hit"):
     """Append ``hll_est_milli`` to ``df`` from BIGINT register-sum and
     bucket-hit columns, sharing the alpha / linear-counting literals.
-    All quotients use integral `div` (see :func:`_hll_raw_milli_cols`)."""
+    All quotients use integral `div` (see
+    :func:`_hll_clamped_inverse_col`)."""
     df = df.withColumn("zs_for_div", F.col(zs_col).cast("long"))
-    r = _hll_raw_milli_cols(F.col("zs_for_div"))
+    r = _hll_clamped_inverse_col(F.col("zs_for_div"))
     df = df.withColumn("r_for_div", r)
     raw_milli = F.expr(f"({HLL_ALPHA_MILLI * HLL_M * HLL_M}L * r_for_div) div 1000")
     v_zero = (F.lit(HLL_M) - F.col(hit_col)).cast("int")

@@ -1,0 +1,328 @@
+"""Round-10 ops — the three VERDICT r9 residual demands, in order:
+
+- ``stream_static_enrich_replay`` — the most common production
+  streaming shape the streaming family still lacked: a watermarked
+  ``events`` readStream joined to a slowly-changing STATIC dimension
+  (customer → nation), windowed-aggregated per nation, replayed
+  availableNow against the batch-join oracle.
+- ``scd2_dimension_history`` — SCD-type-2 dimension-history ASSEMBLY
+  next to ``upsert_latest_state``: change-collapsed valid_from/valid_to
+  intervals per key, tombstone-closed (``scd2_event_intervals`` versions
+  every observation; this one versions only CHANGES and deletes keys a
+  terminal ``error`` tombstoned — the warehouse dimension-table build).
+- ``agg_kll_quantile_sketch`` — a FIXED-SIZE mergeable quantile sketch
+  (KLL-class level-sampling compactor, deterministic hash coin), the
+  sketch family where the engine's exact-rank centi-grid summary
+  (``ml_quantile_drift``) was bounded by distinct-value count rather
+  than a fixed k.
+
+Registry conventions as everywhere (queries/__init__.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from caliper_poc_data_etl_spark.queries.registry import query, t
+
+# ---------------------------------------------------------------------------
+# Stream-static broadcast enrichment join
+# ---------------------------------------------------------------------------
+
+_ENRICH_ORACLE = """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', e.ts),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(e.value), 2) AS total_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = e.user_id
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+"""
+
+
+@query("stream_static_enrich_replay", oracle=_ENRICH_ORACLE)
+def stream_static_enrich_replay(spark, sf_dir):
+    """Stream-static BROADCAST enrichment join — the canonical
+    production streaming pipeline: a watermarked event stream joined
+    to a slowly-changing static dimension (customer → nation, the
+    classic star-schema lookup), then windowed-aggregated per
+    enrichment attribute. The static side is re-read per micro-batch
+    by Structured Streaming (so a dimension refresh between batches is
+    picked up — the "slowly changing" contract) and BROADCAST, so the
+    stream side never shuffles for the join; the only stateful op is
+    the windowed aggregation, whose state the watermark bounds.
+
+    Replay: availableNow over the static parquet, complete mode (a
+    windowed agg's trailing windows only emit in append mode once the
+    watermark passes them, which a finite replay never does). The
+    oracle is the equivalent batch join+agg — a replay over static
+    input must agree exactly. At 100 TB/day the shape is identical:
+    dimensions are broadcast-sized by definition, and per-nation
+    window state is |nations| × |open windows|."""
+    from caliper_poc_data_etl_spark.streaming import (
+        read_event_stream,
+        replay_to_df,
+    )
+
+    dim = (
+        t(spark, sf_dir, "customer")
+        .join(
+            t(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
+    events = read_event_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    enriched = events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    )
+    agg = (
+        enriched.groupBy(F.window("ts", "1 hour").alias("w"), "n_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_name",
+            "n",
+            "total_value",
+        )
+    )
+    return replay_to_df(agg, mode="complete")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension-history assembly (change-collapsed, tombstone-closed)
+# ---------------------------------------------------------------------------
+
+_SCD2_DIM_ORACLE = """
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ), chg AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ), v AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS version_seq,
+             ts AS valid_from,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM chg
+    )
+    SELECT user_id, event_type,
+           CAST(version_seq AS BIGINT) AS version_seq,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM v
+    WHERE event_type <> 'error'
+"""
+
+
+@query("scd2_dimension_history", oracle=_SCD2_DIM_ORACLE)
+def scd2_dimension_history(spark, sf_dir):
+    """SCD-type-2 dimension-history ASSEMBLY from a change stream —
+    the warehouse dimension-table build next to ``upsert_latest_state``
+    (which keeps only the head state): per key, consecutive identical
+    attribute observations COLLAPSE into one version (a new version
+    row starts only where lag(attr) differs — change detection), each
+    version valid from its first observation until the next change
+    (``valid_to`` NULL = current), and a terminal ``error`` event is a
+    TOMBSTONE: it closes the previous version's interval but emits no
+    version itself, so a deleted key has no open row.
+
+    Contrast with ``scd2_event_intervals`` (training.py), which
+    versions EVERY observation unconditionally — correct for
+    observation feeds, wrong for dimension tables where re-stating an
+    unchanged attribute must not open a new version.
+
+    Interval algebra guaranteed by construction and pinned in pytest
+    (tests/test_round16_ops.py): per key, intervals never overlap,
+    never gap (valid_to == next valid_from), at most one open row,
+    and a key whose latest change is a tombstone has none.
+
+    Scale shape: two stacked windows over the SAME (user_id | ts,
+    event_id) partitioning — lag for change detection, lead over the
+    collapsed change rows for interval close — so one shuffle keyed by
+    user_id serves both; state is bounded by key cardinality, exactly
+    like the CDC upsert."""
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events")
+    chg = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    valid_to = F.lead("ts").over(w)
+    return (
+        chg.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).cast("long").alias("version_seq"),
+            F.date_format("ts", fmt).alias("valid_from"),
+            F.date_format(valid_to, fmt).alias("valid_to"),
+            valid_to.isNull().alias("is_current"),
+        )
+        .filter(F.col("event_type") != "error")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size mergeable quantile sketch (KLL-class level sampling)
+# ---------------------------------------------------------------------------
+
+KLL_K = 256  # sketch size target: survivors bounded by ~K (expected)
+_KLL_U52 = 1 << 52  # md5 13-hex-char prefix → 52-bit uniform
+
+
+@query(
+    "agg_kll_quantile_sketch",
+    oracle=f"""
+    WITH v AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v_centi,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13))::BIGINT
+               AS u52
+      FROM orders
+    ), params AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(CASE WHEN (COUNT(*) + {KLL_K} - 1) // {KLL_K} <= 1 THEN 0
+                  ELSE length(bin((COUNT(*) + {KLL_K} - 1) // {KLL_K} - 1))
+                  END AS BIGINT) AS level
+      FROM v
+    ), surv AS (
+      SELECT x.v_centi, x.o_orderkey, p.n_rows, p.level
+      FROM v x, params p
+      WHERE x.u52 < (1::BIGINT << CAST(52 - p.level AS INT))
+    ), ranked AS (
+      SELECT v_centi, n_rows, level,
+             ROW_NUMBER() OVER (ORDER BY v_centi, o_orderkey) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n_surv
+      FROM surv
+    )
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           CAST(r.v_centi AS BIGINT) AS est_centi,
+           CAST(r.level AS BIGINT) AS level,
+           r.n_surv AS n_survivors,
+           CAST(r.n_surv << r.level AS BIGINT) AS w_total,
+           r.n_rows
+    FROM ranked r
+    JOIN range(1, 10) AS d(decile)
+      ON r.rn = ((d.decile * (r.n_surv << r.level) + 9) // 10
+                 + (1::BIGINT << r.level) - 1) // (1::BIGINT << r.level)
+    """,
+)
+def agg_kll_quantile_sketch(spark, sf_dir):
+    """Fixed-size MERGEABLE quantile sketch — KLL-class level sampling
+    with a deterministic hash coin (the VERDICT r9 residual: the
+    centi-grid summary of ``ml_quantile_drift`` is exact-rank and
+    mergeable but bounded by distinct-value count, not a fixed k;
+    this one is bounded by k at ANY value domain, including unbounded
+    doubles).
+
+    Construction (level sampling — the sampling view of a KLL
+    compactor chain: KLL's level-l compactor halves its buffer with a
+    coin, so an item survives to level l with probability 2^-l; here
+    that survival event is made DETERMINISTIC by the engine's standard
+    md5→52-bit-uniform recipe instead of a runtime coin, which is what
+    lets two engines build the identical sketch and the gate hash it):
+
+    - level = ceil(log2(ceil(n / k))) via pure integer bit arithmetic
+      (length(bin(m-1)) — the HLL rho idiom, no log);
+    - a row SURVIVES iff u52 < 2^(52-level), u52 = md5-derived 52-bit
+      integer keyed on the row id — so expected survivors ∈ (k/2, k]
+      and each survivor represents weight 2^level rows;
+    - survival predicates are NESTED across levels (u52 < 2^(52-l-1)
+      implies u52 < 2^(52-l)), which gives EXACT mergeability: the
+      union's sketch at level L equals the re-subsample of the parts'
+      sketches to L — sketch(A ∪ B) == merge(sketch(A), sketch(B)),
+      pinned in pytest like the HLL shard-merge test;
+    - decile estimates are integer RANK queries over the weighted
+      survivor order: target_d = ceil(d·W/10), answered by the
+      survivor at rank ceil(target_d / 2^level). No floating point
+      anywhere past the centi quantization.
+
+    Rank error is the uniform-sample bound O(sqrt(log(1/δ)/k)) —
+    weaker per bit than full multi-level KLL (whose top-heavy
+    compactor chain reaches O((1/k)·sqrt(log 1/δ))) but with the same
+    fixed-k footprint, one-pass construction, exact mergeability, and
+    none of KLL's sequential compaction state, which is what makes it
+    expressible as a pure dataflow in BOTH engines (a faithful KLL's
+    coin-by-coin compaction order cannot be twinned in SQL; that
+    trade-off is the documented posture).
+
+    Scale shape: one scan computes (value, u52); a 1-row count
+    aggregate broadcasts n/level (whitelisted scalar shape); the
+    survivor filter keeps ~k rows, so the rank window and the 9-row
+    decile join run on a bounded frame. Shuffle: the scalar broadcast
+    plus one ~k-row exchange — the corpus itself never sorts."""
+    o = t(spark, sf_dir, "orders")
+    v = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v_centi"),
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 13),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("u52"),
+    )
+    m = f"(n_rows + {KLL_K - 1}) div {KLL_K}"
+    params = (
+        v.agg(F.count("*").cast("long").alias("n_rows"))
+        .select(
+            "n_rows",
+            F.when(F.expr(m) <= 1, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr(f"cast(length(bin({m} - 1)) as bigint)")
+            )
+            .alias("level"),
+        )
+    )
+    surv = v.crossJoin(F.broadcast(params)).filter(
+        F.col("u52") < F.expr("shiftleft(1L, cast(52 - level as int))")
+    )
+    w_rank = W.orderBy("v_centi", "o_orderkey")
+    w_all = w_rank.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = surv.select(
+        "v_centi",
+        "n_rows",
+        "level",
+        F.row_number().over(w_rank).cast("long").alias("rn"),
+        F.count("*").over(w_all).cast("long").alias("n_surv"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("decile"))
+    cond = F.col("rn") == F.expr(
+        f"((decile * shiftleft(n_surv, cast(level as int)) + 9) div 10"
+        f" + shiftleft(1L, cast(level as int)) - 1)"
+        f" div shiftleft(1L, cast(level as int))"
+    )
+    return (
+        ranked.join(F.broadcast(deciles), cond)
+        .select(
+            F.col("decile").cast("long").alias("decile"),
+            F.col("v_centi").cast("long").alias("est_centi"),
+            F.col("level").cast("long").alias("level"),
+            F.col("n_surv").alias("n_survivors"),
+            F.expr(
+                "cast(shiftleft(n_surv, cast(level as int)) as bigint)"
+            ).alias("w_total"),
+            "n_rows",
+        )
+    )

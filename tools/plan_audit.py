@@ -132,6 +132,12 @@ EXPECTED_SCALAR_BNLJ.add("ml_bootstrap_ci_mean")
 EXPECTED_SCALAR_BNLJ.add("sample_weighted_reservoir")
 # bounded-calendar daily series × broadcast 8-row lag table.
 EXPECTED_NLJ.add("ts_xcorr_lag_scan")
+# KLL-class quantile sketch (round16.py): one broadcast 1-row
+# (n_rows, level) scalar onto the value scan (the
+# sample_weighted_reservoir shape), plus the bounded ~k-row survivor
+# frame × broadcast 9-row decile table joined on a rank expression —
+# both NLJs multiply by a constant, never by a table.
+EXPECTED_NLJ.add("agg_kll_quantile_sketch")
 EXPECTED_NLJ |= EXPECTED_SCALAR_BNLJ
 
 # Driver-action carve-out (documented, not flagged here): the ONLY

@@ -46,6 +46,10 @@ EXPECT: dict[str, tuple[list[str], str | None, int]] = {
     # register columns in state), deliberately no chained stateful op.
     "stream_hll_distinct_replay": (["stateStoreSave"], "present", 1),
     "stream_sliding_replay": (["stateStoreSave"], "present", 1),
+    # Stream-static broadcast enrichment: the static dimension join is
+    # stateless (re-read per micro-batch, broadcast); the only state
+    # is the windowed agg after it.
+    "stream_static_enrich_replay": (["stateStoreSave"], "present", 1),
     "stream_session_replay": (["sessionWindowStateStoreSaveExec"], "present", 1),
     "stream_topk_per_window_replay": (["stateStoreSave"], "present", 1),
     "stream_join_replay": (["symmetricHashJoin"], "advanced", 2),
