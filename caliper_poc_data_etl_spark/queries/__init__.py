@@ -478,7 +478,9 @@ _DEFERRED = [
     # in r10 -- rename-only, but the window rule regrades any query
     # whose transitively-used helper changed). decontam_embedding_
     # cosine's r10 change is docstring-only (ADVICE acceptance note)
-    # and does not regrade:
+    # and does not regrade; mix_round_robin_interleave re-planned in
+    # r10 (two-pass range-offset global position, ADVICE r9) -> front
+    # for regrade:
     "text_bm25_topk",
     "dq_constraint_check",
     "ml_naive_bayes_train",
@@ -499,7 +501,6 @@ _DEFERRED = [
     "mm_phash_dct",
     "embed_residual_quantize",
     "funnel_path_topk",
-    "mix_round_robin_interleave",
     "anomaly_grid_density_events",
     "dq_cross_table_reconciliation",
     "embed_jl_projection_parity",

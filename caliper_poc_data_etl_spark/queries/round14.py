@@ -327,11 +327,19 @@ def mix_round_robin_interleave(spark, sf_dir):
     position by doc_id, global position by the round-robin key.
 
     Scale shape: one source-partitioned window (sources are the
-    natural parallel unit), then the global position assignment — a
-    range-partitioned sort at scale, same posture as
-    ``training_epoch_shuffle_order`` (the window form declares the
-    semantics; per-partition counts + range offsets compute it in two
-    passes at 100 TB). Manifest-sized output by definition."""
+    natural parallel unit), then the global position via the TWO-PASS
+    RANGE-OFFSET form (re-planned in r10 per ADVICE r9 — the first
+    form's ``Window.orderBy`` with no partitionBy collapsed the whole
+    manifest onto one partition): range-repartition + local sort on
+    the round-robin key (unique — doc_id breaks all ties, so range
+    boundaries cannot split a key), per-RANGE-partition row_number,
+    then each partition's global offset joins back as a broadcast
+    #partitions-row cumulative-count table. No single partition ever
+    holds the dataset; the offset table is partition-count-sized. The
+    ranked frame is persisted so the count branch and the output
+    branch see the SAME physical range boundaries (the bm25
+    match-set-reuse precedent). Manifest-sized output by
+    definition."""
     d = t(spark, sf_dir, "documents")
     w_src = W.partitionBy("source").orderBy("doc_id")
     pos = d.select(
@@ -339,12 +347,27 @@ def mix_round_robin_interleave(spark, sf_dir):
         "source",
         F.row_number().over(w_src).cast("long").alias("src_pos"),
     )
-    w_glob = W.orderBy("src_pos", "source", "doc_id")
-    return pos.select(
+    key = ["src_pos", "source", "doc_id"]
+    w_pid = W.partitionBy("pid").orderBy(*key)
+    ranked = (
+        pos.repartitionByRange(*key)
+        .withColumn("pid", F.spark_partition_id())
+        .withColumn("rn_in", F.row_number().over(w_pid).cast("long"))
+        .persist()
+    )
+    counts = ranked.groupBy("pid").agg(F.count("*").alias("cnt"))
+    w_off = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0))
+        .cast("long")
+        .alias("off"),
+    )
+    return ranked.join(F.broadcast(offsets), "pid").select(
         "doc_id",
         "source",
         "src_pos",
-        F.row_number().over(w_glob).cast("long").alias("global_pos"),
+        (F.col("off") + F.col("rn_in")).alias("global_pos"),
     )
 
 
