@@ -236,8 +236,9 @@ def agg_kll_quantile_sketch(spark, sf_dir):
     doubles).
 
     Construction (level sampling — the sampling view of a KLL
-    compactor chain: KLL's level-l compactor halves its buffer with a
-    coin, so an item survives to level l with probability 2^-l; here
+    compactor chain, Karnin, Lang & Liberty, FOCS 2016: KLL's level-l
+    compactor halves its buffer with a coin, so an item survives to
+    level l with probability 2^-l; here
     that survival event is made DETERMINISTIC by the engine's standard
     md5→52-bit-uniform recipe instead of a runtime coin, which is what
     lets two engines build the identical sketch and the gate hash it):
