@@ -327,3 +327,140 @@ def agg_kll_quantile_sketch(spark, sf_dir):
             "n_rows",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming quantile histogram (fixed-size windowed quantile state)
+# ---------------------------------------------------------------------------
+
+QH_BUCKETS = 48  # log2 centi buckets: covers any value < 2^47 centi
+
+
+@query(
+    "stream_quantile_hist_replay",
+    oracle="""
+    WITH base AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS w0,
+             CAST(ROUND(value * 100) AS BIGINT) AS centi
+      FROM events
+    ), b AS (
+      SELECT w0,
+             CASE WHEN centi <= 0 THEN 0
+                  ELSE length(bin(centi)) END AS bucket
+      FROM base
+    ), counts AS (
+      SELECT w0, bucket, COUNT(*) AS n_b FROM b GROUP BY 1, 2
+    ), tot AS (
+      SELECT w0, CAST(SUM(n_b) AS BIGINT) AS n FROM counts GROUP BY 1
+    ), cum AS (
+      SELECT w0, bucket,
+             SUM(n_b) OVER (PARTITION BY w0 ORDER BY bucket) AS cum
+      FROM counts
+    ), pick AS (
+      SELECT c.w0, d.q_decile, MIN(c.bucket) AS bucket_idx, MAX(t.n) AS n
+      FROM cum c
+      JOIN tot t USING (w0)
+      JOIN (VALUES (5), (9)) AS d(q_decile)
+        ON c.cum >= (d.q_decile * t.n + 9) // 10
+      GROUP BY 1, 2
+    )
+    SELECT strftime(w0, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(q_decile AS BIGINT) AS q_decile,
+           CAST(bucket_idx AS BIGINT) AS bucket_idx,
+           CAST(CASE WHEN bucket_idx = 0 THEN 0
+                ELSE 1::BIGINT << CAST(bucket_idx - 1 AS INT) END AS BIGINT)
+             AS bucket_lo_centi,
+           CAST(n AS BIGINT) AS n
+    FROM pick
+    """,
+)
+def stream_quantile_hist_replay(spark, sf_dir):
+    """Streaming QUANTILE state in fixed size — the windowed
+    counterpart of ``agg_kll_quantile_sketch`` and the quantile
+    sibling of ``stream_hll_distinct_replay``: per tumbling hour, a
+    {QH_BUCKETS}-bucket log2 histogram of centi-values lives IN the
+    streaming aggregation state as {QH_BUCKETS} conditional-sum
+    columns (bucket = binary digit length of the centi value — the
+    HLL rho idiom, no log), so window state is exactly
+    {QH_BUCKETS}+1 longs at ANY event volume or value magnitude and
+    micro-batch partials combine exactly (sum is the histogram
+    merge). p50/p90 come out of the replayed aggregate as integer
+    rank queries over the cumulative bucket counts — the batch
+    post-pass, the sanctioned ``stream_topk_per_window_replay``
+    shape (rank logic is unsupported inside a streaming agg).
+
+    The estimate is bucket-resolution by design (the answer names the
+    log2 bucket and its exact lower bound, not an interpolated
+    point) — the HDR-histogram trade: multiplicative error bounded by
+    2x per bucket step, state fixed, merge exact. The exact-rank and
+    fixed-k point tools live in-family (``ml_quantile_drift``,
+    ``agg_kll_quantile_sketch``).
+
+    Scale shape: ONE stateful windowed aggregation (state = open
+    windows x {QH_BUCKETS}+1 longs, watermark-bounded), no per-key
+    state, no chained stateful ops; the post-pass runs on the
+    bounded replayed aggregate (windows x occupied buckets)."""
+    from caliper_poc_data_etl_spark.streaming.events import (
+        read_event_stream,
+        replay_to_df,
+    )
+
+    events = read_event_stream(spark, sf_dir)
+    centi = F.round(F.col("value") * 100).cast("long")
+    bucket = F.when(centi <= 0, F.lit(0)).otherwise(
+        F.expr("cast(length(bin(cast(round(value * 100) as bigint))) as int)")
+    )
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .withColumn("bucket", bucket)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            *[
+                F.sum(F.when(F.col("bucket") == b, 1).otherwise(0))
+                .cast("long")
+                .alias(f"b{b}")
+                for b in range(QH_BUCKETS)
+            ],
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n",
+            *[f"b{b}" for b in range(QH_BUCKETS)],
+        )
+    )
+    hist = replay_to_df(agg, mode="complete")
+    stack_args = ", ".join(f"{b}, b{b}" for b in range(QH_BUCKETS))
+    melt = hist.select(
+        "window_start",
+        "n",
+        F.expr(f"stack({QH_BUCKETS}, {stack_args}) as (bucket, n_b)"),
+    ).filter(F.col("n_b") > 0)
+    w_cum = W.partitionBy("window_start").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = melt.withColumn("cum", F.sum("n_b").over(w_cum))
+    picked = (
+        cum.select(
+            "*", F.explode(F.array(F.lit(5), F.lit(9))).alias("q_decile")
+        )
+        .filter(
+            F.col("cum")
+            >= F.expr("(q_decile * n + 9) div 10")
+        )
+        .groupBy("window_start", "q_decile")
+        .agg(F.min("bucket").alias("bucket_idx"), F.max("n").alias("n"))
+    )
+    return picked.select(
+        "window_start",
+        F.col("q_decile").cast("long").alias("q_decile"),
+        F.col("bucket_idx").cast("long").alias("bucket_idx"),
+        F.when(F.col("bucket_idx") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.expr("shiftleft(1L, cast(bucket_idx - 1 as int))")
+        )
+        .alias("bucket_lo_centi"),
+        F.col("n").cast("long").alias("n"),
+    )

@@ -274,3 +274,78 @@ class TestStreamStaticEnrichReplay:
             sf_dir, "SELECT COUNT(*) FROM '{sf}/events.parquet'"
         )[0]
         assert total == n_events
+
+
+# ---------------------------------------------------------------------------
+# stream_quantile_hist_replay
+# ---------------------------------------------------------------------------
+
+
+class TestStreamQuantileHistReplay:
+    def test_python_replica(self, spark, sf_dir):
+        # Pure-Python replica: log2-centi histogram per tumbling hour,
+        # p50/p90 as integer rank queries over cumulative buckets.
+        rows = _fetch(
+            sf_dir, "SELECT ts, value FROM '{sf}/events.parquet'"
+        )
+        hists: dict = {}
+        for ts, value in rows:
+            w0 = ts.replace(minute=0, second=0, microsecond=0)
+            centi = int(math.floor(value * 100 + 0.5))
+            b = 0 if centi <= 0 else centi.bit_length()
+            hists.setdefault(w0, defaultdict(int))[b] += 1
+        want = {}
+        for w0, h in hists.items():
+            n = sum(h.values())
+            for q in (5, 9):
+                target = (q * n + 9) // 10
+                cum = 0
+                for b in sorted(h):
+                    cum += h[b]
+                    if cum >= target:
+                        lo = 0 if b == 0 else 1 << (b - 1)
+                        want[(w0.strftime("%Y-%m-%d %H:%M:%S"), q)] = (
+                            b,
+                            lo,
+                            n,
+                        )
+                        break
+        got = {
+            (r["window_start"], r["q_decile"]): (
+                r["bucket_idx"],
+                r["bucket_lo_centi"],
+                r["n"],
+            )
+            for r in QUERIES["stream_quantile_hist_replay"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == want
+        assert len(got) > 0
+
+    def test_bucket_bound_property(self, spark, sf_dir):
+        # The HDR trade the docstring claims: the true quantile value
+        # lies in [bucket_lo, 2*bucket_lo) for every picked bucket
+        # (multiplicative error bounded by the bucket step), and the
+        # picked bucket's cumulative mass reaches the rank target.
+        rows = _fetch(
+            sf_dir, "SELECT ts, value FROM '{sf}/events.parquet'"
+        )
+        by_w: dict = {}
+        for ts, value in rows:
+            w0 = ts.replace(minute=0, second=0, microsecond=0)
+            by_w.setdefault(w0.strftime("%Y-%m-%d %H:%M:%S"), []).append(
+                int(math.floor(value * 100 + 0.5))
+            )
+        out = (
+            QUERIES["stream_quantile_hist_replay"].spark(spark, sf_dir).collect()
+        )
+        for r in out:
+            vals = sorted(by_w[r["window_start"]])
+            n = len(vals)
+            assert r["n"] == n
+            target = (r["q_decile"] * n + 9) // 10
+            true_q = vals[target - 1]
+            lo = r["bucket_lo_centi"]
+            hi = 1 if lo == 0 else lo * 2
+            assert lo <= true_q < hi, (r, true_q)

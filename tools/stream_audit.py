@@ -45,6 +45,10 @@ EXPECT: dict[str, tuple[list[str], str | None, int]] = {
     # Windowed HLL: one stateful windowed agg (64 conditional-max
     # register columns in state), deliberately no chained stateful op.
     "stream_hll_distinct_replay": (["stateStoreSave"], "present", 1),
+    # Windowed quantile histogram: one stateful windowed agg (48
+    # conditional-sum bucket columns in state); the p50/p90 rank pick
+    # is a batch post-pass over the replayed aggregate.
+    "stream_quantile_hist_replay": (["stateStoreSave"], "present", 1),
     "stream_sliding_replay": (["stateStoreSave"], "present", 1),
     # Stream-static broadcast enrichment: the static dimension join is
     # stateless (re-read per micro-batch, broadcast); the only state
