@@ -513,10 +513,11 @@ _DEFERRED = [
 # slimmed to bare id pairs, demand #2), agg_hll_md5_parity +
 # stream_hll_distinct_replay (shared HLL estimator helper renamed;
 # rename-only but the window rule regrades on any transitively-used
-# helper change) — plus the round-10 additions (queries/round16.py:
+# helper change) — plus the FOUR round-10 additions (queries/round16.py:
 # stream_static_enrich_replay, scd2_dimension_history,
-# agg_kll_quantile_sketch — demands #3/#4/#5, one each). The
-# remaining 44 slots backfill from the HEAD of `_DEFERRED`, which
+# agg_kll_quantile_sketch — demands #3/#4/#5, one each — and
+# stream_quantile_hist_replay, the flagged-for-adjudication extra). The
+# remaining 43 slots backfill from the HEAD of `_DEFERRED`, which
 # rotates: entries re-graded as backfill move to the tail, so the
 # rolling re-certification sweeps oldest-first (this round: the last
 # two r01 entries, then the r02 block). `_NEXT` stays empty — every

@@ -35,7 +35,8 @@ _ENRICH_ORACLE = """
                     '%Y-%m-%d %H:%M:%S') AS window_start,
            n.n_name,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(e.value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_value
     FROM events e
     JOIN customer c ON c.c_custkey = e.user_id
     JOIN nation n ON n.n_nationkey = c.c_nationkey
@@ -59,7 +60,11 @@ def stream_static_enrich_replay(spark, sf_dir):
     windowed agg's trailing windows only emit in append mode once the
     watermark passes them, which a finite replay never does). The
     oracle is the equivalent batch join+agg — a replay over static
-    input must agree exactly. At 100 TB/day the shape is identical:
+    input must agree exactly. The value sum runs in DECIMAL(18,4) on
+    both sides (the ts_dow_hour_profile convention): a double SUM is
+    accumulation-order-dependent across micro-batches/partitions/
+    engines, and a 2-dp round of an order-dependent double can flip
+    at the boundary. At 100 TB/day the shape is identical:
     dimensions are broadcast-sized by definition, and per-nation
     window state is |nations| × |open windows|."""
     from caliper_poc_data_etl_spark.streaming import (
@@ -83,7 +88,9 @@ def stream_static_enrich_replay(spark, sf_dir):
         enriched.groupBy(F.window("ts", "1 hour").alias("w"), "n_name")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
         )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
@@ -346,7 +353,7 @@ QH_BUCKETS = 48  # log2 centi buckets: covers any value < 2^47 centi
     ), b AS (
       SELECT w0,
              CASE WHEN centi <= 0 THEN 0
-                  ELSE length(bin(centi)) END AS bucket
+                  ELSE LEAST(length(bin(centi)), 47) END AS bucket
       FROM base
     ), counts AS (
       SELECT w0, bucket, COUNT(*) AS n_b FROM b GROUP BY 1, 2
@@ -378,11 +385,11 @@ def stream_quantile_hist_replay(spark, sf_dir):
     """Streaming QUANTILE state in fixed size — the windowed
     counterpart of ``agg_kll_quantile_sketch`` and the quantile
     sibling of ``stream_hll_distinct_replay``: per tumbling hour, a
-    {QH_BUCKETS}-bucket log2 histogram of centi-values lives IN the
-    streaming aggregation state as {QH_BUCKETS} conditional-sum
-    columns (bucket = binary digit length of the centi value — the
-    HLL rho idiom, no log), so window state is exactly
-    {QH_BUCKETS}+1 longs at ANY event volume or value magnitude and
+    48-bucket log2 histogram of centi-values lives IN the
+    streaming aggregation state as 48 conditional-sum
+    columns (bucket = binary digit length of the centi value, clamped
+    to bucket 47 — the HLL rho idiom, no log), so window state is
+    exactly 49 longs at ANY event volume or value magnitude and
     micro-batch partials combine exactly (sum is the histogram
     merge). p50/p90 come out of the replayed aggregate as integer
     rank queries over the cumulative bucket counts — the batch
@@ -397,7 +404,7 @@ def stream_quantile_hist_replay(spark, sf_dir):
     ``agg_kll_quantile_sketch``).
 
     Scale shape: ONE stateful windowed aggregation (state = open
-    windows x {QH_BUCKETS}+1 longs, watermark-bounded), no per-key
+    windows x 49 longs, watermark-bounded), no per-key
     state, no chained stateful ops; the post-pass runs on the
     bounded replayed aggregate (windows x occupied buckets)."""
     from caliper_poc_data_etl_spark.streaming.events import (
@@ -407,8 +414,17 @@ def stream_quantile_hist_replay(spark, sf_dir):
 
     events = read_event_stream(spark, sf_dir)
     centi = F.round(F.col("value") * 100).cast("long")
+    # Clamp to the last bucket so a centi >= 2^(QH_BUCKETS-1) can never
+    # count in n yet land in no pivoted column (ADVICE r10): both sides
+    # cap at bucket QH_BUCKETS-1, so out-of-range values stay in lockstep.
     bucket = F.when(centi <= 0, F.lit(0)).otherwise(
-        F.expr("cast(length(bin(cast(round(value * 100) as bigint))) as int)")
+        F.least(
+            F.expr(
+                "cast(length(bin(cast(round(value * 100) as bigint)))"
+                " as int)"
+            ),
+            F.lit(QH_BUCKETS - 1),
+        )
     )
     agg = (
         events.withWatermark("ts", "2 hours")
