@@ -34,22 +34,57 @@ PF_JACC_MILLI = 500  # shingle-set Jaccard >= 0.5
 @query(
     "dedup_prefix_filter_jaccard",
     oracle=f"""
-    WITH sh AS (
+    -- Prefix-filtered oracle (same result set as all-pairs BY THE
+    -- PPJOIN THEOREM, not by luck: prefix filtering is lossless at
+    -- the threshold, and the exact-verify WHERE clause below is the
+    -- identical Jaccard predicate the all-pairs form applied — the
+    -- candidate set is a superset of the qualifying pairs, the
+    -- verify filter reduces it to exactly them. The earlier naive
+    -- a.doc_id < b.doc_id self-join was ~95% of the sf0.1 sweep cost
+    -- of this entry, VERDICT r10 #6; pytest still pins equality vs
+    -- the in-test naive all-pairs form).
+    WITH sh AS MATERIALIZED (
       SELECT doc_id,
              list_distinct(list_transform(range(1, len(w) - 1),
                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS ts
       FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
             FROM documents)
       WHERE len(w) >= 3
+    ),
+    tok AS MATERIALIZED (
+      SELECT doc_id, u.tk FROM sh, unnest(ts) AS u(tk)
+    ),
+    df AS MATERIALIZED (
+      SELECT tk, COUNT(*) AS df FROM tok GROUP BY tk
+    ),
+    ranked AS (
+      SELECT t.doc_id, t.tk,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY d.df, t.tk) AS rn,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS sz
+      FROM tok t JOIN df d USING (tk)
+    ),
+    pref AS MATERIALIZED (
+      -- rarest-first prefix: first |x| - ceil(t|x|) + 1 shingles
+      -- (t = 1/2: ceil(|x|/2) = (|x|+1) // 2)
+      SELECT doc_id, tk FROM ranked
+      WHERE rn <= sz - (sz + 1) // 2 + 1
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b
+        ON a.tk = b.tk AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST((len(list_intersect(a.ts, b.ts)) * 1000)
-                // (len(a.ts) + len(b.ts)
-                    - len(list_intersect(a.ts, b.ts))) AS BIGINT)
+    SELECT c.doc_a, c.doc_b,
+           CAST((len(list_intersect(sa.ts, sb.ts)) * 1000)
+                // (len(sa.ts) + len(sb.ts)
+                    - len(list_intersect(sa.ts, sb.ts))) AS BIGINT)
              AS jacc_milli
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-    WHERE (len(list_intersect(a.ts, b.ts)) * 1000)
-          // (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE (len(list_intersect(sa.ts, sb.ts)) * 1000)
+          // (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)))
           >= {PF_JACC_MILLI}
     """,
 )
