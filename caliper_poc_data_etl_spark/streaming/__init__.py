@@ -18,11 +18,13 @@ from caliper_poc_data_etl_spark.streaming.stateful import (  # noqa: F401
     user_profiles,
 )
 from caliper_poc_data_etl_spark.streaming.events import (  # noqa: F401
+    FLUSH_SENTINEL_CUTOFF,
     click_purchase_join,
     read_event_stream,
     replay_to_df,
     sessionized_values,
     sliding_totals,
+    stage_watermark_flush_source,
     stateful_dedup,
     stream_events_to_json,
     tumbling_counts,

@@ -162,9 +162,10 @@ def click_purchase_join(
     purchases: DataFrame,
     lookback: str = "30 minutes",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each purchase paired with the same
-    user's clicks in the preceding ``lookback`` interval.
+    """Stream-stream join: each purchase paired with the same user's
+    clicks in the preceding ``lookback`` interval.
 
     Both sides carry a watermark and the join predicate bounds click
     time against purchase time from BOTH directions — the contract
@@ -172,6 +173,13 @@ def click_purchase_join(
     can be dropped once the purchase-side watermark passes
     click_ts + lookback. Without the time bound, state grows forever.
     Works identically on batch frames (oracle path).
+
+    ``how="leftOuter"`` is the production conversion-funnel shape: a
+    purchase with NO preceding click emits with null click columns —
+    but only once the watermark passes the point where a matching
+    click could still arrive (state eviction), which is why a finite
+    replay needs :func:`stage_watermark_flush_source` to flush the
+    trailing rows.
     """
     c = clicks.select(
         F.col("event_id").alias("click_event_id"),
@@ -189,13 +197,83 @@ def click_purchase_join(
         & (c["click_ts"] >= p["purchase_ts"] - F.expr(f"INTERVAL {lookback}"))
     )
     fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, how).select(
         "event_id",
         "user_id",
         F.date_format("purchase_ts", fmt).alias("purchase_ts"),
         "click_event_id",
         F.date_format("click_ts", fmt).alias("click_ts"),
     )
+
+
+# Staged flush-source directories, one per (sf_dir): building the
+# sentinel file costs a Spark write, so repeated invocations (bench
+# trials, oracle re-checks) reuse the staged copy for session life.
+_FLUSH_STAGE_CACHE: dict[str, str] = {}
+
+# Far beyond any driver-generated event time (testdata spans 2024) yet
+# filterable: output rows carry formatted purchase_ts strings, and the
+# 'yyyy-MM-dd ...' format compares chronologically as text.
+FLUSH_SENTINEL_TS = "2100-01-01 00:00:00"
+FLUSH_SENTINEL_CUTOFF = "2099-01-01"
+
+
+def stage_watermark_flush_source(spark: SparkSession, sf_dir: str) -> str:
+    """Stage a copy of the events source whose replay FLUSHES all
+    watermark-gated state: a temp directory holding (a) a symlink to
+    the real ``events.parquet`` and (b) a 2-row sentinel file (one
+    'click' + one 'purchase', both at :data:`FLUSH_SENTINEL_TS`,
+    event_id/user_id = -1).
+
+    Why: watermark = max observed event time − delay, so a finite
+    replay's final watermark sits ``delay`` BEHIND the last real
+    event — outer-join null rows, append-mode trailing windows, and
+    any other eviction-emitted output inside that gap never appear.
+    The sentinel pushes the final watermark past every real event
+    (Spark runs the trailing no-data micro-batches that apply it —
+    observed and pinned in tests), so a replay over the staged source
+    equals the batch computation exactly. One sentinel per side of a
+    two-sided filter split ('click'/'purchase') keeps BOTH per-stream
+    watermarks advancing — the global watermark is their MIN.
+
+    Callers exclude sentinel-derived output rows by timestamp
+    (``< FLUSH_SENTINEL_CUTOFF``); sentinel join rows cannot touch
+    real rows because the time-bound predicate spans minutes, not the
+    ~76-year gap. The production analog is the Kafka heartbeat/flush
+    marker pattern — idle partitions hold back the watermark unless a
+    producer emits periodic markers."""
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    key = os.path.abspath(sf_dir)
+    cached = _FLUSH_STAGE_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    from caliper_poc_data_etl_spark.sources.readers import apply_fixture_confs
+
+    apply_fixture_confs(spark)
+    raw = spark.read.parquet(f"{key}/events.parquet")
+    stage = tempfile.mkdtemp(prefix="wm_flush_")
+    os.symlink(f"{key}/events.parquet", f"{stage}/events.parquet")
+    sent = raw.limit(1).select(
+        F.lit(-1).cast(raw.schema["event_id"].dataType).alias("event_id"),
+        F.lit(FLUSH_SENTINEL_TS).cast(raw.schema["ts"].dataType).alias("ts"),
+        F.lit(-1).cast(raw.schema["user_id"].dataType).alias("user_id"),
+        F.explode(F.array(F.lit("click"), F.lit("purchase"))).alias(
+            "event_type"
+        ),
+        F.lit(0.0).cast(raw.schema["value"].dataType).alias("value"),
+        F.lit(None).cast(raw.schema["props"].dataType).alias("props"),
+    )
+    tmp_out = f"{stage}/_sentinel_tmp"
+    sent.coalesce(1).write.parquet(tmp_out)
+    part = globmod.glob(f"{tmp_out}/part-*.parquet")[0]
+    shutil.move(part, f"{stage}/zz_sentinel.parquet")
+    shutil.rmtree(tmp_out)
+    _FLUSH_STAGE_CACHE[key] = stage
+    return stage
 
 
 def replay_to_df(

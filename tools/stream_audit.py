@@ -36,11 +36,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # query -> (expected state operator names, watermark expectation,
-#           input multiplicity vs the events table)
+#           input multiplicity vs the events table
+#           [, extra staged rows per source — flush sentinels])
 # watermark expectation: "advanced" (must move past epoch),
 # "present" (column exists; epoch ok on a single-batch complete
 # replay), None (no event-time watermark in the plan).
-EXPECT: dict[str, tuple[list[str], str | None, int]] = {
+EXPECT: dict[str, tuple] = {
     "stream_tumbling_replay": (["stateStoreSave"], "present", 1),
     # Windowed HLL: one stateful windowed agg (64 conditional-max
     # register columns in state), deliberately no chained stateful op.
@@ -57,6 +58,10 @@ EXPECT: dict[str, tuple[list[str], str | None, int]] = {
     "stream_session_replay": (["sessionWindowStateStoreSaveExec"], "present", 1),
     "stream_topk_per_window_replay": (["stateStoreSave"], "present", 1),
     "stream_join_replay": (["symmetricHashJoin"], "advanced", 2),
+    # Left-outer stream-stream join over the sentinel-staged source:
+    # each of the two sources reads events + the 2-row flush sentinel,
+    # so expected input = (base + 2) × 2 (the 4th tuple slot).
+    "stream_outer_join_replay": (["symmetricHashJoin"], "advanced", 2, 2),
     "stream_dedup_within_watermark": (["dedupeWithinWatermark"], "advanced", 2),
     "stream_distinct_users_replay": (["dedupe"], "advanced", 1),
     "stream_stateful_profile_replay": (["applyInPandasWithState"], None, 1),
@@ -90,7 +95,11 @@ def audit_one(
     EXPECT entry needs a revisit — flag it rather than silently summing
     across replays against a single multiplicity."""
     notes: list[str] = []
-    exp_ops, exp_wm, mult = EXPECT[name]
+    exp = EXPECT[name]
+    # Optional 4th slot: extra staged rows PER SOURCE beyond the events
+    # table (the watermark-flush sentinel file).
+    exp_ops, exp_wm, mult = exp[0], exp[1], exp[2]
+    extra = exp[3] if len(exp) > 3 else 0
     if not replays:
         return ["no progress recorded (replay did not run?)"]
     if len(replays) != 1:
@@ -117,9 +126,9 @@ def audit_one(
     elif exp_wm is None and wm not in (None, _EPOCH):
         notes.append(f"unexpected watermark {wm}")
     n_in = sum(int(p.get("numInputRows", 0)) for p in progs)
-    if n_in != base_rows * mult:
+    if n_in != (base_rows + extra) * mult:
         notes.append(
-            f"input rows {n_in} != staged {base_rows} x {mult} "
+            f"input rows {n_in} != staged ({base_rows}+{extra}) x {mult} "
             "(availableNow did not drain everything)"
         )
     if len(progs) >= _PROGRESS_RETENTION:
