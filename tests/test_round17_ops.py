@@ -121,3 +121,110 @@ class TestStreamOuterJoin:
         assert len(rows) == 2
         assert {r["event_type"] for r in rows} == {"click", "purchase"}
         assert all(r["event_id"] == -1 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# curation_repeated_span_dedup
+# ---------------------------------------------------------------------------
+
+
+def _corpus_tokens(sf_dir: str) -> dict[int, list[str]]:
+    con = duckdb.connect()
+    return {
+        doc_id: text.split(" ")
+        for doc_id, text in con.execute(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    }
+
+
+def _replica_spans(corpus: dict[int, list[str]], k: int):
+    """Pure-Python anchor extend-and-merge: maximal duplicated spans."""
+    from collections import Counter, defaultdict
+
+    counts = Counter()
+    for toks in corpus.values():
+        for i in range(len(toks) - k + 1):
+            counts[" ".join(toks[i : i + k])] += 1
+    spans = defaultdict(list)
+    for doc_id, toks in corpus.items():
+        flagged = set()
+        for i in range(len(toks) - k + 1):
+            if counts[" ".join(toks[i : i + k])] > 1:
+                flagged.update(range(i, i + k))
+        run = None
+        for j in sorted(flagged):
+            if run is None or j > run[1] + 1:
+                if run:
+                    spans[doc_id].append(tuple(run))
+                run = [j, j]
+            else:
+                run[1] = j
+        if run:
+            spans[doc_id].append(tuple(run))
+    return spans
+
+
+class TestRepeatedSpanDedup:
+    def test_python_replica(self, spark, sf_dir):
+        from caliper_poc_data_etl_spark.queries.round11 import SPAN_K
+
+        corpus = _corpus_tokens(sf_dir)
+        want = _replica_spans(corpus, SPAN_K)
+        got = {}
+        rows = (
+            QUERIES["curation_repeated_span_dedup"]
+            .spark(spark, sf_dir)
+            .collect()
+        )
+        for r in rows:
+            got.setdefault(r["doc_id"], []).append(
+                (r["start_pos"], r["end_pos"])
+            )
+            # span invariants: contiguous coverage, text matches slice
+            assert r["span_words"] == r["end_pos"] - r["start_pos"] + 1
+            assert r["span_text"] == " ".join(
+                corpus[r["doc_id"]][r["start_pos"] : r["end_pos"] + 1]
+            )
+        assert {k: sorted(v) for k, v in got.items()} == dict(want)
+
+    def test_removing_flagged_spans_kills_all_kgram_duplicates(
+        self, spark, sf_dir
+    ):
+        """The demanded property: strip every flagged span from every
+        document, re-form k-grams within the surviving CONTIGUOUS
+        segments (removal cuts must not invent bridging grams), and no
+        gram occurs twice anywhere in the corpus."""
+        from collections import Counter
+
+        from caliper_poc_data_etl_spark.queries.round11 import SPAN_K
+
+        corpus = _corpus_tokens(sf_dir)
+        flagged: dict[int, set[int]] = {d: set() for d in corpus}
+        for r in (
+            QUERIES["curation_repeated_span_dedup"]
+            .spark(spark, sf_dir)
+            .collect()
+        ):
+            flagged[r["doc_id"]].update(
+                range(r["start_pos"], r["end_pos"] + 1)
+            )
+        counts = Counter()
+        for doc_id, toks in corpus.items():
+            cut = flagged[doc_id]
+            seg: list[str] = []
+            segments = []
+            for j, w in enumerate(toks):
+                if j in cut:
+                    if seg:
+                        segments.append(seg)
+                    seg = []
+                else:
+                    seg.append(w)
+            if seg:
+                segments.append(seg)
+            for s in segments:
+                for i in range(len(s) - SPAN_K + 1):
+                    counts[" ".join(s[i : i + SPAN_K])] += 1
+        dups = {g: c for g, c in counts.items() if c > 1}
+        assert not dups, f"{len(dups)} duplicated grams survive"
