@@ -348,11 +348,24 @@ def main() -> int:
         nonstall = [w for w in walls if w <= 5 * min(walls)]
         return round(statistics.median(nonstall), 3)
 
+    # VERDICT r10 #1: the four queries BENCH_r10 graded perf-suspect
+    # (3-6x regressions the controlled re-runs could not reproduce —
+    # host stalls, per NOTES_r10 adjudication) run extra trials so the
+    # committed artifact's median resists a stall trial and the
+    # min/trimmed spread tells the story inside the artifact itself.
+    PERF_SUSPECT = {
+        "text_winnowing_fingerprint",
+        "join_pit_feature_store",
+        "er_phonetic_cluster_cc",
+        "join_interval_overlap",
+    }
+    trials_suspect = max(trials_h, 9)
+
     timings_trimmed: dict[str, float] = {}
     for name in names:
         walls: list[float] = []
         n = 0
-        for _ in range(trials_h):
+        for _ in range(trials_suspect if name in PERF_SUSPECT else trials_h):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             n = df.count()
@@ -489,6 +502,7 @@ def main() -> int:
                 # trials than the headline loop — the trial_times
                 # arrays are the ground truth)
                 "trials": trials_h,
+                "trials_perf_suspect": trials_suspect,
                 "trials_caliper_100k": trials_100k,
                 "trials_caliper_1m": trials_1m,
                 "trials_caliper_1m_grouped": trials_1m_grouped,

@@ -77,56 +77,9 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
 # (new operators register at the front in module order).
 # ---------------------------------------------------------------------------
 _DEFERRED = [
-    # green in r01, implementation unchanged since (the r01 entries
-    # that backfilled the r08 and r09 windows were re-graded GREEN
-    # there and rotate to the TAIL below — deferral backfill is a
-    # rolling re-certification, oldest un-re-checked first):
-    "fn_array_pack",
-    "fn_map_pack",
-    # green (or rows-only-by-design) in r02, implementation unchanged since.
-    # NOT deferred from the r02 window: window_sessionize (oracle cast
-    # fixed → regrade) and stream_dedup_within_watermark (reformulated
-    # deterministic + oracle-twinned → regrade).
-    "join_asof",
-    "setop_except",
-    "window_lag_lead",
-    "window_running_sum",
-    "window_moving_avg",
-    "window_range_frame",
-    "fn_json_pack",
-    "fn_conditional_pack",
-    "dedup_exact",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "sim_cosine_topk",
-    "sim_ann_lsh",
-    "sim_ivf_topk",
-    "sim_label_centroid_stats",
-    "text_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_token_count",
-    "ts_tumbling_window",
-    "ts_sliding_window",
-    "ts_session_window",
-    "ts_first_last_by_time",
-    "stream_tumbling_replay",
-    "stream_sliding_replay",
-    "stream_session_replay",
-    "stream_join_replay",
-    "mm_payload_stats",
-    "mm_frame_sample",
-    "mm_pixel_features",
-    "udf_vector_norm",
-    "scan_csv_policy",
-    "scan_json_source",
-    "scan_orc_source",
-    "scan_csv_malformed_policy",
-    "text_pii_redact",
-    "text_repetition_stats",
-    "sample_hash_split",
-    "sample_stratified_lang",
-    "mix_weighted_sources",
+    # green in r02 (re-certified r10 backfill entries rotated to the
+    # TAIL below — deferral backfill is a rolling re-certification,
+    # oldest un-re-checked first). The r11 backfill starts HERE:
     "chunk_documents",
     "pack_sequences",
     "decontam_ngram_overlap",
@@ -341,11 +294,13 @@ _DEFERRED = [
     "join_lateral_topk",
     "sim_ivfpq_recall_vs_exact",
     # green in r07 (CORRECTNESS_r07 50/50), implementation unchanged
-    # since:
+    # since. NOT deferred from the r07 block:
+    # text_winnowing_fingerprint (selection re-planned in r11 —
+    # packed-key scalar window min + lag dedup + pre-explode shuffle,
+    # VERDICT r10 #2 → regrade at the front).
     "sample_stratified_fixed_n",
     "ts_xcorr_lag_scan",
     "ml_mrr_eval",
-    "text_winnowing_fingerprint",
     "curation_chunk_dedup_rewrite",
     "dedup_url_canonical",
     "q12_late_line_priority",
@@ -507,22 +462,77 @@ _DEFERRED = [
     "embed_jl_projection_parity",
     "training_length_bucket_batches",
     "ml_group_kfold_assign",
+    # re-graded GREEN in r10 as deferral backfill (the r01/r02 block);
+    # rotated to the tail behind the r09 backfill block. NOT rotated:
+    # stream_join_replay (click_purchase_join grew the how= param for
+    # the r11 outer join — transitively-used-helper rule → regrade at
+    # the front).
+    "fn_array_pack",
+    "fn_map_pack",
+    "join_asof",
+    "setop_except",
+    "window_lag_lead",
+    "window_running_sum",
+    "window_moving_avg",
+    "window_range_frame",
+    "fn_json_pack",
+    "fn_conditional_pack",
+    "dedup_exact",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "sim_cosine_topk",
+    "sim_ann_lsh",
+    "sim_ivf_topk",
+    "sim_label_centroid_stats",
+    "text_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_token_count",
+    "ts_tumbling_window",
+    "ts_sliding_window",
+    "ts_session_window",
+    "ts_first_last_by_time",
+    "stream_tumbling_replay",
+    "stream_sliding_replay",
+    "stream_session_replay",
+    "mm_payload_stats",
+    "mm_frame_sample",
+    "mm_pixel_features",
+    "udf_vector_norm",
+    "scan_csv_policy",
+    "scan_json_source",
+    "scan_orc_source",
+    "scan_csv_malformed_policy",
+    "text_pii_redact",
+    "text_repetition_stats",
+    "sample_hash_split",
+    "sample_stratified_lang",
+    "mix_weighted_sources",
+    # green in r10 at the window FRONT (new ops / regrades there),
+    # implementation unchanged since → deferred:
+    "agg_hll_md5_parity",
+    "mix_round_robin_interleave",
+    "stream_hll_distinct_replay",
+    "scd2_dimension_history",
+    "agg_kll_quantile_sketch",
 ]
 
-# Round-10 graded window (VERDICT r9 demands #2-#6): the front holds
-# the three regrades — dedup_prefix_filter_jaccard (candidate join
-# slimmed to bare id pairs, demand #2), agg_hll_md5_parity +
-# stream_hll_distinct_replay (shared HLL estimator helper renamed;
-# rename-only but the window rule regrades on any transitively-used
-# helper change) — plus the FOUR round-10 additions (queries/round16.py:
-# stream_static_enrich_replay, scd2_dimension_history,
-# agg_kll_quantile_sketch — demands #3/#4/#5, one each — and
-# stream_quantile_hist_replay, the flagged-for-adjudication extra). The
-# remaining 43 slots backfill from the HEAD of `_DEFERRED`, which
-# rotates: entries re-graded as backfill move to the tail, so the
-# rolling re-certification sweeps oldest-first (this round: the last
-# two r01 entries, then the r02 block). `_NEXT` stays empty — every
-# declared query carries a driver-graded row since r08.
+# Round-11 graded window (VERDICT r10 demands): the front holds the
+# five regrades — text_winnowing_fingerprint (selection re-planned:
+# packed-key scalar window min + lag dedup + pre-explode shuffle,
+# demand #2), dedup_prefix_filter_jaccard (oracle rewritten to the
+# materialized PPJoin-filtered form, demand #6),
+# stream_static_enrich_replay (DECIMAL(18,4) sum, ADVICE r10) +
+# stream_quantile_hist_replay (bucket clamp, ADVICE r10), and
+# stream_join_replay (click_purchase_join grew how= — transitively-
+# used-helper rule) — plus the round-11 additions (queries/round17.py:
+# stream_outer_join_replay, demand #3, and curation_repeated_span_dedup,
+# demand #5). The remaining 43 slots backfill from the HEAD of
+# `_DEFERRED`, which rotates: entries re-graded as backfill move to
+# the tail, so the rolling re-certification sweeps oldest-first (this
+# round: the rest of the r02 block, then the r03 block head). `_NEXT`
+# stays empty — every declared query carries a driver-graded row
+# since r08.
 _NEXT: list[str] = []
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]
