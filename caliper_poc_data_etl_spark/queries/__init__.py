@@ -342,7 +342,9 @@ _DEFERRED = [
     "ml_ndcg_eval",
     "ts_m4_downsample",
     "dq_ab_srm_check",
-    "join_interval_overlap",
+    # join_interval_overlap re-planned in r11 (canonical-bucket emit
+    # replaces the 2.4M-row distinct, VERDICT r10 perf-suspect set)
+    # → regrade at the front.
     "ml_lift_gain_deciles",
     "scan_gzip_nonsplittable",
     "ml_f1_threshold_pick",
@@ -360,7 +362,9 @@ _DEFERRED = [
     "dedup_simhash_md5_parity",
     "dedup_simhash",
     "dedup_ngram_containment",
-    "dedup_minhash_jaccard_estimate",
+    # dedup_minhash_jaccard_estimate oracle re-sourced in r11 (shingle
+    # equi-join candidates instead of the all-pairs list_intersect
+    # self-join — the prefix-filter oracle fix's sibling) → regrade.
     "dedup_cluster_cc",
     "graph_hits_scores",
     "text_ngram_novelty",
@@ -525,9 +529,12 @@ _DEFERRED = [
 # stream_static_enrich_replay (DECIMAL(18,4) sum, ADVICE r10) +
 # stream_quantile_hist_replay (bucket clamp, ADVICE r10), and
 # stream_join_replay (click_purchase_join grew how= — transitively-
-# used-helper rule) — plus the round-11 additions (queries/round17.py:
-# stream_outer_join_replay, demand #3, and curation_repeated_span_dedup,
-# demand #5). The remaining 43 slots backfill from the HEAD of
+# used-helper rule), join_interval_overlap (canonical-bucket emit
+# replaces the distinct) + dedup_minhash_jaccard_estimate (oracle
+# re-sourced to equi-join candidates) — plus the round-11 additions
+# (queries/round17.py: stream_outer_join_replay, demand #3, and
+# curation_repeated_span_dedup, demand #5). The remaining 41 slots
+# backfill from the HEAD of
 # `_DEFERRED`, which rotates: entries re-graded as backfill move to
 # the tail, so the rolling re-certification sweeps oldest-first (this
 # round: the rest of the r02 block, then the r03 block head). `_NEXT`

@@ -845,15 +845,27 @@ def _minhash_est_oracle() -> str:
       FROM sh
     ),
     sigs AS (SELECT doc_id, [{perms}] AS sig FROM h),
-    ex AS (
+    -- Pair source = the shingle equi-join (cost: Σ per-shingle df²),
+    -- the SAME mechanism the Spark side uses — identical result set,
+    -- because a pair with zero shared shingles has J = 0 < 0.5. The
+    -- earlier all-pairs a.doc_id < b.doc_id self-join with per-pair
+    -- list_intersect was ~95% of this entry's sweep cost (the
+    -- dedup_prefix_filter_jaccard oracle fix's sibling, VERDICT r10 #6).
+    tok AS MATERIALIZED (
+      SELECT doc_id, len(shset) AS n, u.s AS shingle
+      FROM sh, unnest(shset) AS u(s)
+    ),
+    inter AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             len(list_intersect(a.shset, b.shset)) * 1.0 /
-               (len(a.shset) + len(b.shset)
-                - len(list_intersect(a.shset, b.shset))) AS exact_j
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shset, b.shset)) * 1.0 /
-              (len(a.shset) + len(b.shset)
-               - len(list_intersect(a.shset, b.shset))) >= 0.5
+             MAX(a.n) AS n_a, MAX(b.n) AS n_b, COUNT(*) AS i
+      FROM tok a JOIN tok b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT doc_a, doc_b, i * 1.0 / (n_a + n_b - i) AS exact_j
+      FROM inter
+      WHERE i * 1.0 / (n_a + n_b - i) >= 0.5
     )
     SELECT ex.doc_a, ex.doc_b, ROUND(ex.exact_j, 4) AS exact_j,
            ROUND(len(list_filter(range(1, {MINHASH_K} + 1),

@@ -111,6 +111,10 @@ def tile_tables(spark, base: str, out: str, k: int) -> None:
 
 def main() -> int:
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    json_path = None
+    if "--json" in sys.argv:
+        json_path = sys.argv[sys.argv.index("--json") + 1]
+        only = [a for a in only if a != json_path]
     from caliper_poc_data_etl_spark.queries import QUERIES
     from caliper_poc_data_etl_spark.session import get_spark
 
@@ -157,6 +161,28 @@ def main() -> int:
     # (a quadratic op would land at ~K*K = 100x).
     bad = {n: r for n, (s, t, r, _) in results.items() if r > 3 * K}
     shutil.rmtree(out, ignore_errors=True)
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump(
+                {
+                    "k": K,
+                    "base_sf_dir": BASE_SF_DIR,
+                    "queries": {
+                        n: {
+                            "base_sec": round(s, 3),
+                            "tiled_sec": round(t, 3),
+                            "ratio": round(r, 2),
+                            "tiled_rows": rows,
+                        }
+                        for n, (s, t, r, rows) in results.items()
+                    },
+                    "superlinear": sorted(bad),
+                },
+                f,
+                indent=1,
+            )
     if bad:
         print(f"SUPERLINEAR at {K}x: {bad}")
         return 1
