@@ -327,7 +327,8 @@ _DEFERRED = [
     "scan_jsonl_nested",
     "graph_random_walk_deterministic",
     "ts_event_pattern_detect",
-    "text_bpe_train_merges",
+    # text_bpe_train_merges re-planned in r11 (arrays_zip pairs +
+    # pre-loop repartition; 457 s → ~14 s at sf0.1) → regrade.
     "agg_skyline_pareto",
     "sim_mmr_select",
     "text_collocation_pmi",
@@ -530,8 +531,9 @@ _DEFERRED = [
 # stream_quantile_hist_replay (bucket clamp, ADVICE r10), and
 # stream_join_replay (click_purchase_join grew how= — transitively-
 # used-helper rule), join_interval_overlap (canonical-bucket emit
-# replaces the distinct) + dedup_minhash_jaccard_estimate (oracle
-# re-sourced to equi-join candidates) — plus the round-11 additions
+# replaces the distinct), dedup_minhash_jaccard_estimate (oracle
+# re-sourced to equi-join candidates) + text_bpe_train_merges
+# (arrays_zip pairs + pre-loop repartition) — plus the round-11 additions
 # (queries/round17.py: stream_outer_join_replay, demand #3, and
 # curation_repeated_span_dedup, demand #5). The remaining 41 slots
 # backfill from the HEAD of

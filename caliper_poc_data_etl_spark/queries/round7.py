@@ -2375,34 +2375,55 @@ def text_bpe_train_merges(spark, sf_dir):
     per-row column replace, zero shuffle; localCheckpoint truncates
     the growing lineage. Overlapping-pair counting and left-to-right
     non-overlapping replace are the declared semantics, identical in
-    both engines."""
+    both engines.
+
+    The corpus is REPARTITIONED once before the loop (explicit
+    numPartitions from shuffle.partitions): the driver fixture is one
+    small parquet file and localCheckpoint PRESERVES its single
+    partition, so every round's symbol split, pair explode, and merge
+    replace otherwise run on ONE task for the whole training loop —
+    the winnowing pre-explode lesson (round7 r11); measured ~267 s →
+    ~13 s at sf0.1. One 5000-row shuffle buys 3 rounds × full-corpus
+    parallelism; at 100 TB the input arrives multi-split and the
+    repartition is a no-op by cost."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     d = t(spark, sf_dir, "documents")
     w = F.regexp_replace(
         F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", "|"),
         "^\\||\\|$",
         "",
     )
-    docs = d.select(
-        "doc_id",
-        F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 ")).alias("s"),
-    ).filter(F.trim("s") != "").localCheckpoint(eager=True)
+    docs = (
+        d.select(
+            "doc_id",
+            F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 ")).alias("s"),
+        )
+        .filter(F.trim("s") != "")
+        .repartition(n_part, "doc_id")
+        .localCheckpoint(eager=True)
+    )
     merges = None
     for r in range(1, BPE_TRAIN_ROUNDS + 1):
         sy = F.split(F.trim(F.col("s")), " ")
-        pairs = docs.select(
-            F.explode(
-                F.filter(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(sy) - 1),
-                        lambda i: F.struct(
-                            F.element_at(sy, i).alias("a"),
-                            F.element_at(sy, i + 1).alias("b"),
-                        ),
-                    ),
-                    lambda p: (p["a"] != "|") & (p["b"] != "|"),
-                )
-            ).alias("p")
-        ).select("p.a", "p.b")
+        n_sy = F.size(sy)
+        # Adjacent pairs as arrays_zip of two shifted slices — plain
+        # (lambda-free) expressions. The earlier transform+filter
+        # higher-order chain produced a pathological one-time codegen
+        # compile inside the round-1 broadcast (measured 214 s of the
+        # query's 457 s wall at sf0.1; the whole loop is ~13 s in this
+        # form) and interpreted ~6× slower per pair even warm.
+        pairs = (
+            docs.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(sy, 1, n_sy - 1).alias("a"),
+                        F.slice(sy, 2, n_sy - 1).alias("b"),
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
+            .filter((F.col("a") != "|") & (F.col("b") != "|"))
+        )
         top = (
             pairs.groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("n"))
