@@ -276,7 +276,8 @@ _DEFERRED = [
     "ts_trend_mann_kendall",
     "ts_peak_detection",
     "agg_weighted_median",
-    "decontam_bloom_ngram",
+    # decontam_bloom_ngram re-planned in r11 (pre-explode doc_id
+    # repartition — the winnowing lesson; 4.0 s → 1.3 s) → regrade.
     "window_hampel_outliers",
     "curation_funnel_report",
     "agg_log2_histogram",
@@ -532,8 +533,9 @@ _DEFERRED = [
 # stream_join_replay (click_purchase_join grew how= — transitively-
 # used-helper rule), join_interval_overlap (canonical-bucket emit
 # replaces the distinct), dedup_minhash_jaccard_estimate (oracle
-# re-sourced to equi-join candidates) + text_bpe_train_merges
-# (arrays_zip pairs + pre-loop repartition) — plus the round-11 additions
+# re-sourced to equi-join candidates), text_bpe_train_merges
+# (arrays_zip pairs + pre-loop repartition) + decontam_bloom_ngram
+# (pre-explode repartition) — plus the round-11 additions
 # (queries/round17.py: stream_outer_join_replay, demand #3, and
 # curation_repeated_span_dedup, demand #5). The remaining 41 slots
 # backfill from the HEAD of

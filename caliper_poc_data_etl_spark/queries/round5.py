@@ -134,7 +134,10 @@ def text_bpe_tokenize(spark, sf_dir):
     Cross-engine determinism: literal-string replaces with identical
     left-to-right non-overlapping semantics in both engines, so even
     the documented >15-repeated-pair degradation case agrees
-    byte-for-byte."""
+    byte-for-byte. (A ``_spread`` repartition was measured here in
+    r11 and reverted: the per-trial floor is the deep replace-chain
+    expression analysis, not task parallelism — the shuffle bought
+    nothing.)"""
     d = t(spark, sf_dir, "documents")
     vmap = F.create_map(
         *[x for sym, sid in BPE_VOCAB.items() for x in (F.lit(sym), F.lit(sid))]

@@ -2558,8 +2558,15 @@ def decontam_bloom_ngram(spark, sf_dir):
     map-side and aggregate per (doc, shingle) verdict without the
     corpus ever shuffling by shingle. At 100 TB this is the only
     decontamination shape that works — the reason GPT-3's paper
-    describes exactly this filter."""
-    d = t(spark, sf_dir, "documents")
+    describes exactly this filter.
+
+    The corpus repartitions by doc_id BEFORE the shingle explode
+    (the winnowing/BPE-trainer r11 lesson): the driver fixture is one
+    small parquet file, so the explode and its 7 md5 probes per
+    shingle otherwise run on ONE task; the explode is the
+    row-expander, so parallelism is decided on post-explode volume."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = t(spark, sf_dir, "documents").repartition(n_part, "doc_id")
     tk = F.filter(F.split(F.lower("text"), "[^a-z]+"), lambda x: x != "")
     toks = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= _DBL_N)
     sh = toks.select(

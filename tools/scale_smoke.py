@@ -20,7 +20,17 @@ Caveat for dedup operators: tiling makes every document K×-duplicated
 (tile copies are textually identical), so near-dup OUTPUT grows ~K²
 (measured: dedup_minhash_lsh 2,506 → 250,600 pairs at K=10 — exactly
 100×) and wall-clock follows the output, not the input. Compare their
-time ratio against the printed row count, not against K.
+time ratio against the printed row count, not against K — OR set
+``SPARK_GRAFT_SCALE_SALT_TEXT=1``, which suffixes every whitespace
+token of tile i's documents.text with ``_t{i}``: shingles become
+tile-unique, cross-tile similarity drops to zero, and the dedup
+workload scales the way a corpus of NEW content does (per-tile
+structure identical to base, Σ df² grows ×K, output grows ×K). The
+text salt is the dedup analog of the key offsets: both keep
+SELECTIVITY constant while volume grows. (Date-keyed collision ops —
+the interval join — have no such knob: packing K× intervals into the
+same fixed year genuinely multiplies collisions, so their time is
+graded against output growth, not K.)
 
 Usage:
     python tools/scale_smoke.py            # K=10, headline subset
@@ -41,6 +51,7 @@ from pyspark.sql import functions as F
 
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 K = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
+SALT_TEXT = os.environ.get("SPARK_GRAFT_SCALE_SALT_TEXT", "") == "1"
 
 # Key columns to offset per tile, per table (fact tables only).
 TILE_KEYS = {
@@ -97,6 +108,11 @@ def tile_tables(spark, base: str, out: str, k: int) -> None:
             t = src
             for c in keys:
                 t = t.withColumn(c, F.col(c) + F.lit(i * strides[c]))
+            if SALT_TEXT and name == "documents" and i > 0:
+                t = t.withColumn(
+                    "text",
+                    F.regexp_replace("text", r"(\S+)", f"$1_t{i}"),
+                )
             tiles.append(t)
         tiled = tiles[0]
         for t in tiles[1:]:
