@@ -536,9 +536,10 @@ _DEFERRED = [
 # re-sourced to equi-join candidates), text_bpe_train_merges
 # (arrays_zip pairs + pre-loop repartition) + decontam_bloom_ngram
 # (pre-explode repartition) — plus the round-11 additions
-# (queries/round17.py: stream_outer_join_replay, demand #3, and
-# curation_repeated_span_dedup, demand #5). The remaining 41 slots
-# backfill from the HEAD of
+# (queries/round17.py: stream_outer_join_replay, demand #3,
+# curation_repeated_span_dedup, demand #5, and
+# stream_full_outer_join_replay, the join-family completion). The
+# remaining 38 slots backfill from the HEAD of
 # `_DEFERRED`, which rotates: entries re-graded as backfill move to
 # the tail, so the rolling re-certification sweeps oldest-first (this
 # round: the rest of the r02 block, then the r03 block head). `_NEXT`

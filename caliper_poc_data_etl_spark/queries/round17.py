@@ -88,6 +88,87 @@ def stream_outer_join_replay(spark, sf_dir):
     return out.filter(F.col("purchase_ts") < FLUSH_SENTINEL_CUTOFF)
 
 
+_FULL_OUTER_JOIN_ORACLE = """
+    SELECT p.event_id,
+           p.user_id AS p_user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           c.event_id AS click_event_id,
+           c.user_id AS c_user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL '30 minutes'
+"""
+
+
+@query("stream_full_outer_join_replay", oracle=_FULL_OUTER_JOIN_ORACLE)
+def stream_full_outer_join_replay(spark, sf_dir):
+    """Stream-stream FULL-OUTER join replay — completes the streaming
+    join family (inner ``stream_join_replay``, left
+    ``stream_outer_join_replay``): BOTH unmatched sides null-pad on
+    state eviction — unmatched purchases when the watermark passes
+    purchase_ts (no in-bound click can still arrive), unmatched
+    clicks when it passes click_ts + 30 min (no purchase can still
+    reach back). The audit/reconciliation shape: every event accounted
+    for exactly once, matched or not. Same sentinel-staged source as
+    the left join (the per-side watermarks both advance; trailing
+    no-data batches flush both state sides); sentinel rows filter by
+    timestamp on WHICHEVER side is non-null. Oracle = batch FULL
+    JOIN. Scale shape identical to the inner join: symmetricHashJoin
+    state watermark-bounded on both sides."""
+    from caliper_poc_data_etl_spark.streaming import (
+        FLUSH_SENTINEL_CUTOFF,
+        read_event_stream,
+        replay_to_df,
+        stage_watermark_flush_source,
+    )
+
+    staged = stage_watermark_flush_source(spark, sf_dir)
+    clicks = (
+        read_event_stream(spark, staged, glob="*.parquet")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_event_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        read_event_stream(spark, staged, glob="*.parquet")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    cond = (
+        (purchases["p_user_id"] == clicks["c_user_id"])
+        & (clicks["click_ts"] <= purchases["purchase_ts"])
+        & (
+            clicks["click_ts"]
+            >= purchases["purchase_ts"] - F.expr("INTERVAL 30 minutes")
+        )
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    joined = purchases.join(clicks, cond, "fullOuter").select(
+        "event_id",
+        "p_user_id",
+        F.date_format("purchase_ts", fmt).alias("purchase_ts"),
+        "click_event_id",
+        "c_user_id",
+        F.date_format("click_ts", fmt).alias("click_ts"),
+    )
+    out = replay_to_df(joined, mode="append")
+    return out.filter(
+        F.coalesce("purchase_ts", "click_ts") < FLUSH_SENTINEL_CUTOFF
+    )
+
+
 # ---------------------------------------------------------------------------
 # Suffix-style repeated-span detection (maximal duplicated spans)
 # ---------------------------------------------------------------------------

@@ -123,6 +123,37 @@ class TestStreamOuterJoin:
         assert all(r["event_id"] == -1 for r in rows)
 
 
+class TestStreamFullOuterJoin:
+    def test_sentinel_replay_equals_batch_full_join(self, spark, sf_dir):
+        """Both unmatched sides must flush: the replay equals the batch
+        FULL JOIN — unmatched purchases AND unmatched clicks each
+        appear exactly once, null-padded on the other side."""
+        con = duckdb.connect()
+        batch = con.execute(
+            f"""
+            SELECT p.event_id, c.event_id
+            FROM (SELECT * FROM '{sf_dir}/events.parquet'
+                  WHERE event_type = 'purchase') p
+            FULL JOIN (SELECT * FROM '{sf_dir}/events.parquet'
+                       WHERE event_type = 'click') c
+              ON c.user_id = p.user_id
+             AND c.ts <= p.ts
+             AND c.ts >= p.ts - INTERVAL '30 minutes'
+            """
+        ).fetchall()
+        want = {(p, c) for p, c in batch}
+        got = {
+            (r["event_id"], r["click_event_id"])
+            for r in QUERIES["stream_full_outer_join_replay"]
+            .spark(spark, sf_dir)
+            .collect()
+        }
+        assert got == want
+        # both null-padded directions are present in the result
+        assert any(p is None for p, _ in got)
+        assert any(c is None for _, c in got)
+
+
 # ---------------------------------------------------------------------------
 # curation_repeated_span_dedup
 # ---------------------------------------------------------------------------

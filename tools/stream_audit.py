@@ -62,6 +62,7 @@ EXPECT: dict[str, tuple] = {
     # each of the two sources reads events + the 2-row flush sentinel,
     # so expected input = (base + 2) × 2 (the 4th tuple slot).
     "stream_outer_join_replay": (["symmetricHashJoin"], "advanced", 2, 2),
+    "stream_full_outer_join_replay": (["symmetricHashJoin"], "advanced", 2, 2),
     "stream_dedup_within_watermark": (["dedupeWithinWatermark"], "advanced", 2),
     "stream_distinct_users_replay": (["dedupe"], "advanced", 1),
     "stream_stateful_profile_replay": (["applyInPandasWithState"], None, 1),
