@@ -54,6 +54,7 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
     round15,
     round16,
     round17,
+    round18,
 )
 
 # ---------------------------------------------------------------------------
