@@ -125,7 +125,7 @@ def dedup_semantic_cluster(spark, sf_dir):
         F.explode(
             F.array(*[F.lit(s) for s in range(_SEM_SALTS)])
         ).alias("salt"),
-    )
+    ).repartition(_SEM_SALTS, F.col("k"), F.col("salt"))
     b = base.select(
         F.col("vec_id").alias("vec_b"),
         "k",
@@ -137,7 +137,7 @@ def dedup_semantic_cluster(spark, sf_dir):
         F.col("nrm_a") * F.col("nrm_b")
     )
     close = (
-        a.join(b, ["k", "salt"])
+        a.join(F.broadcast(b), ["k", "salt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .filter(cos >= SEM_COS_THRESHOLD)
         .select("vec_a", "vec_b")
