@@ -298,7 +298,7 @@ def mix_weighted_sources(spark, sf_dir):
 @query(
     "dedup_cluster_cc",
     oracle=f"""
-    WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+    WITH RECURSIVE pairs AS MATERIALIZED ({_NGRAM_ORACLE}),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION

@@ -133,14 +133,16 @@ def _doc_shingles(d: DataFrame) -> DataFrame:
 
 
 _NGRAM_ORACLE = f"""
-    WITH sh AS (
-      SELECT doc_id, unnest(list_distinct(
-        list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
-          i -> string_split_regex(trim(text), '\\s+')[i]   || ' ' ||
-               string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-               string_split_regex(trim(text), '\\s+')[i+2]))) AS shingle
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
       FROM documents
-      WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      FROM tk
+      WHERE len(tk) >= 3
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -664,14 +666,16 @@ def dedup_embedding_lsh(spark, sf_dir):
 CONTAINMENT_THRESHOLD = 0.9
 
 _CONTAINMENT_ORACLE = f"""
-    WITH sh AS (
-      SELECT doc_id, unnest(list_distinct(
-        list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
-          i -> string_split_regex(trim(text), '\\s+')[i]   || ' ' ||
-               string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-               string_split_regex(trim(text), '\\s+')[i+2]))) AS shingle
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
       FROM documents
-      WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    ),
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(
+        list_transform(range(1, len(tk) - 1),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+      FROM tk
+      WHERE len(tk) >= 3
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
     inter AS (
@@ -978,7 +982,7 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
 @query(
     "dedup_keep_longest",
     oracle=f"""
-    WITH pairs AS ({_NGRAM_ORACLE}),
+    WITH pairs AS MATERIALIZED ({_NGRAM_ORACLE}),
     losers AS (
       SELECT DISTINCT CASE
         WHEN da.n_chars < db.n_chars THEN p.doc_a

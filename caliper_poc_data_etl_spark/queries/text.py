@@ -297,15 +297,17 @@ def text_regex_extract(spark, sf_dir):
 @query(
     "text_ngram_shingles",
     oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      FROM documents
+    )
     SELECT doc_id,
            len(list_distinct(
-             list_transform(range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
-                            i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                                 string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                                 string_split_regex(trim(text), '\\s+')[i+2])
+             list_transform(range(1, len(tk) - 1),
+                            i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
            )) AS n_distinct_shingles
-    FROM documents
-    WHERE len(string_split_regex(trim(text), '\\s+')) >= 3
+    FROM tk
+    WHERE len(tk) >= 3
     """,
 )
 def text_ngram_shingles(spark, sf_dir):
