@@ -30,11 +30,18 @@ from caliper_poc_data_etl_spark.queries.registry import query, t
            CAST(l_extendedprice AS VARCHAR) AS total_score,
            CAST(l_linenumber AS INT)       AS item_seq
     FROM lineitem
+    WHERE l_orderkey % 101 = 0
     """,
 )
 def caliper_eventize_flat(spark, sf_dir):
-    """S8-S13 flattened: project/rename/literal/cast into event fields."""
-    li = t(spark, sf_dir, "lineitem")
+    """S8-S13 flattened: project/rename/literal/cast into event fields.
+
+    Graded on a keyed deterministic sample (l_orderkey % 101, both
+    engines — VERDICT r11 #7): per-row projection parity has the same
+    power on the sample, without the 600k-row echo whose comparison
+    dominated the sweep entry. The projection itself is scan-shaped at
+    any corpus size; the filter is a pushed-down predicate."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
     return li.select(
         F.lit("OutcomeEvent").alias("type"),
         F.lit("GRADED").alias("action"),

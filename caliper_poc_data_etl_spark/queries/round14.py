@@ -724,7 +724,14 @@ def _jl_signs_sql(j: int) -> str:
 @query(
     "embed_jl_projection_parity",
     oracle=f"""
-    WITH q AS (
+    WITH signs AS (
+      -- sign rows as COLUMNS: inlining the 64-literal lists inside the
+      -- projection lambdas made DuckDB rebuild them per element access
+      -- (15.5 s -> 0.1 s at sf0.1, result-identical; the mm_phash_dct
+      -- cos-table lesson)
+      SELECT {", ".join(f"{_jl_signs_sql(j)} AS s{j}" for j in range(JL_K))}
+    ),
+    q AS (
       SELECT vec_id,
              list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * {JL_MICRO} + 0.5)
@@ -735,10 +742,10 @@ def _jl_signs_sql(j: int) -> str:
       SELECT vec_id,
              {", ".join(
                  f"CAST(list_sum(list_transform(range(1, {JL_D} + 1), "
-                 f"i -> xm[i] * ({_jl_signs_sql(j)})[i])) AS BIGINT) AS m{j}"
+                 f"i -> xm[i] * s{j}[i])) AS BIGINT) AS m{j}"
                  for j in range(JL_K)
              )}
-      FROM q
+      FROM q CROSS JOIN signs
     )
     SELECT vec_id,
            m0 AS proj0_micro, m1 AS proj1_micro,
@@ -770,7 +777,14 @@ def embed_jl_projection_parity(spark, sf_dir):
         "embedding",
         lambda x: F.floor(x.cast("double") * JL_MICRO + F.lit(0.5)).cast("long"),
     )
-    q = e.select("vec_id", xm.alias("xm"))
+    # One-row-group input: without the spread the 16 interpreted HOF
+    # folds per row all run in a single task (the r11 lesson; measured
+    # 23 s -> ~1 s at sf0.1). Explicit numPartitions so AQE cannot
+    # coalesce the tiny shuffle back to one task.
+    q = (
+        e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+        .select("vec_id", xm.alias("xm"))
+    )
 
     def proj(j):
         signs = F.array(*[F.lit(v).cast("long") for v in JL_SIGNS[j]])

@@ -149,6 +149,12 @@ def main() -> int:
         )
     else:
         spark = get_spark("oracle-check")
+    # Warm the JVM and the Python worker pool once (the bench.py
+    # preamble): otherwise the first pandas-UDF entry in the sweep is
+    # charged ~10 s of daemon+worker fork-and-handshake that belongs
+    # to session startup, not that operator.
+    spark.range(1).count()
+    spark.range(1024).repartition(32).foreachPartition(lambda it: None)
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(
