@@ -359,6 +359,13 @@ def main() -> int:
         "er_phonetic_cluster_cc",
         "join_interval_overlap",
     }
+    # ADVICE r11: a renamed query would silently drop out of the
+    # extra-trial treatment; a stale name must fail fast instead.
+    _stale = PERF_SUSPECT - set(qs)
+    if _stale:
+        raise RuntimeError(
+            f"bench PERF_SUSPECT names not in the registry: {sorted(_stale)}"
+        )
     trials_suspect = max(trials_h, 9)
 
     timings_trimmed: dict[str, float] = {}

@@ -380,6 +380,21 @@ def text_winnowing_fingerprint(spark, sf_dir):
     d = (
         t(spark, sf_dir, "documents")
         .filter(F.length("text") >= WIN_K + WIN_W - 1)
+        # ADVICE r11: the 22-bit position field fails LOUDLY past its
+        # cap instead of silently corrupting fingerprints — assert_true
+        # raises in-task on the first over-long document; it returns
+        # NULL on pass, so the isNull() filter keeps every valid row
+        # and the optimizer cannot prune the check.
+        .filter(
+            F.assert_true(
+                F.length("text") < F.lit(shift),
+                F.lit(
+                    "text_winnowing_fingerprint: document exceeds the "
+                    f"22-bit packed-position cap ({(1 << 22) - 1} chars); "
+                    "shard long documents or widen the field"
+                ),
+            ).isNull()
+        )
         .repartition(n_part, "doc_id")
     )
     pos = d.select(

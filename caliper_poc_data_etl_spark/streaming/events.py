@@ -256,6 +256,12 @@ def stage_watermark_flush_source(spark: SparkSession, sf_dir: str) -> str:
     apply_fixture_confs(spark)
     raw = spark.read.parquet(f"{key}/events.parquet")
     stage = tempfile.mkdtemp(prefix="wm_flush_")
+    # ADVICE r11: staged dirs were cached for process life but never
+    # removed, leaking one sentinel dir per sf_dir per process into
+    # /tmp across bench/sweep invocations — reap them at process exit.
+    import atexit
+
+    atexit.register(shutil.rmtree, stage, True)
     os.symlink(f"{key}/events.parquet", f"{stage}/events.parquet")
     sent = raw.limit(1).select(
         F.lit(-1).cast(raw.schema["event_id"].dataType).alias("event_id"),

@@ -1,0 +1,178 @@
+"""Semantic tests for the round-12 ops (queries/round18.py): SemDeDup
+recall/pruning properties the cross-engine hash cannot show, the
+quality classifier's local replica, and RRF's fusion contract.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from caliper_poc_data_etl_spark.queries import QUERIES
+from caliper_poc_data_etl_spark.queries.round18 import (
+    SEM_COS_THRESHOLD,
+    _QC_BUCKETS,
+    _QC_LCG_A,
+    _QC_LCG_C,
+    _QC_MOD,
+    _RRF_K,
+    _RRF_TOPN,
+)
+
+
+def _rows(name, spark, sf_dir):
+    return QUERIES[name].spark(spark, sf_dir).collect()
+
+
+class TestSemanticDedup:
+    def test_recall_vs_exact_baseline(self, spark, oracle_sf_dir):
+        """SemDeDup's within-cluster pairs are a SUBSET of the exact
+        quadratic baseline at the same threshold (no false positives
+        by construction — same cosine, same raw-double compare), and
+        the documented trade-off is the cross-cluster misses: on this
+        fixture (no near-identical vectors; max cos ~0.5 at the 0.4
+        threshold) same-cluster recall is ~0.47 — assert the honest
+        floor, and see test_planted_duplicates_recall for the
+        high-threshold regime the method is deployed in."""
+        exact_dupes = {
+            r["vec_b"]
+            for r in QUERIES["dedup_embedding_cosine"]
+            .spark(spark, oracle_sf_dir)
+            .collect()
+            # a vector is prunable iff a LOWER id is near it
+        }
+        out = {r["vec_id"]: r for r in _rows("dedup_semantic_cluster", spark, oracle_sf_dir)}
+        pruned = {v for v, r in out.items() if not r["kept"]}
+        assert pruned, "expected some semantic pruning on the fixture"
+        # no false positives: every pruned vector IS an exact-duplicate
+        assert pruned <= exact_dupes
+        recall = len(pruned) / len(exact_dupes)
+        assert recall >= 0.4, f"semantic-dedup recall {recall}"
+
+    def test_n_close_symmetry_and_keeper_rule(self, spark, oracle_sf_dir):
+        out = _rows("dedup_semantic_cluster", spark, oracle_sf_dir)
+        # partner counts are over unordered pairs -> their sum is even
+        assert sum(r["n_close"] for r in out) % 2 == 0
+        # a vector with zero close neighbors is always kept
+        for r in out:
+            if r["n_close"] == 0:
+                assert r["kept"]
+
+    def test_planted_duplicates_recall(self, spark):
+        """The deployment regime: near-identical embeddings (the
+        duplicates SemDeDup targets) land in the SAME k-means cluster
+        by construction — identical points have identical distances —
+        so recall on planted clones is 1.0 and exactly one
+        representative (the lowest vec_id) survives per clone group."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        rows = []
+        # 12 well-separated base vectors; ids 100.. are clones of id 0
+        for vid in range(12):
+            v = rng.randn(64).astype("float32")
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v], vid % 3))
+        clone_src = rows[0][1]
+        for vid in (100, 101):
+            rows.append((vid, list(clone_src), 0))
+        d = tempfile.mkdtemp(prefix="semdedup_fix_")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        out = {r["vec_id"]: r for r in _rows("dedup_semantic_cluster", spark, d)}
+        assert len(out) == 14
+        # clones cluster with their source and are pruned; source kept
+        assert out[0]["cluster"] == out[100]["cluster"] == out[101]["cluster"]
+        assert out[0]["kept"]
+        assert not out[100]["kept"] and not out[101]["kept"]
+        assert out[0]["n_close"] == 2
+        assert out[100]["n_close"] == 2 and out[101]["n_close"] == 2
+
+
+class TestQualityClassifier:
+    def test_local_replica(self, spark, oracle_sf_dir):
+        """Recompute w_sum/n_tokens/score in plain Python for a sample
+        of documents — pins tokenization, bucket hash, LCG weights,
+        and the floor-quantized sigmoid end to end."""
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+            .limit(40)
+            .collect()
+        }
+        got = {
+            r["doc_id"]: r
+            for r in _rows("text_quality_classifier_score", spark, oracle_sf_dir)
+        }
+        checked = 0
+        for doc_id, text in docs.items():
+            toks = text.strip().lower().split()
+            if not toks:
+                continue
+            w_sum = 0
+            for tok in toks:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % _QC_BUCKETS
+                w_sum += (b * _QC_LCG_A + _QC_LCG_C) % _QC_MOD - 1000
+            r = got[doc_id]
+            assert r["n_tokens"] == len(toks)
+            assert r["w_sum"] == w_sum
+            logit = math.floor(w_sum / (len(toks) * 1000.0) * 1e6 + 0.5) / 1e6
+            score = math.floor(1.0 / (1.0 + math.exp(-logit)) * 1e6 + 0.5) / 1e6
+            assert r["score"] == pytest.approx(score, abs=1e-9)
+            checked += 1
+        assert checked >= 30
+
+    def test_score_bounds_and_monotonicity(self, spark, oracle_sf_dir):
+        out = _rows("text_quality_classifier_score", spark, oracle_sf_dir)
+        assert out
+        for r in out:
+            assert 0.0 < r["score"] < 1.0
+        # sigmoid is monotone in the mean weight
+        by_ratio = sorted(out, key=lambda r: r["w_sum"] / r["n_tokens"])
+        scores = [r["score"] for r in by_ratio]
+        assert scores == sorted(scores)
+
+
+class TestRrfFusion:
+    def test_fusion_contract(self, spark, oracle_sf_dir):
+        out = _rows("sim_rrf_fusion", spark, oracle_sf_dir)
+        assert out
+        ranks = sorted(r["fused_rank"] for r in out)
+        assert ranks == list(range(1, len(out) + 1))
+        for r in out:
+            assert r["rank_lex"] is not None or r["rank_dense"] is not None
+            expect = 0.0
+            if r["rank_lex"] is not None:
+                assert 1 <= r["rank_lex"] <= _RRF_TOPN
+                expect += 1.0 / (_RRF_K + r["rank_lex"])
+            if r["rank_dense"] is not None:
+                assert 1 <= r["rank_dense"] <= _RRF_TOPN
+                expect += 1.0 / (_RRF_K + r["rank_dense"])
+            assert r["rrf_score"] == pytest.approx(
+                math.floor(expect * 1e6 + 0.5) / 1e6, abs=1e-9
+            )
+
+    def test_both_rankers_beat_single_ranker_at_same_rank(
+        self, spark, oracle_sf_dir
+    ):
+        """A doc ranked r by BOTH rankers outscores any doc ranked r by
+        exactly one — the monotone-fusion property RRF guarantees."""
+        out = _rows("sim_rrf_fusion", spark, oracle_sf_dir)
+        both = [r for r in out if r["rank_lex"] and r["rank_dense"]]
+        single = [
+            r
+            for r in out
+            if (r["rank_lex"] is None) != (r["rank_dense"] is None)
+        ]
+        for b in both:
+            worst = max(b["rank_lex"], b["rank_dense"])
+            for s in single:
+                s_rank = s["rank_lex"] or s["rank_dense"]
+                if s_rank >= worst:
+                    assert b["rrf_score"] > s["rrf_score"]

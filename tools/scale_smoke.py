@@ -129,7 +129,17 @@ def main() -> int:
     only = [a for a in sys.argv[1:] if not a.startswith("-")]
     json_path = None
     if "--json" in sys.argv:
-        json_path = sys.argv[sys.argv.index("--json") + 1]
+        # ADVICE r11: validate that a non-flag path follows --json
+        # instead of IndexError-ing (bare --json) or silently consuming
+        # a following flag as the output path.
+        i = sys.argv.index("--json")
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("-"):
+            print(
+                "usage: scale_smoke.py [--json <path>] [query filters...]",
+                file=sys.stderr,
+            )
+            return 2
+        json_path = sys.argv[i + 1]
         only = [a for a in only if a != json_path]
     from caliper_poc_data_etl_spark.queries import QUERIES
     from caliper_poc_data_etl_spark.session import get_spark
