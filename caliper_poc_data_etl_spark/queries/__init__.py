@@ -78,51 +78,12 @@ from caliper_poc_data_etl_spark.queries import (  # noqa: F401, E402
 # (new operators register at the front in module order).
 # ---------------------------------------------------------------------------
 _DEFERRED = [
-    # green in r02 (re-certified r10 backfill entries rotated to the
-    # TAIL below — deferral backfill is a rolling re-certification,
-    # oldest un-re-checked first). The r11 backfill starts HERE:
-    "chunk_documents",
-    "pack_sequences",
-    "decontam_ngram_overlap",
-    # green in r03 (CORRECTNESS_r03), implementation unchanged since.
-    # NOT deferred from the r03 window: dedup_minhash_md5_parity and
-    # inverted_index_postings (driver canonicalizer err on array
-    # columns → outputs string-serialized → regrade in r4).
-    "join_null_safe",
-    "agg_heavy_hitter_per_user",
-    "profile_orders_columns",
-    "sql_exists_scalar_subquery",
-    "agg_filtered_pack",
-    "q6_forecast_revenue",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume_customer",
-    "window_ntile",
-    "window_sessionize",
-    "window_cume_dist",
-    "window_session_stats",
-    "dedup_exact_normalized",
-    "sim_lsh_bucket_parity",
-    "knn_label_vote",
-    "embed_quantize_int8",
-    "text_fingerprint",
-    "text_char_entropy",
-    "text_regex_extract",
-    "text_ngram_shingles",
-    "ts_rate_per_day",
-    "ts_gap_fill_daily",
-    "ts_ohlc_daily",
-    "ts_month_over_month",
-    "dedup_events_throttle",
-    "stream_stateful_profile_replay",
-    "stream_dedup_within_watermark",
-    "mm_audio_energy",
-    "udf_grouped_label_var",
-    "doc_length_pctl_filter",
-    "curriculum_quality_order",
-    "tfidf_top_terms",
+    # The r11 backfill block (38 entries re-certified GREEN in
+    # CORRECTNESS_r11) rotated to the TAIL below — deferral backfill
+    # is a rolling re-certification, oldest un-re-checked first. NOT
+    # rotated (pulled to the FRONT for r12 regrades instead):
+    # sim_lsh_bucket_parity + text_ngram_shingles (see the regrade
+    # notes in their original blocks). The r12 backfill starts HERE:
     "funnel_conversion",
     "upsert_latest_state",
     "sample_cap_per_source",
@@ -159,10 +120,10 @@ _DEFERRED = [
     "fn_string_distance_pack",
     "text_dedup_prefix_key",
     "sim_ivf_assign_parity",
-    "dedup_embedding_lsh_candidate_parity",
+    # NOT deferred: dedup_embedding_lsh_candidate_parity (N_HYPERPLANES env-knob touched the shared hyperplane helper) -> regrade
     "text_stopword_density",
     "text_hashing_vectorizer",
-    "dedup_events_throttle_lastkept",
+    # NOT deferred: dedup_events_throttle_lastkept (applyInPandas walk re-implemented (linear mask, ADVICE-adjacent perf)) -> regrade
     "window_gaps_islands",
     "ts_retention_cohorts",
     "ts_event_transitions",
@@ -200,10 +161,10 @@ _DEFERRED = [
     "window_max_drawdown",
     "fn_url_pack",
     "fn_higher_order_pack",
-    "sim_pairwise_label_stats",
+    # NOT deferred: sim_pairwise_label_stats (re-implemented: canonical pairs + integer quantization + closed-form linear oracle (VERDICT r11 #2)) -> regrade
     "sim_pq_code_parity",
     "embed_top_pc_power_iter",
-    "dedup_keep_longest",
+    # NOT deferred: dedup_keep_longest (oracle pairs CTE materialized + split-once shingles) -> regrade
     "text_perplexity_proxy",
     "text_boilerplate_shingle_ratio",
     # text_bm25_topk re-implemented in r9 (tf match-set reuse,
@@ -325,7 +286,7 @@ _DEFERRED = [
     "sim_hard_negative_mining",
     "curation_gopher_rules",
     "geo_grid_point_in_box",
-    "geo_nearest_poi",
+    # NOT deferred: geo_nearest_poi (keyed event_id % 7 sample on both sides (VERDICT r11 #7)) -> regrade
     "scan_jsonl_nested",
     "graph_random_walk_deterministic",
     "ts_event_pattern_detect",
@@ -359,16 +320,16 @@ _DEFERRED = [
     # (NULL-date semantics aligned in r9 → regrade), and
     # curation_span_dedup_rewrite (_SPAN_IDX_BASE raised in r9 →
     # regrade) — all four stay at the front of the r9 window.
-    "dedup_ngram_jaccard",
+    # NOT deferred: dedup_ngram_jaccard (oracle split-once shingle rewrite) -> regrade
     "dedup_minhash_md5_parity",
     "dedup_minhash_lsh",
     "dedup_simhash_md5_parity",
     "dedup_simhash",
-    "dedup_ngram_containment",
+    # NOT deferred: dedup_ngram_containment (oracle split-once shingle rewrite) -> regrade
     # dedup_minhash_jaccard_estimate oracle re-sourced in r11 (shingle
     # equi-join candidates instead of the all-pairs list_intersect
     # self-join — the prefix-filter oracle fix's sibling) → regrade.
-    "dedup_cluster_cc",
+    # NOT deferred: dedup_cluster_cc (oracle: MATERIALIZED pairs + split-once shingles) -> regrade
     "graph_hits_scores",
     "text_ngram_novelty",
     "ml_regression_metrics",
@@ -394,7 +355,7 @@ _DEFERRED = [
     # re-graded GREEN in r08 as deferral backfill (r01 originals);
     # rotated to the tail so the rolling re-certification advances
     # through the rest of the r01/r02 block first:
-    "caliper_eventize_flat",
+    # NOT deferred: caliper_eventize_flat (keyed l_orderkey % 101 sample on both sides (VERDICT r11 #7)) -> regrade
     "caliper_group_events",
     "caliper_fanout",
     "caliper_split_multivalue",
@@ -432,7 +393,7 @@ _DEFERRED = [
     "window_rank_topk_per_group",
     "fn_string_pack",
     "fn_date_pack",
-    "fn_math_pack",
+    # NOT deferred: fn_math_pack (keyed l_orderkey % 101 sample on both sides (VERDICT r11 #7)) -> regrade
     # green in r09 (CORRECTNESS_r09: 49 hash-green + 1 rows-only),
     # implementation unchanged since. NOT deferred from the r09
     # window: dedup_prefix_filter_jaccard (candidate join slimmed to
@@ -461,12 +422,12 @@ _DEFERRED = [
     "decontam_embedding_cosine",
     "training_epoch_shuffle_order",
     "er_fellegi_sunter_match",
-    "mm_phash_dct",
+    # NOT deferred: mm_phash_dct (oracle cos table materialized as CTE column) -> regrade
     "embed_residual_quantize",
     "funnel_path_topk",
     "anomaly_grid_density_events",
     "dq_cross_table_reconciliation",
-    "embed_jl_projection_parity",
+    # NOT deferred: embed_jl_projection_parity (oracle sign tables materialized + spread repartition) -> regrade
     "training_length_bucket_batches",
     "ml_group_kfold_assign",
     # re-graded GREEN in r10 as deferral backfill (the r01/r02 block);
@@ -485,12 +446,12 @@ _DEFERRED = [
     "fn_json_pack",
     "fn_conditional_pack",
     "dedup_exact",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
+    # NOT deferred: dedup_embedding_cosine (re-planned: salted equi-join vs broadcast side) -> regrade
+    # NOT deferred: dedup_embedding_lsh (multi-probe range now N_HYPERPLANES-derived) -> regrade
     "sim_cosine_topk",
-    "sim_ann_lsh",
+    # NOT deferred: sim_ann_lsh (N_HYPERPLANES env-knob touched the shared hyperplane helper) -> regrade
     "sim_ivf_topk",
-    "sim_label_centroid_stats",
+    # NOT deferred: sim_label_centroid_stats (oracle rewritten to the closed linear centroid form (VERDICT r11 #2)) -> regrade
     "text_stats",
     "text_quality_score",
     "text_langid",
@@ -504,7 +465,7 @@ _DEFERRED = [
     "stream_session_replay",
     "mm_payload_stats",
     "mm_frame_sample",
-    "mm_pixel_features",
+    # NOT deferred: mm_pixel_features (promoted rows-only -> hash-green (pure-SQL byte-decode oracle, VERDICT r11 #3)) -> regrade
     "udf_vector_norm",
     "scan_csv_policy",
     "scan_json_source",
@@ -522,30 +483,84 @@ _DEFERRED = [
     "stream_hll_distinct_replay",
     "scd2_dimension_history",
     "agg_kll_quantile_sketch",
+    # re-graded GREEN in r11 as deferral backfill (the r02/r03 block);
+    # rotated to the tail behind the r10 backfill block. NOT rotated:
+    # sim_lsh_bucket_parity + text_ngram_shingles (r12 regrades at the
+    # front — shared-hyperplane env knob / split-once oracle):
+    "chunk_documents",
+    "pack_sequences",
+    "decontam_ngram_overlap",
+    "join_null_safe",
+    "agg_heavy_hitter_per_user",
+    "profile_orders_columns",
+    "sql_exists_scalar_subquery",
+    "agg_filtered_pack",
+    "q6_forecast_revenue",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customer",
+    "window_ntile",
+    "window_sessionize",
+    "window_cume_dist",
+    "window_session_stats",
+    "dedup_exact_normalized",
+    "knn_label_vote",
+    "embed_quantize_int8",
+    "text_fingerprint",
+    "text_char_entropy",
+    "text_regex_extract",
+    "ts_rate_per_day",
+    "ts_gap_fill_daily",
+    "ts_ohlc_daily",
+    "ts_month_over_month",
+    "dedup_events_throttle",
+    "stream_stateful_profile_replay",
+    "stream_dedup_within_watermark",
+    "mm_audio_energy",
+    "udf_grouped_label_var",
+    "doc_length_pctl_filter",
+    "curriculum_quality_order",
+    "tfidf_top_terms",
+    # green at the r11 window FRONT (regrades / round-11 ops there),
+    # implementation unchanged since → deferred:
+    "dedup_minhash_jaccard_estimate",
+    "stream_join_replay",
+    "decontam_bloom_ngram",
+    "text_bpe_train_merges",
+    "join_interval_overlap",
+    "dedup_prefix_filter_jaccard",
+    "stream_static_enrich_replay",
+    "stream_quantile_hist_replay",
+    "stream_outer_join_replay",
+    "stream_full_outer_join_replay",
+    "curation_repeated_span_dedup",
 ]
 
-# Round-11 graded window (VERDICT r10 demands): the front holds the
-# five regrades — text_winnowing_fingerprint (selection re-planned:
-# packed-key scalar window min + lag dedup + pre-explode shuffle,
-# demand #2), dedup_prefix_filter_jaccard (oracle rewritten to the
-# materialized PPJoin-filtered form, demand #6),
-# stream_static_enrich_replay (DECIMAL(18,4) sum, ADVICE r10) +
-# stream_quantile_hist_replay (bucket clamp, ADVICE r10), and
-# stream_join_replay (click_purchase_join grew how= — transitively-
-# used-helper rule), join_interval_overlap (canonical-bucket emit
-# replaces the distinct), dedup_minhash_jaccard_estimate (oracle
-# re-sourced to equi-join candidates), text_bpe_train_merges
-# (arrays_zip pairs + pre-loop repartition) + decontam_bloom_ngram
-# (pre-explode repartition) — plus the round-11 additions
-# (queries/round17.py: stream_outer_join_replay, demand #3,
-# curation_repeated_span_dedup, demand #5, and
-# stream_full_outer_join_replay, the join-family completion). The
-# remaining 38 slots backfill from the HEAD of
-# `_DEFERRED`, which rotates: entries re-graded as backfill move to
-# the tail, so the rolling re-certification sweeps oldest-first (this
-# round: the rest of the r02 block, then the r03 block head). `_NEXT`
-# stays empty — every declared query carries a driver-graded row
-# since r08.
+# Round-12 graded window (VERDICT r11 demands): the front holds the
+# round-12 additions (queries/round18.py: dedup_semantic_cluster —
+# demand #1, text_quality_classifier_score — demand #4,
+# sim_rrf_fusion — demand #5), mm_pixel_features (rows-only →
+# hash-green promotion, demand #3), the demand-#2 oracle/plan
+# rewrites (sim_pairwise_label_stats re-implemented integer-exact
+# with a closed-form linear oracle; sim_label_centroid_stats oracle
+# → closed form; dedup_cluster_cc / dedup_ngram_jaccard /
+# dedup_ngram_containment / dedup_keep_longest / text_ngram_shingles
+# — split-once + MATERIALIZED shingle oracles; mm_phash_dct /
+# embed_jl_projection_parity — literal-table CTE oracles), the
+# single-task all-pairs re-plans (dedup_embedding_cosine), the
+# demand-#7 keyed samples (fn_math_pack, caliper_eventize_flat,
+# geo_nearest_poi), text_winnowing_fingerprint (ADVICE r11 cap
+# guard), dedup_events_throttle_lastkept (linear walk), and the
+# N_HYPERPLANES-env-knob family (sim_ann_lsh, sim_lsh_bucket_parity,
+# dedup_embedding_lsh, dedup_embedding_lsh_candidate_parity —
+# transitively-used-helper rule; default value unchanged). The
+# remaining 27 slots backfill from the HEAD of `_DEFERRED`, which
+# rotates: entries re-graded as backfill move to the tail, so the
+# rolling re-certification sweeps oldest-first (this round: the rest
+# of the r02/r03 block, then the r04 block head). `_NEXT` stays
+# empty — every declared query carries a driver-graded row since r08.
 _NEXT: list[str] = []
 
 _missing = [n for n in _DEFERRED + _NEXT if n not in QUERIES]

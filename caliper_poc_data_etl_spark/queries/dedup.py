@@ -617,7 +617,10 @@ def dedup_embedding_lsh(spark, sf_dir):
     cosine verifies candidates, so output pairs ⊆ the exact baseline
     (recall vs it asserted in tests). Candidate generation is a
     band-key groupBy-style self-join — no all-pairs blowup."""
-    from caliper_poc_data_etl_spark.queries.similarity import lsh_bucket_column
+    from caliper_poc_data_etl_spark.queries.similarity import (
+        N_HYPERPLANES,
+        lsh_bucket_column,
+    )
 
     e = t(spark, sf_dir, "embeddings")
 
@@ -634,12 +637,15 @@ def dedup_embedding_lsh(spark, sf_dir):
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
         lsh_bucket_column(F.col("embedding")).alias("bucket"),
     )
-    # Multi-probe: register each vector under its bucket and the 8
-    # 1-bit flips; a pair collides if any probe bucket matches the
-    # other's home bucket.
+    # Multi-probe: register each vector under its bucket and the
+    # N_HYPERPLANES 1-bit flips; a pair collides if any probe bucket
+    # matches the other's home bucket.
     probes = F.array(
         F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(8)],
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(N_HYPERPLANES)
+        ],
     )
     a = base.select(
         F.col("vec_id").alias("vec_a"),

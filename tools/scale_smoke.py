@@ -52,6 +52,24 @@ from pyspark.sql import functions as F
 BASE_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 K = int(os.environ.get("SPARK_GRAFT_SCALE_K", "10"))
 SALT_TEXT = os.environ.get("SPARK_GRAFT_SCALE_SALT_TEXT", "") == "1"
+# SALT_EMB is the embedding analog of SALT_TEXT: tile i>0 multiplies
+# each vector component by a tile-specific deterministic ±1 pattern
+# (md5(i:d) parity). Norms and WITHIN-tile geometry are exactly
+# preserved (per-tile dedup/ANN structure == base), while cross-tile
+# cosines decorrelate (E[cos]=0), so embedding-dedup output grows ~K
+# the way a corpus of NEW content does instead of K² tile-clones.
+SALT_EMB = os.environ.get("SPARK_GRAFT_SCALE_SALT_EMB", "") == "1"
+
+
+def _emb_salt_pattern(i: int, dim: int = 64) -> list[float]:
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{i}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
 
 # Key columns to offset per tile, per table (fact tables only).
 TILE_KEYS = {
@@ -112,6 +130,14 @@ def tile_tables(spark, base: str, out: str, k: int) -> None:
                 t = t.withColumn(
                     "text",
                     F.regexp_replace("text", r"(\S+)", f"$1_t{i}"),
+                )
+            if SALT_EMB and name == "embeddings" and i > 0:
+                pat = F.array(
+                    *[F.lit(v).cast("float") for v in _emb_salt_pattern(i)]
+                )
+                t = t.withColumn(
+                    "embedding",
+                    F.zip_with("embedding", pat, lambda x, s: x * s),
                 )
             tiles.append(t)
         tiled = tiles[0]
