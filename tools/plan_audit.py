@@ -32,9 +32,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 EXPECTED_NLJ = {
     "join_theta",
     "join_range_predicate",
-    "dedup_embedding_cosine",
-    "sim_pairwise_label_stats",
+    # NOT listed anymore: dedup_embedding_cosine and
+    # sim_pairwise_label_stats — re-planned in r12 as salted equi-joins
+    # against a broadcast side (single-task NLJ was their 40-117 s
+    # sf0.1 cost), so an NLJ reappearing in them should flag again.
     "sim_cosine_topk",  # broadcast NLJ on purpose: tiny query side
+    # RRF's dense ranking scores the corpus against the broadcast
+    # 1-row query vector (the sanctioned sim_cosine_topk shape); the
+    # lexical/dense rank join itself is a tiny full-outer equi-join.
+    "sim_rrf_fusion",
     "knn_label_vote",  # same broadcast-query shape as sim_cosine_topk
     "sim_ivf_topk",  # corpus × broadcast 16-centroid table (coarse quantizer)
     "sim_ivf_assign_parity",  # same corpus × broadcast-centroid shape
