@@ -946,7 +946,11 @@ class TestGeoPointInBox:
 
 class TestGeoNearestPoi:
     def test_python_replica(self, spark, sf_dir):
-        events = _duck("SELECT event_id, user_id FROM events", sf_dir)
+        # The graded query samples event_id % 7 = 0 on both engines
+        # (VERDICT r11 #7 sweep hygiene); replicate the same sample.
+        events = _duck(
+            "SELECT event_id, user_id FROM events WHERE event_id % 7 = 0", sf_dir
+        )
         pois = {
             sk: ((sk * 4241) % 18000 - 9000, (sk * 9001) % 36000 - 18000)
             for (sk,) in _duck("SELECT s_suppkey FROM supplier", sf_dir)
