@@ -176,3 +176,98 @@ class TestRrfFusion:
                 s_rank = s["rank_lex"] or s["rank_dense"]
                 if s_rank >= worst:
                     assert b["rrf_score"] > s["rrf_score"]
+
+
+class TestMaxSimLateInteraction:
+    def test_numpy_replica(self, spark, oracle_sf_dir):
+        """Full MaxSim replica in numpy over the milli-quantized
+        vectors — pins the doc grouping, integer dot/norm arithmetic,
+        the floor-quantized cosine, and the top-N ordering."""
+        import numpy as np
+
+        from caliper_poc_data_etl_spark.queries.round18 import (
+            _MAXSIM_DOC_TOKENS as G,
+            _MAXSIM_TOPN as TOPN,
+        )
+
+        emb = {
+            r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(
+                f"{oracle_sf_dir}/embeddings.parquet"
+            ).collect()
+        }
+        # half-away rounding replica: round(v*1000) with ties away
+        x = {
+            vid: np.array(
+                [
+                    int(math.floor(abs(e) * 1000 + 0.5)) * (1 if e >= 0 else -1)
+                    for e in v
+                ],
+                dtype=np.int64,
+            )
+            for vid, v in emb.items()
+        }
+        qids = [v for v in sorted(x) if v < G]
+        scores = {}
+        for vid in sorted(x):
+            if vid < G:
+                continue
+            doc = vid // G
+            scores.setdefault(doc, {})
+            for qid in qids:
+                d, q = x[vid], x[qid]
+                dp = int(d @ q)
+                n2d, n2q = int(d @ d), int(q @ q)
+                cm = math.floor(
+                    dp * 1000000 / math.sqrt(float(n2d) * float(n2q)) + 0.5
+                )
+                prev = scores[doc].get(qid)
+                if prev is None or cm > prev:
+                    scores[doc][qid] = cm
+        totals = sorted(
+            ((sum(qs.values()), doc) for doc, qs in scores.items()),
+            key=lambda p: (-p[0], p[1]),
+        )
+        got = _rows("sim_maxsim_late_interaction", spark, oracle_sf_dir)
+        assert len(got) == TOPN
+        for r, (score, doc) in zip(sorted(got, key=lambda r: r["rank"]), totals):
+            assert (r["doc_id"], r["score_micro"], r["n_q"]) == (
+                doc,
+                score,
+                len(qids),
+            )
+
+    def test_planted_relevant_doc_ranks_first(self, spark):
+        """A corpus document containing verbatim clones of every query
+        token vector has maxsim 1e6 per query token — the maximum
+        possible score — and must rank 1. The late-interaction
+        contract: ONE matching token vector per query token dominates,
+        however many unrelated token vectors surround it."""
+        import numpy as np
+
+        from caliper_poc_data_etl_spark.queries.round18 import (
+            _MAXSIM_DOC_TOKENS as G,
+        )
+
+        rng = np.random.RandomState(11)
+        rows = []
+        for vid in range(G * 6):
+            v = rng.randn(64).astype("float32")
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(e) for e in v], 0))
+        # doc 3 (vec_ids 24..31) := clones of the query tokens 0..7
+        for j in range(G):
+            rows[3 * G + j] = (3 * G + j, list(rows[j][1]), 0)
+        d = tempfile.mkdtemp(prefix="maxsim_fix_")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+        got = sorted(
+            _rows("sim_maxsim_late_interaction", spark, d),
+            key=lambda r: r["rank"],
+        )
+        assert got[0]["doc_id"] == 3
+        # every query token found its clone: score = n_q * 1e6
+        assert got[0]["score_micro"] == got[0]["n_q"] * 1_000_000
+        ranks = [r["rank"] for r in got]
+        assert ranks == list(range(1, len(got) + 1))

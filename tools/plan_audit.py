@@ -42,6 +42,10 @@ EXPECTED_NLJ = {
     # lexical/dense rank join itself is a tiny full-outer equi-join.
     "sim_rrf_fusion",
     "knn_label_vote",  # same broadcast-query shape as sim_cosine_topk
+    # MaxSim late interaction: corpus token scan × the broadcast
+    # 8-row query token set (the sanctioned sim_cosine_topk shape);
+    # cost is |corpus| × |query tokens|, linear in the corpus.
+    "sim_maxsim_late_interaction",
     "sim_ivf_topk",  # corpus × broadcast 16-centroid table (coarse quantizer)
     "sim_ivf_assign_parity",  # same corpus × broadcast-centroid shape
     "sim_label_centroid_stats",  # |labels|² broadcast self-join of per-label sums
