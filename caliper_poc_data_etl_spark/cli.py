@@ -23,6 +23,13 @@ def main(argv: list[str] | None = None) -> int:
     p_items.add_argument("--target", default="target")
     p_items.add_argument("--mode", choices=["intent", "reference"], default="intent")
     p_items.add_argument("--layout", choices=["spark", "reference"], default="spark")
+    p_items.add_argument(
+        "--group-ordinal",
+        action="store_true",
+        help="reference filename parity (S15): name each group file "
+        "events-{i}-{key}.txt, i = first-occurrence ordinal "
+        "(requires --layout reference)",
+    )
 
     p_att = sub.add_parser(
         "assessments", help="attempt-level pipeline (reference etl-assessment-level.js)"
@@ -39,7 +46,12 @@ def main(argv: list[str] | None = None) -> int:
         from caliper_poc_data_etl_spark.pipelines import run_items_pipeline
 
         run_items_pipeline(
-            spark, args.csv, args.target, mode=args.mode, layout=args.layout
+            spark,
+            args.csv,
+            args.target,
+            mode=args.mode,
+            layout=args.layout,
+            group_ordinal=args.group_ordinal,
         )
     else:
         from caliper_poc_data_etl_spark.pipelines import run_assessments_pipeline

@@ -116,9 +116,19 @@ def items_grouped_by_attempt(events: DataFrame) -> DataFrame:
     )
 
 
-def items_grouped_json_by_attempt(events: DataFrame) -> DataFrame:
+def items_grouped_json_by_attempt(
+    events: DataFrame, *, with_first_seen: bool = False
+) -> DataFrame:
     """Grouped events pre-serialized: ``(attempt_id, value: string)``
     where ``value`` is the JSON array the reference writes per group.
+
+    ``with_first_seen=True`` additionally emits ``_first_rid`` =
+    ``min(_row_id)`` per group — the group's first-occurrence position
+    in the input, which is exactly the ordering key of the reference's
+    group ordinal (S15, etl.js:56-58: the counter enumerates groups in
+    Map-insertion order, i.e. by first occurrence). The sink turns it
+    into the ``events-{i}-…`` filename ordinal when asked
+    (``write_grouped_json(group_ordinal=True)``).
 
     Serialization strategy matters more than the sink here: running
     ``to_json`` on the POST-aggregation array (one ~200-event array
@@ -133,7 +143,7 @@ def items_grouped_json_by_attempt(events: DataFrame) -> DataFrame:
     pre = events.select(
         "attempt_id", "_row_id", F.to_json(F.col("event")).alias("ej")
     )
-    return pre.groupBy("attempt_id").agg(
+    aggs = [
         F.concat(
             F.lit("["),
             F.array_join(
@@ -151,7 +161,10 @@ def items_grouped_json_by_attempt(events: DataFrame) -> DataFrame:
             ),
             F.lit("]"),
         ).alias("value")
-    )
+    ]
+    if with_first_seen:
+        aggs.append(F.min("_row_id").alias("_first_rid"))
+    return pre.groupBy("attempt_id").agg(*aggs)
 
 
 def run_items_pipeline(
@@ -161,14 +174,17 @@ def run_items_pipeline(
     *,
     mode: str = "intent",
     layout: str = "spark",
+    group_ordinal: bool = False,
 ) -> DataFrame:
     """End-to-end item pipeline: CSV → grouped events → JSON sink.
 
     ``mode='reference'`` = exact reference parse semantics (regex scan
     incl. F2 row drops, short-row drops, greedy col-14);
     ``mode='intent'`` = CSV datasource with observable corrupt-record
-    policy + multi-LO support (engine default). Returns the grouped
-    DataFrame.
+    policy + multi-LO support (engine default).
+    ``group_ordinal=True`` (reference layout only) names each group
+    file with the reference's first-occurrence ordinal (S15,
+    etl.js:56-58,116). Returns the grouped DataFrame.
     """
     if mode == "reference":
         items = read_items_fidelity(spark, csv_path)
@@ -176,6 +192,10 @@ def run_items_pipeline(
         items = read_csv(spark, csv_path, ASSESSMENT_ITEMS_FIDELITY, mode="permissive")
     events = item_outcome_events(items, multi_lo=mode)
     write_grouped_json(
-        items_grouped_json_by_attempt(events), target, key="attempt_id", layout=layout
+        items_grouped_json_by_attempt(events, with_first_seen=group_ordinal),
+        target,
+        key="attempt_id",
+        layout=layout,
+        group_ordinal=group_ordinal,
     )
     return items_grouped_by_attempt(events)

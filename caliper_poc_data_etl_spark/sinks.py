@@ -15,6 +15,64 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _with_group_ordinal(df: DataFrame, *, order_col: str) -> DataFrame:
+    """Attach the reference's group ordinal (S15): ``_ord`` = 1-based
+    rank of ``order_col`` (the group's first-occurrence row id,
+    etl.js:56-58 Map-insertion order).
+
+    Global rank via the TWO-PASS RANGE-OFFSET form (the
+    ``mix_round_robin_interleave`` r10 re-plan): range-repartition on
+    the unique order key, per-range-partition ``row_number``, then each
+    partition's global offset joins back as a broadcast
+    #partitions-row cumulative-count table — no single partition ever
+    holds all groups, so the ordinal stays computable at any group
+    cardinality. The ranked frame is persisted so the count branch and
+    the output branch see the SAME physical range boundaries."""
+    from pyspark.sql.window import Window as W
+
+    w_pid = W.partitionBy("_pid").orderBy(order_col)
+    ranked = (
+        df.repartitionByRange(F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn_in", F.row_number().over(w_pid).cast("long"))
+        .persist()
+    )
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).cast("long").alias("_off"),
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn("_ord", F.col("_off") + F.col("_rn_in"))
+        .drop("_pid", "_rn_in", "_off", order_col)
+    )
+
+
+def _write_reference_ordinal(df: DataFrame, target: str, *, key: str) -> None:
+    """Reference filename-ordinal layout (S15 opt-in): ONE flat file
+    per group named ``events-{ordinal}-{key}.txt``, ordinal = the
+    group's first-occurrence order in the input — the deterministic
+    stand-in for the reference's ``events-{i}-{Date.now()}`` (etl.js:116;
+    the timestamp suffix is inherently non-deterministic and declared
+    non-semantic, SURVEY §7.3 — the ORDINAL is the reproducible part
+    and is what this layout reproduces). Same executor-direct POSIX
+    writer semantics as :func:`_write_reference_direct` — synchronous
+    writes, any I/O error fails the task loudly."""
+    shutil.rmtree(target, ignore_errors=True)
+    os.makedirs(target, exist_ok=True)
+
+    def _write_partition(rows) -> None:
+        for row in rows:
+            name = f"events-{row['_ord']}-{row[key]}.txt"
+            with open(os.path.join(target, name), "w") as fh:
+                fh.write(row["value"])
+                fh.write("\n")
+
+    df.foreachPartition(_write_partition)
+
+
 def _write_reference_direct(df: DataFrame, target: str, *, key: str) -> None:
     """Direct executor-side file-per-group writer (reference layout).
 
@@ -64,6 +122,7 @@ def write_grouped_json(
     *,
     key: str = "attempt_id",
     layout: str = "spark",
+    group_ordinal: bool = False,
 ) -> None:
     """Write one JSON document stream per group key.
 
@@ -115,7 +174,26 @@ def write_grouped_json(
     old = spark.conf.get(coalesce_key, None)
     spark.conf.set(coalesce_key, "false")
     try:
-        if pre_serialized:
+        if group_ordinal:
+            # S15 opt-in: filename ordinal by first-occurrence order.
+            # Requires the pre-serialized form carrying _first_rid
+            # (items_grouped_json_by_attempt(with_first_seen=True)).
+            if layout != "reference":
+                raise ValueError(
+                    "group_ordinal is a reference-layout filename parity "
+                    f"feature; got layout={layout!r}"
+                )
+            if not (pre_serialized and "_first_rid" in df.columns):
+                raise ValueError(
+                    "group_ordinal needs the pre-serialized grouped form "
+                    "with _first_rid (with_first_seen=True)"
+                )
+            _write_reference_ordinal(
+                _with_group_ordinal(df, order_col="_first_rid"),
+                target,
+                key=key,
+            )
+        elif pre_serialized:
             _write_pre_serialized(df, target, key=key, layout=layout)
         elif layout == "reference":
             _write_reference_direct(

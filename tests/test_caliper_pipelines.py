@@ -209,3 +209,102 @@ class TestAssessmentsPipeline:
         assert len(files) == 3
         payloads = [json.loads(f.read_text().strip()) for f in files]
         assert all(len(p) == 3 for p in payloads)
+
+
+class TestGroupOrdinal:
+    """S15 (etl.js:56-58,116): the reference names each group file with
+    a counter enumerating groups in Map-insertion order — i.e. by the
+    group's FIRST OCCURRENCE in the input. ``group_ordinal=True``
+    reproduces the deterministic part of that filename
+    (``events-{i}-{key}.txt``; the Date.now() suffix is declared
+    non-semantic)."""
+
+    # 12 rows, 5 attempts, first-occurrence order deliberately NOT the
+    # sorted attempt-id order: att-9, att-2, att-7, att-1, att-5.
+    _ATTEMPT_SEQ = [
+        "att-9", "att-2", "att-9", "att-7", "att-2", "att-1",
+        "att-7", "att-5", "att-9", "att-1", "att-2", "att-5",
+    ]
+
+    @pytest.fixture(scope="class")
+    def ordinal_csv(self, tmp_path_factory):
+        header = (
+            "identity_id,login_identity_id,school_id,assessment_id,"
+            "assessment_version,attempt_id,assmtitem_id,assmtitem_version,"
+            "assessment_type_id,response_type,question_time,score_posible,"
+            "score_earned,masterobjectives,masterobjectivesid,objectivenumber"
+        )
+        rows = [
+            f"stu-1,login-1,sch-9,asmt-01,1.0,{att},item-{i:02d},1,5,"
+            f"TRUEFALSE,10,10,{i},Algebra Basics,101,1.{i}"
+            for i, att in enumerate(self._ATTEMPT_SEQ)
+        ]
+        p = tmp_path_factory.mktemp("ordinal") / "items.csv"
+        p.write_text("\n".join([header] + rows) + "\n")
+        return str(p)
+
+    def test_filenames_follow_first_occurrence_order(
+        self, spark, ordinal_csv, tmp_path
+    ):
+        target = tmp_path / "target"
+        run_items_pipeline(
+            spark,
+            ordinal_csv,
+            str(target),
+            layout="reference",
+            group_ordinal=True,
+        )
+        files = sorted(target.glob("events-*.txt"))
+        # flat layout, one file per group, contiguous 1-based ordinals
+        by_ord = {}
+        for f in files:
+            _, ordn, att = f.stem.split("-", 2)
+            by_ord[int(ordn)] = att
+        first_seen = list(dict.fromkeys(self._ATTEMPT_SEQ))
+        assert sorted(by_ord) == list(range(1, len(first_seen) + 1))
+        assert [by_ord[i] for i in sorted(by_ord)] == first_seen
+
+    def test_content_matches_plain_reference_layout(
+        self, spark, ordinal_csv, tmp_path
+    ):
+        t_ord = tmp_path / "t_ord"
+        t_ref = tmp_path / "t_ref"
+        run_items_pipeline(
+            spark, ordinal_csv, str(t_ord), layout="reference", group_ordinal=True
+        )
+        run_items_pipeline(spark, ordinal_csv, str(t_ref), layout="reference")
+        got = {}
+        for f in t_ord.glob("events-*.txt"):
+            _, _, att = f.stem.split("-", 2)
+            got[att] = f.read_text()
+        want = {}
+        for d in t_ref.glob("attempt_id=*"):
+            att = d.name.split("=", 1)[1]
+            (f,) = list(d.glob("*.txt"))
+            want[att] = f.read_text()
+        assert got == want
+
+    def test_guardrails(self, spark, ordinal_csv, tmp_path):
+        from caliper_poc_data_etl_spark.pipelines.items import (
+            item_outcome_events,
+            items_grouped_json_by_attempt,
+        )
+        from caliper_poc_data_etl_spark.schemas import ASSESSMENT_ITEMS_FIDELITY
+        from caliper_poc_data_etl_spark.sinks import write_grouped_json
+        from caliper_poc_data_etl_spark.sources import read_csv
+
+        items = read_csv(spark, ordinal_csv, ASSESSMENT_ITEMS_FIDELITY)
+        events = item_outcome_events(items)
+        with_rid = items_grouped_json_by_attempt(events, with_first_seen=True)
+        without_rid = items_grouped_json_by_attempt(events)
+        with pytest.raises(ValueError, match="reference-layout"):
+            write_grouped_json(
+                with_rid, str(tmp_path / "x"), layout="spark", group_ordinal=True
+            )
+        with pytest.raises(ValueError, match="_first_rid"):
+            write_grouped_json(
+                without_rid,
+                str(tmp_path / "y"),
+                layout="reference",
+                group_ordinal=True,
+            )
