@@ -541,9 +541,10 @@ _DEFERRED = [
 # Round-12 graded window (VERDICT r11 demands): the front holds the
 # round-12 additions (queries/round18.py: dedup_semantic_cluster —
 # demand #1, text_quality_classifier_score — demand #4,
-# sim_rrf_fusion — demand #5, plus the frontier bonus
+# sim_rrf_fusion — demand #5, plus the frontier bonuses
 # sim_maxsim_late_interaction — ColBERT-style multi-vector MaxSim
-# scoring), mm_pixel_features (rows-only →
+# scoring — and dedup_cdc_chunks — content-defined chunking dedup,
+# the LBFS/FastCDC cut rule), mm_pixel_features (rows-only →
 # hash-green promotion, demand #3), the demand-#2 oracle/plan
 # rewrites (sim_pairwise_label_stats re-implemented integer-exact
 # with a closed-form linear oracle; sim_label_centroid_stats oracle
@@ -558,7 +559,7 @@ _DEFERRED = [
 # N_HYPERPLANES-env-knob family (sim_ann_lsh, sim_lsh_bucket_parity,
 # dedup_embedding_lsh, dedup_embedding_lsh_candidate_parity —
 # transitively-used-helper rule; default value unchanged). The
-# remaining 26 slots backfill from the HEAD of `_DEFERRED`, which
+# remaining 25 slots backfill from the HEAD of `_DEFERRED`, which
 # rotates: entries re-graded as backfill move to the tail, so the
 # rolling re-certification sweeps oldest-first (this round: the rest
 # of the r02/r03 block, then the r04 block head). `_NEXT` stays

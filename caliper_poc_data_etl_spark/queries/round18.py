@@ -21,6 +21,11 @@
   scored by the sum over query token-vectors of the max cosine
   against any document token-vector — the retrieval-scoring family
   (multi-vector) the registry's dense/lexical/fused trio lacked.
+- ``dedup_cdc_chunks`` — content-defined chunking dedup (LBFS cut
+  rule, Muthitacharoen et al. SOSP'01; FastCDC, Xia et al. ATC'16):
+  rolling-hash boundaries make chunk identity shift-resistant, the
+  storage-dedup view of corpus redundancy the fixed-width chunker
+  cannot give.
 
 Registry conventions as everywhere (queries/__init__.py docstring).
 """
@@ -572,4 +577,168 @@ def sim_maxsim_late_interaction(spark, sf_dir):
         sc.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _MAXSIM_TOPN)
         .select("rank", "doc_id", "score_micro", "n_q")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+CDC_W = 8  # rolling-hash window (chars)
+CDC_DIV = 32  # boundary divisor: cut when hash % DIV == 0 (~32-char chunks)
+
+
+def _cdc_oracle() -> str:
+    w, dv = CDC_W, CDC_DIV
+    return f"""
+    WITH pos AS (
+      SELECT doc_id, text, u.i AS p
+      FROM documents, unnest(range(1, length(text) - {w} + 2)) AS u(i)
+      WHERE length(text) >= {w}
+    ), cuts AS (
+      SELECT doc_id, p + {w} - 1 AS e
+      FROM pos
+      WHERE ('0x' || substr(md5(substr(text, CAST(p AS INT), {w})), 1, 8))::BIGINT
+            % {dv} = 0
+    ), ends AS (
+      SELECT DISTINCT doc_id, e FROM (
+        SELECT doc_id, e FROM cuts
+        UNION ALL
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS e FROM documents
+      )
+    ), chunks AS (
+      SELECT doc_id, e,
+             COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1
+               AS s
+      FROM ends
+    ), hashed AS (
+      SELECT c.doc_id, c.s, c.e,
+             md5(substr(d.text, CAST(c.s AS INT), CAST(c.e - c.s + 1 AS INT)))
+               AS chash
+      FROM chunks c JOIN documents d ON d.doc_id = c.doc_id
+    ), freq AS (
+      SELECT chash, CAST(COUNT(*) AS BIGINT) AS cnt FROM hashed GROUP BY chash
+    )
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_chunks,
+           CAST(SUM(CASE WHEN f.cnt > 1 THEN h.e - h.s + 1 ELSE 0 END)
+             AS BIGINT) AS dup_chars,
+           CAST(MAX(h.e) AS BIGINT) AS total_chars,
+           CAST(CASE WHEN MAX(h.e) = 0 THEN 0
+                ELSE 1000 * SUM(CASE WHEN f.cnt > 1 THEN h.e - h.s + 1
+                                     ELSE 0 END) // MAX(h.e) END AS BIGINT)
+             AS dup_permille
+    FROM hashed h JOIN freq f ON f.chash = h.chash
+    GROUP BY h.doc_id
+    """
+
+
+@query("dedup_cdc_chunks", oracle=_cdc_oracle())
+def dedup_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking dedup (the LBFS rolling-hash cut rule —
+    Muthitacharoen, Chen & Mazières SOSP'01 — whose modern production
+    form is FastCDC, Xia et al. USENIX ATC'16): chunk boundaries fall
+    AFTER any 8-char window whose hash % 32 == 0, so chunk identity is
+    decided by CONTENT, not offset — an insertion near the head of a
+    document re-chunks only up to the first boundary past the edit,
+    and every later chunk keeps its exact hash. That shift-resistance
+    is what the fixed-width ``curation_chunk_dedup_rewrite`` (C4-style
+    8-word chunks) cannot give: a one-word prefix edit there shifts
+    and re-keys EVERY downstream chunk. Output per document: chunk
+    count, how many of its chunks appear elsewhere in the corpus
+    (global multiset frequency > 1), duplicated chars, and the
+    per-mille duplicated-byte ratio — the storage-dedup view of corpus
+    redundancy next to the similarity views (MinHash/SimHash) and the
+    span views (winnowing/ExactSubstr).
+
+    Production notes in the docstring contract: FastCDC adds min/max
+    chunk clamps and a gear table; both are boundary-rule refinements
+    on this exact plan shape. Degenerates handled: docs shorter than
+    the 8-char window (and empty docs) form one whole-doc chunk via
+    the per-doc sentinel cut at position len.
+
+    Scale shape: doc_id repartition BEFORE the position explode (the
+    winnowing lesson — the one-row-group fixture would otherwise run
+    every md5 on one task; parallelism must be decided on POST-explode
+    volume), the cut filter drops ~31/32 of positions at the map, the
+    chunk window and the text re-join are both on the SAME doc_id
+    partitioning (no extra exchange), and the global chunk-frequency
+    groupBy is the one content-keyed shuffle — it carries ~len/32
+    chunk hashes per doc, partial-aggregated map-side. All arithmetic
+    integer; md5 the only hash; no floats anywhere."""
+    w, dv = CDC_W, CDC_DIV
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    d = t(spark, sf_dir, "documents").repartition(n_part, "doc_id")
+    pos = d.filter(F.length("text") >= w).select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - w + 1)
+        ).alias("p"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("text").substr(F.col("p"), F.lit(w))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    # text rides ALONG both branches (cut rows + the per-doc sentinel)
+    # so chunk substrings never re-join the corpus — a shared-lineage
+    # re-join of `d` here resolved ambiguously under AQE and silently
+    # dropped doc-final chunks; carrying the value column is also the
+    # honest shuffle accounting (cut density 1/DIV => the end-row
+    # shuffle carries ~len/32 copies of each doc, ~2x corpus bytes).
+    cuts = pos.filter(h % dv == 0).select(
+        "doc_id", "text", (F.col("p") + (w - 1)).cast("long").alias("e")
+    )
+    ends = cuts.unionAll(
+        d.select("doc_id", "text", F.length("text").cast("long").alias("e"))
+    ).dropDuplicates(["doc_id", "e"])
+    wlag = W.partitionBy("doc_id").orderBy("e")
+    chunks = ends.select(
+        "doc_id",
+        "text",
+        "e",
+        (F.coalesce(F.lag("e").over(wlag), F.lit(0).cast("long")) + 1).alias(
+            "s"
+        ),
+    )
+    hashed = chunks.select(
+        "doc_id",
+        "s",
+        "e",
+        F.md5(
+            F.col("text").substr(
+                F.col("s").cast("int"), (F.col("e") - F.col("s") + 1).cast("int")
+            )
+        ).alias("chash"),
+    )
+    freq = hashed.groupBy("chash").agg(F.count("*").cast("long").alias("cnt"))
+    dup_chars = F.sum(
+        F.when(F.col("cnt") > 1, F.col("e") - F.col("s") + 1).otherwise(0)
+    ).cast("long")
+    return (
+        hashed.join(freq, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_chunks"),
+            dup_chars.alias("dup_chars"),
+            F.max("e").cast("long").alias("total_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            "dup_chars",
+            "total_chars",
+            F.when(F.col("total_chars") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                F.expr("1000 * dup_chars div total_chars").cast("long")
+            )
+            .alias("dup_permille"),
+        )
     )

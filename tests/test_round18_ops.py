@@ -271,3 +271,105 @@ class TestMaxSimLateInteraction:
         assert got[0]["score_micro"] == got[0]["n_q"] * 1_000_000
         ranks = [r["rank"] for r in got]
         assert ranks == list(range(1, len(got) + 1))
+
+
+def _cdc_chunks(text, w=8, dv=32):
+    """Pure-python CDC replica: cut AFTER any w-char window whose
+    md5-prefix int % dv == 0; sentinel cut at len."""
+    ends = set()
+    for p in range(1, max(len(text) - w + 1, 0) + 1):
+        gram = text[p - 1 : p - 1 + w]
+        if int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % dv == 0:
+            ends.add(p + w - 1)
+    ends.add(len(text))
+    out, prev = [], 0
+    for e in sorted(ends):
+        out.append(text[prev:e])
+        prev = e
+    return out
+
+
+class TestCdcChunks:
+    def test_python_replica(self, spark, oracle_sf_dir):
+        """Full replica: chunk boundaries, global multiset dup counts,
+        per-doc char accounting."""
+        docs = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(
+                f"{oracle_sf_dir}/documents.parquet"
+            ).collect()
+        }
+        chunks = {d: _cdc_chunks(t) for d, t in docs.items()}
+        freq = {}
+        for cl in chunks.values():
+            for c in cl:
+                freq[c] = freq.get(c, 0) + 1
+        got = {r["doc_id"]: r for r in _rows("dedup_cdc_chunks", spark, oracle_sf_dir)}
+        assert set(got) == set(docs)
+        for d, cl in chunks.items():
+            dup = [c for c in cl if freq[c] > 1]
+            r = got[d]
+            assert r["n_chunks"] == len(cl)
+            assert r["n_dup_chunks"] == len(dup)
+            assert r["dup_chars"] == sum(len(c) for c in dup)
+            assert r["total_chars"] == len(docs[d])
+            want_pm = (
+                0
+                if len(docs[d]) == 0
+                else 1000 * sum(len(c) for c in dup) // len(docs[d])
+            )
+            assert r["dup_permille"] == want_pm
+
+    def test_chunks_cover_document_exactly(self, oracle_sf_dir, spark):
+        """Coverage invariant of the replica itself (the cut rule the
+        operator and oracle both encode): chunks concatenate back to
+        the document, non-overlapping, in order."""
+        docs = [
+            r["text"]
+            for r in spark.read.parquet(f"{oracle_sf_dir}/documents.parquet")
+            .limit(50)
+            .collect()
+        ]
+        for t in docs:
+            assert "".join(_cdc_chunks(t)) == t
+
+    def test_shift_resistance_vs_fixed_width(self, spark):
+        """THE content-defined-chunking claim (LBFS §3 / FastCDC §1):
+        prepending an edit re-chunks only up to the first boundary
+        past the edit — almost every chunk hash survives — whereas
+        fixed-width chunking re-keys essentially every chunk."""
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        words = ["".join(rng.choice(list("abcdefgh"), 5)) for _ in range(120)]
+        base = " ".join(words)
+        edited = "zq9 " + base  # 4-char prefix insertion
+        d = tempfile.mkdtemp(prefix="cdc_fix_")
+        spark.createDataFrame(
+            [(0, base, "en", "s"), (1, edited, "en", "s")],
+            "doc_id long, text string, lang string, source string",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {r["doc_id"]: r for r in _rows("dedup_cdc_chunks", spark, d)}
+        base_chunks = _cdc_chunks(base)
+        shared = set(base_chunks) & set(_cdc_chunks(edited))
+        # CDC: all but the first O(1) chunks survive the prefix edit —
+        # the operator sees them as cross-doc duplicates.
+        assert len(shared) >= len(base_chunks) - 2
+        assert got[0]["n_dup_chunks"] >= len(base_chunks) - 2
+        # fixed-width 32-char chunking on the same pair shares ~nothing
+        fixed = lambda t: [t[i : i + 32] for i in range(0, len(t), 32)]
+        assert len(set(fixed(base)) & set(fixed(edited))) <= 1
+
+    def test_degenerate_short_and_empty_docs(self, spark):
+        """Docs shorter than the hash window (and empty docs) form one
+        whole-doc chunk via the sentinel cut."""
+        d = tempfile.mkdtemp(prefix="cdc_deg_")
+        spark.createDataFrame(
+            [(0, "", "en", "s"), (1, "tiny", "en", "s"), (2, "tiny", "en", "s")],
+            "doc_id long, text string, lang string, source string",
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {r["doc_id"]: r for r in _rows("dedup_cdc_chunks", spark, d)}
+        assert got[0]["n_chunks"] == 1 and got[0]["total_chars"] == 0
+        assert got[0]["dup_permille"] == 0
+        assert got[1]["n_chunks"] == 1 and got[1]["n_dup_chunks"] == 1
+        assert got[2]["dup_chars"] == 4 and got[2]["dup_permille"] == 1000
