@@ -635,7 +635,7 @@ def dedup_embedding_lsh(spark, sf_dir):
         "vec_id",
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
-        lsh_bucket_column(F.col("embedding")).alias("bucket"),
+        lsh_bucket_column("embedding").alias("bucket"),
     )
     # Multi-probe: register each vector under its bucket and the
     # N_HYPERPLANES 1-bit flips; a pair collides if any probe bucket
@@ -819,7 +819,8 @@ def dedup_embedding_lsh_candidate_parity(spark, sf_dir):
     adds only the float cosine verification on top, which the
     subset-of-exact pytest covers."""
     from caliper_poc_data_etl_spark.queries.similarity import (
-        _dot,
+        _dot_sql,
+        _hp_sql,
         _hyperplanes,
     )
 
@@ -828,16 +829,15 @@ def dedup_embedding_lsh_candidate_parity(spark, sf_dir):
         "embedding", lambda x: F.round(x.cast("double") * 1000).cast("double")
     )
     base = e.select("vec_id", qv.alias("qv"))
-    bucket = None
-    for i, hp in enumerate(_hyperplanes()):
-        hp_arr = F.array(*[F.lit(v) for v in hp])
-        bit = F.shiftleft(
-            F.when(_dot(F.col("qv"), hp_arr) > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-            i,
-        ).cast("long")
-        bucket = bit if bucket is None else bucket + bit
+    # One parsed expression for the whole bit pack (r12 build-cost fix;
+    # same shifted-CASE sum the Column loop built, value-identical).
+    bucket = F.expr(
+        " + ".join(
+            f"(CAST(CASE WHEN {_dot_sql('qv', _hp_sql(hp))} > 0 "
+            f"THEN 1 ELSE 0 END AS BIGINT) << {i})"
+            for i, hp in enumerate(_hyperplanes())
+        )
+    )
     b = base.select("vec_id", bucket.alias("bucket"))
     probes = F.array(
         F.col("bucket"),

@@ -125,7 +125,7 @@ def dedup_semantic_cluster(spark, sf_dir):
         "vec_id",
         "k",
         "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        F.sqrt(_dot("embedding", "embedding")).alias("nrm"),
     )
     a = base.select(
         F.col("vec_id").alias("vec_a"),
@@ -143,7 +143,7 @@ def dedup_semantic_cluster(spark, sf_dir):
         F.col("nrm").alias("nrm_b"),
         F.pmod(F.col("vec_id"), F.lit(_SEM_SALTS)).cast("int").alias("salt"),
     )
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+    cos = _dot("emb_a", "emb_b") / (
         F.col("nrm_a") * F.col("nrm_b")
     )
     close = (
@@ -377,10 +377,10 @@ def sim_rrf_fusion(spark, sf_dir):
     e = t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == _RRF_QUERY_VEC).select(
         F.col("embedding").alias("q_emb"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_nrm"),
+        F.sqrt(_dot("embedding", "embedding")).alias("q_nrm"),
     )
-    cos = _dot(F.col("embedding"), F.col("q_emb")) / (
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))) * F.col("q_nrm")
+    cos = _dot("embedding", "q_emb") / (
+        F.sqrt(_dot("embedding", "embedding")) * F.col("q_nrm")
     )
     dense = (
         e.filter(F.col("vec_id") != _RRF_QUERY_VEC)

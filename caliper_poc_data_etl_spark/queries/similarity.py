@@ -30,7 +30,22 @@ N_HYPERPLANES = int(_os.environ.get("SPARK_GRAFT_LSH_BITS", "8"))
 DIM = 64
 
 
+def _dot_sql(x: str, y: str) -> str:
+    """SQL fragment for the same fold :func:`_dot` builds — identical
+    expression tree after parsing (Multiply → Cast(double) → Add fold
+    with a 0.0 double init), so the floating-point result is
+    bit-identical. Exists because rendering ONE string costs one py4j
+    round-trip where the Column construction costs hundreds (r12:
+    sim_ann_lsh build 1.7 s → 0.35 s, measured value-identical)."""
+    return (
+        f"aggregate(zip_with({x}, {y}, (p, q) -> CAST(p * q AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
 def _dot(x, y):
+    if isinstance(x, str) and isinstance(y, str):
+        return F.expr(_dot_sql(x, y))
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: (p * q).cast("double")),
         F.lit(0.0),
@@ -70,14 +85,14 @@ def sim_cosine_topk(spark, sf_dir):
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+        F.sqrt(_dot("embedding", "embedding")).alias("q_norm"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("c_norm"),
+        F.sqrt(_dot("embedding", "embedding")).alias("c_norm"),
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    cos = _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos_raw", cos)
@@ -96,9 +111,28 @@ def _hyperplanes() -> list[list[float]]:
     return [[float(rng.choice((-1, 1))) for _ in range(DIM)] for _ in range(N_HYPERPLANES)]
 
 
+def _hp_sql(hp) -> str:
+    """Render one ±1.0 hyperplane as a SQL double-array literal (the
+    values are exactly representable, so the rendered literal is the
+    same double F.lit would produce)."""
+    return "array(" + ", ".join(f"{v:.1f}D" for v in hp) + ")"
+
+
 def lsh_bucket_column(emb_col):
     """Random-hyperplane LSH bucket id: the sign bits of the dots with
-    N fixed hyperplanes, packed into a long."""
+    N fixed hyperplanes, packed into a long.
+
+    Accepts a column NAME (string) to build the whole bucket as one
+    parsed expression — the N×DIM literal arrays cost 2 py4j calls
+    instead of N·DIM F.lit round-trips (r12; value-identical by A/B) —
+    or a Column for ad-hoc expressions (original fold form)."""
+    if isinstance(emb_col, str):
+        bits = [
+            f"(CAST(CASE WHEN {_dot_sql(emb_col, _hp_sql(hp))} > 0 "
+            f"THEN 1 ELSE 0 END AS BIGINT) << {i})"
+            for i, hp in enumerate(_hyperplanes())
+        ]
+        return F.expr("(" + " | ".join(bits) + ")").cast("long")
     bucket = F.lit(0).cast("long")
     for i, hp in enumerate(_hyperplanes()):
         hp_arr = F.array(*[F.lit(v) for v in hp])
@@ -115,7 +149,7 @@ def sim_ann_lsh(spark, sf_dir):
     (or differing in one sign bit) with the query — the IVF-ish scale
     path. Tests measure recall vs `sim_cosine_topk`."""
     e = t(spark, sf_dir, "embeddings").withColumn(
-        "bucket", lsh_bucket_column(F.col("embedding"))
+        "bucket", lsh_bucket_column("embedding")
     )
     # Multi-probe: each vector also registers in the N 1-bit-flipped
     # buckets, trading index size for recall.
@@ -131,17 +165,17 @@ def sim_ann_lsh(spark, sf_dir):
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+            F.sqrt(_dot("embedding", "embedding")).alias("q_norm"),
             F.explode(probes).alias("probe_bucket"),
         )
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("c_norm"),
+        F.sqrt(_dot("embedding", "embedding")).alias("c_norm"),
         F.col("bucket").alias("c_bucket"),
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    cos = _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
     scored = (
         c.join(F.broadcast(q), F.col("probe_bucket") == F.col("c_bucket"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -187,16 +221,15 @@ def sim_lsh_bucket_parity(spark, sf_dir):
     qv = F.transform(
         "embedding", lambda x: F.round(x.cast("double") * 1000).cast("double")
     )
-    bucket = None
-    for i, hp in enumerate(_hyperplanes()):
-        hp_arr = F.array(*[F.lit(v) for v in hp])
-        bit = F.shiftleft(
-            F.when(_dot(F.col("qv"), hp_arr) > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-            i,
-        ).cast("long")
-        bucket = bit if bucket is None else bucket + bit
+    # One parsed expression for the whole bit pack (r12 build-cost fix;
+    # same shifted-CASE sum the Column loop built, value-identical).
+    bucket = F.expr(
+        " + ".join(
+            f"(CAST(CASE WHEN {_dot_sql('qv', _hp_sql(hp))} > 0 "
+            f"THEN 1 ELSE 0 END AS BIGINT) << {i})"
+            for i, hp in enumerate(_hyperplanes())
+        )
+    )
     return e.select("vec_id", qv.alias("qv")).select(
         "vec_id", bucket.alias("bucket")
     )
@@ -232,9 +265,9 @@ def sim_ivf_topk(spark, sf_dir):
             F.col("vec_id").alias("cell"), F.col("embedding").alias("cent_emb")
         )
     )
-    cos_cent = _dot(F.col("embedding"), F.col("cent_emb")) / (
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-        * F.sqrt(_dot(F.col("cent_emb"), F.col("cent_emb")))
+    cos_cent = _dot("embedding", "cent_emb") / (
+        F.sqrt(_dot("embedding", "embedding"))
+        * F.sqrt(_dot("cent_emb", "cent_emb"))
     )
     # Corpus→cell: argmax over the broadcast centroid set, carried as a
     # narrow (vec_id, cell) table joined back by key.
@@ -246,7 +279,7 @@ def sim_ivf_topk(spark, sf_dir):
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("c_emb"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("c_norm"),
+        F.sqrt(_dot("embedding", "embedding")).alias("c_norm"),
     ).join(
         assign.select(F.col("vec_id").alias("neighbor_id"), "cell"), "neighbor_id"
     )
@@ -260,7 +293,7 @@ def sim_ivf_topk(spark, sf_dir):
         .select(
             "query_id",
             F.col("embedding").alias("q_emb"),
-            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+            F.sqrt(_dot("embedding", "embedding")).alias("q_norm"),
             "cell",
             cos_cent.alias("probe_cos"),
         )
@@ -268,7 +301,7 @@ def sim_ivf_topk(spark, sf_dir):
         .filter(F.col("probe_rank") <= N_PROBE)
         .select("query_id", "q_emb", "q_norm", "cell")
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    cos = _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
     return (
         corpus.join(F.broadcast(q_probes), "cell")
@@ -318,15 +351,15 @@ def knn_label_vote(spark, sf_dir):
     q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+        F.sqrt(_dot("embedding", "embedding")).alias("q_norm"),
     )
     c = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label"),
         F.col("embedding").alias("c_emb"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("c_norm"),
+        F.sqrt(_dot("embedding", "embedding")).alias("c_norm"),
     )
-    cos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_norm") * F.col("c_norm"))
+    cos = _dot("q_emb", "c_emb") / (F.col("q_norm") * F.col("c_norm"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_raw"), "neighbor_id")
     knn = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -480,7 +513,7 @@ def sim_pairwise_label_stats(spark, sf_dir):
         "vec_id",
         "label",
         "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        F.sqrt(_dot("embedding", "embedding")).alias("norm"),
     )
     qv = F.transform(
         "embedding",
@@ -606,7 +639,7 @@ def sim_label_centroid_stats(spark, sf_dir):
     normed = e.select(
         "label",
         "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+        F.sqrt(_dot("embedding", "embedding")).alias("norm"),
     )
     unit = F.transform("embedding", lambda x: x.cast("double") / F.col("norm"))
     # Per-label unit-vector sums: explode to (label, pos, val) — 64×
@@ -641,8 +674,8 @@ def sim_label_centroid_stats(spark, sf_dir):
         within, (F.col("n_a") * (F.col("n_a") - 1) / 2).cast("long")
     ).otherwise(F.col("n_a") * F.col("n_b"))
     sum_cos = F.when(
-        within, (_dot(F.col("s_a"), F.col("s_a")) - F.col("n_a")) / 2
-    ).otherwise(_dot(F.col("s_a"), F.col("s_b")))
+        within, (_dot("s_a", "s_a") - F.col("n_a")) / 2
+    ).otherwise(_dot("s_a", "s_b"))
     return (
         cross.select(
             "label_a",
@@ -701,8 +734,8 @@ def sim_ivf_assign_parity(spark, sf_dir):
     cent = q.filter(F.col("vec_id") < N_CELLS).select(
         F.col("vec_id").alias("cell"), F.col("qv").alias("cv")
     )
-    score = _dot(F.col("qv"), F.col("cv")) / F.sqrt(
-        _dot(F.col("cv"), F.col("cv"))
+    score = _dot("qv", "cv") / F.sqrt(
+        _dot("cv", "cv")
     )
     w = W.partitionBy("vec_id").orderBy(F.desc("score"), "cell")
     return (
