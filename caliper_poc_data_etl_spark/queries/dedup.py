@@ -262,14 +262,17 @@ def dedup_minhash_md5_parity(spark, sf_dir):
             % MERSENNE_P,
         ).alias("harr"),
     )
-    harr = F.col("harr")
+    # K permutation minima rendered as ONE parsed expression (r12
+    # build-cost fix; same Remainder arithmetic the Column loop built).
     mins = [
-        F.array_min(F.transform(harr, lambda h: (a * h + b) % MERSENNE_P))
+        f"array_min(transform(harr, h -> ({a} * h + {b}) % {MERSENNE_P}))"
         for a, b in _minhash_coeffs()
     ]
     return sets.select(
         "doc_id",
-        F.concat_ws(",", *[m.cast("string") for m in mins]).alias("sig"),
+        F.expr(
+            "concat_ws(',', " + ", ".join(f"CAST({m} AS STRING)" for m in mins) + ")"
+        ).alias("sig"),
     )
 
 
@@ -288,29 +291,23 @@ def minhash_signatures(spark, sf_dir) -> DataFrame:
     group-by, which carries one (band, hash, doc_id) row per band per
     doc, never the shingle stream.
     """
-    import random
-
     sets = _doc_shingle_sets(t(spark, sf_dir, "documents")).select(
         "doc_id",
         F.transform(
             "shset", lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P))
         ).alias("harr"),
     )
-    harr = F.col("harr")
-    # Full-range random coefficients (fixed seed → deterministic runs):
-    # small sequential a_i make a badly correlated linear family and
-    # measurably miss borderline candidates.
-    rng = random.Random(20260813)
-    mins = []
-    for i in range(MINHASH_K):
-        a_i = rng.randrange(1, MERSENNE_P)
-        b_i = rng.randrange(0, MERSENNE_P)
-        mins.append(
-            F.array_min(
-                F.transform(harr, lambda h: F.pmod(a_i * h + b_i, F.lit(MERSENNE_P)))
-            )
-        )
-    return sets.select("doc_id", F.array(*mins).alias("sig"))
+    # Full-range random coefficients (fixed seed → deterministic runs;
+    # _minhash_coeffs draws the identical sequence the inline loop
+    # did): small sequential a_i make a badly correlated linear family
+    # and measurably miss borderline candidates. The K minima render
+    # as ONE parsed expression — the 32-lambda Column loop cost ~1 s
+    # of py4j round-trips per build (r12; value-identical pmod tree).
+    sig_sql = "array(" + ", ".join(
+        f"array_min(transform(harr, h -> pmod({a} * h + {b}, {MERSENNE_P})))"
+        for a, b in _minhash_coeffs()
+    ) + ")"
+    return sets.select("doc_id", F.expr(sig_sql).alias("sig"))
 
 
 @query("dedup_minhash_lsh", oracle=None)  # engine-specific hashing → rows-only
@@ -327,11 +324,12 @@ def dedup_minhash_lsh(spark, sf_dir):
     bands = sig.select(
         "doc_id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(F.slice("sig", i * r + 1, r).cast("array<string>").cast("string"))
+            F.expr(
+                "array(" + ", ".join(
+                    f"xxhash64(CAST(CAST(slice(sig, {i * r + 1}, {r}) "
+                    "AS ARRAY<STRING>) AS STRING))"
                     for i in range(MINHASH_BANDS)
-                ]
+                ) + ")"
             )
         ).alias("band", "band_hash"),
     )
@@ -934,12 +932,15 @@ def dedup_minhash_jaccard_estimate(spark, sf_dir):
             % MERSENNE_P,
         ).alias("harr"),
     )
-    harr = F.col("harr")
-    mins = [
-        F.array_min(F.transform(harr, lambda h: (a * h + b) % MERSENNE_P))
-        for a, b in _minhash_coeffs()
-    ]
-    sigs = sigs.select("doc_id", F.array(*mins).alias("sig"))
+    sigs = sigs.select(
+        "doc_id",
+        F.expr(
+            "array(" + ", ".join(
+                f"array_min(transform(harr, h -> ({a} * h + {b}) % {MERSENNE_P}))"
+                for a, b in _minhash_coeffs()
+            ) + ")"
+        ).alias("sig"),
+    )
     sh = sets.select(
         "doc_id", F.size("shset").alias("n"), F.explode("shset").alias("shingle")
     )
