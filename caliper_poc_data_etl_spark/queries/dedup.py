@@ -393,28 +393,27 @@ def simhash_fingerprints(d: DataFrame) -> DataFrame:
         .select("doc_id", F.explode("toks").alias("tok"))
         .select("doc_id", F.xxhash64("tok").alias("h"))
     )
-    h = F.col("h")
+    # Parsed-expression builders (the r12 similarity.py recipe): the 64
+    # vote aggregates and the 64-bit pack render as SQL strings — one
+    # py4j round-trip each instead of ~6 per Column chain (~1100 total;
+    # the build cost is paid per bench trial / correctness run). The
+    # parsed trees are the same operators (CASE WHEN / & / <<), so the
+    # values are bit-identical.
     votes = [
-        F.sum(
-            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), k)) != 0, 1)
-            .otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (h & (CAST(1 AS BIGINT) << {k})) != 0 "
+            "THEN 1 ELSE -1 END)"
         ).alias(f"v_{k}")
         for k in range(64)
     ]
     voted = toks.groupBy("doc_id").agg(*votes)
-    bits = [
-        F.shiftleft(
-            F.when(F.col(f"v_{k}") > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-            k,
-        ).cast("long")
+    fingerprint = " | ".join(
+        f"(CAST(CASE WHEN v_{k} > 0 THEN 1 ELSE 0 END AS BIGINT) << {k})"
         for k in range(64)
-    ]
-    fingerprint = bits[0]
-    for b in bits[1:]:
-        fingerprint = fingerprint.bitwiseOR(b)
-    return voted.select("doc_id", fingerprint.alias("simhash"))
+    )
+    return voted.select(
+        "doc_id", F.expr(f"CAST(({fingerprint}) AS BIGINT)").alias("simhash")
+    )
 
 
 _SIMHASH_MD5_BITS = 60  # md5 15-hex-char prefix → 60 usable bits
@@ -459,25 +458,23 @@ def dedup_simhash_md5_parity(spark, sf_dir):
             ).alias("h"),
         )
     )
-    h = F.col("h")
+    # Parsed-expression builders, as in :func:`simhash_fingerprints`
+    # (same operators after parsing — hash-graded values unchanged).
     votes = [
-        F.sum(
-            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), k)) != 0, 1)
-            .otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (h & (CAST(1 AS BIGINT) << {k})) != 0 "
+            "THEN 1 ELSE -1 END)"
         ).alias(f"v_{k}")
         for k in range(_SIMHASH_MD5_BITS)
     ]
     voted = toks.groupBy("doc_id").agg(*votes)
-    fingerprint = None
-    for k in range(_SIMHASH_MD5_BITS):
-        bit = F.shiftleft(
-            F.when(F.col(f"v_{k}") > 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-            k,
-        ).cast("long")
-        fingerprint = bit if fingerprint is None else fingerprint + bit
-    return voted.select("doc_id", fingerprint.alias("simhash"))
+    fingerprint = " + ".join(
+        f"(CAST(CASE WHEN v_{k} > 0 THEN 1 ELSE 0 END AS BIGINT) << {k})"
+        for k in range(_SIMHASH_MD5_BITS)
+    )
+    return voted.select(
+        "doc_id", F.expr(f"CAST(({fingerprint}) AS BIGINT)").alias("simhash")
+    )
 
 
 @query("dedup_simhash", oracle=None)  # engine-specific hashing → rows-only

@@ -398,13 +398,26 @@ def q1_pricing_summary(spark, sf_dir):
     """,
 )
 def q3_top_revenue(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k."""
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
+
+    Join strategy is picked deliberately (guide §3.1): broadcast the
+    side the selective c_mktsegment filter made small (BUILDING
+    customers ⋈ orders — keys only), probe the LINEITEM fact table
+    unshuffled. Left to its size estimates the planner built the hash
+    relation from lineitem itself (BuildRight over the fact table —
+    measured 1.27 → 0.93 s at sf0.1, and an anti-scale shape: the
+    broadcast side grows with the fact table instead of the filtered
+    dimension)."""
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
+    co = F.broadcast(
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey).select(
+            "o_orderkey", "o_orderdate"
+        )
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
         # DECIMAL money math: the double sum hit a .xx5 rounding tie
         # at sf0.1 (summation order differs across engines); the

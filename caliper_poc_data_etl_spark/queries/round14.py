@@ -787,11 +787,17 @@ def embed_jl_projection_parity(spark, sf_dir):
     )
 
     def proj(j):
-        signs = F.array(*[F.lit(v).cast("long") for v in JL_SIGNS[j]])
-        return F.aggregate(
-            F.zip_with(F.col("xm"), signs, lambda p, s: p * s),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        # ONE parsed expression per projection row instead of JL_D
+        # F.lit round-trips + two lambda Columns (the r12 similarity.py
+        # recipe; ~1100 py4j calls → 16). Identical tree after parsing
+        # (Multiply → Add fold over exact BIGINTs), so the projected
+        # integers are bit-identical.
+        signs = (
+            "array(" + ", ".join(str(v) + "L" for v in JL_SIGNS[j]) + ")"
+        )
+        return F.expr(
+            f"aggregate(zip_with(xm, {signs}, (p, s) -> p * s), "
+            "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
 
     pm = q.select(
