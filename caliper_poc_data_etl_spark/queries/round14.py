@@ -782,7 +782,12 @@ def embed_jl_projection_parity(spark, sf_dir):
     # 23 s -> ~1 s at sf0.1). Explicit numPartitions so AQE cannot
     # coalesce the tiny shuffle back to one task.
     q = (
-        e.repartition(e.sparkSession.sparkContext.defaultParallelism)
+        # Keyed on vec_id: a keyless repartition(n) pays the
+        # sortBeforeRepartition local sort of every (vec_id, embedding)
+        # row for nothing (guide §2.5); unique vec_ids hash evenly.
+        e.repartition(
+            e.sparkSession.sparkContext.defaultParallelism, F.col("vec_id")
+        )
         .select("vec_id", xm.alias("xm"))
     )
 
