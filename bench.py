@@ -495,6 +495,52 @@ def main() -> int:
             f"input — the gap is parquet row-group granularity, not the plan)",
             file=sys.stderr,
         )
+    # VERDICT r12 #5 (scaling_relaid): the sf0.1 fixtures are ONE parquet
+    # row group per table, so 12 of 28 headline queries scan on a single
+    # task no matter the plan (Spark's split unit is the row group; the
+    # 8-vs-32-core ratios sit at ~1 for exactly those queries). This
+    # block stages a multi-row-group relaid COPY of the big tables
+    # (lineitem / orders / documents re-written as 16 files; small
+    # tables symlinked), then times the SAME declared builders against
+    # the relaid dir — OUTSIDE the keyed headline sum, like the q1
+    # experiment above — so the driver's two core-count runs can ratio
+    # them and show the plans parallelize when the input does. Staging
+    # happens fresh inside every bench run (input layout, not results).
+    relaid_sf = tempfile.mkdtemp(prefix="bench_relaid_sf_") + "/sf"
+    os.makedirs(relaid_sf, exist_ok=True)
+    from caliper_poc_data_etl_spark.sources.readers import TABLE_NAMES
+
+    for tbl in TABLE_NAMES:
+        src = f"{SF_DIR}/{tbl}.parquet"
+        dst = f"{relaid_sf}/{tbl}.parquet"
+        if tbl in ("lineitem", "orders", "documents"):
+            spark.read.parquet(src).repartition(16).write.mode(
+                "overwrite"
+            ).parquet(dst)
+        else:
+            os.symlink(os.path.abspath(src), dst)
+    relaid_queries = [
+        "q1_pricing_summary",
+        "q3_top_revenue",
+        "dedup_exact_normalized",
+        "text_winnowing_fingerprint",
+    ]
+    scaling_relaid: dict[str, float] = {}
+    for name in relaid_queries:
+        if name not in qs:
+            continue
+        walls_r: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            qs[name](spark, relaid_sf).count()
+            walls_r.append(round(time.perf_counter() - t0, 3))
+        scaling_relaid[name] = round(statistics.median(walls_r), 3)
+        print(
+            f"# relaid {name}: trials {walls_r} -> median "
+            f"{scaling_relaid[name]:.2f}s (single-row-group headline: "
+            f"{timings.get(name, float('nan')):.2f}s)",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
     # Detail line FIRST (trial spreads + host calibration anchors):
     # the driver tail-captures stdout and r4's single fat line got
@@ -550,6 +596,7 @@ def main() -> int:
                     CALIPER_ROWS_BIG / med_bulk, 1
                 ),
                 "q1_on_relaid_input_sec": q1_relaid,
+                "scaling_relaid": scaling_relaid,
                 "trials": trials_h,
             }
         )

@@ -548,29 +548,26 @@ def _hll_register_summary_cols():
     """(zs, hit, checksum) Columns over 64 register columns m_0..m_63
     (absent bucket = NULL = register 0), sharing the batch op's
     literals. Estimation happens downstream via
-    :func:`_hll_est_from_zs` (integral `div` only)."""
-    from functools import reduce
-    from operator import add
-
-    zs = reduce(
-        add,
-        [
-            F.expr(
-                f"shiftleft(1L, cast({HLL_W_BITS + 1} "
-                f"- coalesce(m_{j}, 0) as int))"
-            )
+    :func:`_hll_est_from_zs` (integral `div` only). Each summary is
+    ONE parsed expression instead of a 64-term Column reduce (the r12
+    similarity.py recipe — same operators after parsing, so the exact
+    integers are unchanged; the win is builder py4j round-trips)."""
+    zs = F.expr(
+        " + ".join(
+            f"shiftleft(1L, cast({HLL_W_BITS + 1} - coalesce(m_{j}, 0) as int))"
             for j in range(HLL_M)
-        ],
+        )
     )
-    hit = reduce(
-        add, [F.col(f"m_{j}").isNotNull().cast("long") for j in range(HLL_M)]
+    hit = F.expr(
+        " + ".join(
+            f"CAST((m_{j} IS NOT NULL) AS BIGINT)" for j in range(HLL_M)
+        )
     )
-    checksum = reduce(
-        add,
-        [
-            F.coalesce(F.col(f"m_{j}"), F.lit(0)).cast("long") * (j + 1)
+    checksum = F.expr(
+        " + ".join(
+            f"CAST(coalesce(m_{j}, 0) AS BIGINT) * {j + 1}"
             for j in range(HLL_M)
-        ],
+        )
     )
     return zs, hit, checksum
 
@@ -659,7 +656,8 @@ def stream_hll_distinct_replay(spark, sf_dir):
     )
     regs = enriched.groupBy(F.window("ts", "1 day").alias("win")).agg(
         *[
-            F.max(F.when(F.col("bucket") == j, F.col("rho"))).alias(f"m_{j}")
+            # parsed (one py4j call per register instead of ~6)
+            F.expr(f"max(CASE WHEN bucket = {j} THEN rho END)").alias(f"m_{j}")
             for j in range(HLL_M)
         ]
     )

@@ -433,9 +433,11 @@ def stream_quantile_hist_replay(spark, sf_dir):
         .agg(
             F.count("*").cast("long").alias("n"),
             *[
-                F.sum(F.when(F.col("bucket") == b, 1).otherwise(0))
-                .cast("long")
-                .alias(f"b{b}")
+                # parsed (one py4j call per bucket instead of ~6)
+                F.expr(
+                    f"CAST(sum(CASE WHEN bucket = {b} THEN 1 ELSE 0 END) "
+                    "AS BIGINT)"
+                ).alias(f"b{b}")
                 for b in range(QH_BUCKETS)
             ],
         )

@@ -255,9 +255,21 @@ def _kmeans_oracle(tail: str | None = None) -> str:
 def _kmeans_final_assignment(spark, sf_dir):
     """Shared Lloyd machinery for the kmeans queries: the final
     (vec_id, k, d2) assignment after KM_ITERS exact integer rounds.
-    See embed_kmeans_assign for semantics and scale posture."""
+    See embed_kmeans_assign for semantics and scale posture.
+
+    Lazy checkpoints throughout (r12's phonetic-CC lesson applied in
+    r13): lineage still truncates, but the per-round job barrier goes
+    away — the 4-round DAG runs as one job with each checkpointed
+    round cached at first materialization. Interleaved A/B at sf0.1:
+    median 3.03 → 2.79 s at 32 cores, a wash at 8. Value-safe: every
+    round is exact integer algebra (order-independent), so even a
+    block-manager cache race duplicating a partition's compute cannot
+    diverge. truncate_lineage honors the reliable-checkpoint posture
+    switch (graph.py docstring)."""
+    from caliper_poc_data_etl_spark.graph import truncate_lineage
+
     e = t(spark, sf_dir, "embeddings")
-    xe = (
+    xe = truncate_lineage(
         e.select(
             "vec_id",
             F.posexplode(
@@ -266,18 +278,8 @@ def _kmeans_final_assignment(spark, sf_dir):
                     lambda x: F.round(x.cast("double") * 1000).cast("long"),
                 )
             ).alias("j0", "x"),
-        )
-        .select("vec_id", (F.col("j0") + 1).alias("j"), "x")
-        # Lazy checkpoints throughout the Lloyd machinery (r12's
-        # phonetic-CC lesson applied here in r13): lineage still
-        # truncates, but the per-round job barrier goes away — the
-        # whole 4-round DAG runs as one job with each checkpointed
-        # round cached at first materialization. Interleaved A/B at
-        # sf0.1: median 3.03 → 2.79 s at 32 cores, a wash at 8.
-        # Value-safe: every round is exact integer algebra
-        # (order-independent), so even a block-manager cache race
-        # duplicating a partition's compute cannot diverge.
-        .localCheckpoint(eager=False)
+        ).select("vec_id", (F.col("j0") + 1).alias("j"), "x"),
+        eager=False,
     )
     seeds = (
         e.select("vec_id")
@@ -291,10 +293,9 @@ def _kmeans_final_assignment(spark, sf_dir):
             F.row_number().over(W.orderBy("vec_id")) - 1,
         )
     )
-    c = (
-        seeds.join(xe, "vec_id")
-        .select("k", "j", F.col("x").alias("c"))
-        .localCheckpoint(eager=False)
+    c = truncate_lineage(
+        seeds.join(xe, "vec_id").select("k", "j", F.col("x").alias("c")),
+        eager=False,
     )
 
     def assign(cent):
@@ -321,9 +322,8 @@ def _kmeans_final_assignment(spark, sf_dir):
             .groupBy("k", "j")
             .agg(F.sum("x").alias("s"), F.count("*").alias("cnt"))
         )
-        c = (
-            c.join(m, ["k", "j"], "left")
-            .select(
+        c = truncate_lineage(
+            c.join(m, ["k", "j"], "left").select(
                 "k",
                 "j",
                 F.coalesce(
@@ -333,8 +333,8 @@ def _kmeans_final_assignment(spark, sf_dir):
                     ).cast("long"),
                     F.col("c"),
                 ).alias("c"),
-            )
-            .localCheckpoint(eager=False)
+            ),
+            eager=False,
         )
     return assign(c)
 

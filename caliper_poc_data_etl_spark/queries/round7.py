@@ -1243,9 +1243,13 @@ def er_phonetic_cluster_cc(spark, sf_dir):
         .filter(F.levenshtein("w1", "w2") <= PHON_LEV_MAX)
         .select("w1", "w2")
     )
-    edges = matched.unionByName(
-        matched.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"))
-    ).localCheckpoint(eager=True)
+    from caliper_poc_data_etl_spark.graph import truncate_lineage
+
+    edges = truncate_lineage(
+        matched.unionByName(
+            matched.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"))
+        )
+    )
     labels = vocab.select("w", F.col("w").alias("lbl"))
     for _ in range(PHON_ROUNDS):
         nbr = (
@@ -1261,12 +1265,16 @@ def er_phonetic_cluster_cc(spark, sf_dir):
                     F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
-            # Lazy checkpoint (r12): still truncates lineage and dedupes
-            # the two per-round references so each round executes once,
-            # but without an eager job barrier per round — measured
-            # 2.06 → 1.86 s median at sf0.1, value-identical.
-            .localCheckpoint(eager=False)
         )
+        # Lazy checkpoint (r12): still truncates lineage and dedupes
+        # the two per-round references so each round executes once
+        # (pinned by tests/test_checkpoint_posture.py's accumulator
+        # counter), but without an eager job barrier per round —
+        # measured 2.06 → 1.86 s median at sf0.1, value-identical.
+        # Value-safe under any cache race: min-label rounds are
+        # order-independent. truncate_lineage honors the reliable-
+        # checkpoint posture switch (graph.py docstring).
+        labels = truncate_lineage(labels, eager=False)
     return labels.select(
         "w",
         F.col("lbl").alias("cluster_label"),

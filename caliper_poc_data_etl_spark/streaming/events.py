@@ -76,12 +76,19 @@ def read_event_stream(
     implementation, so the two paths cannot drift.
     """
     from caliper_poc_data_etl_spark.sources.readers import (
+        _SCHEMA_CACHE,
         apply_fixture_confs,
         normalize_ts,
     )
 
     apply_fixture_confs(spark)
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # Same per-path schema cache as the batch reader (metadata only) —
+    # skips the footer-inference job on every replay construction.
+    path = f"{sf_dir}/events.parquet"
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
     # The streaming file source requires a directory; select just the
     # events table out of the scale-factor dir with a glob filter.
     # ``glob`` widens the filter for tests that stage the events as
