@@ -74,18 +74,28 @@ PF_JACC_MILLI = 500  # shingle-set Jaccard >= 0.5
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM pref a JOIN pref b
         ON a.tk = b.tk AND a.doc_id < b.doc_id
-    )
-    SELECT c.doc_a, c.doc_b,
-           CAST((len(list_intersect(sa.ts, sb.ts)) * 1000)
-                // (len(sa.ts) + len(sb.ts)
-                    - len(list_intersect(sa.ts, sb.ts))) AS BIGINT)
-             AS jacc_milli
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_a
-    JOIN sh sb ON sb.doc_id = c.doc_b
-    WHERE (len(list_intersect(sa.ts, sb.ts)) * 1000)
-          // (len(sa.ts) + len(sb.ts) - len(list_intersect(sa.ts, sb.ts)))
-          >= {PF_JACC_MILLI}
+    ),
+    -- |intersection| as a COUNT over the already-materialized token
+    -- table instead of list_intersect per candidate pair: ts is
+    -- list_distinct by construction, so the per-pair match count IS
+    -- the intersection size — result-identical (re-proven row-for-row
+    -- at sf0.1 before the swap), and the per-pair array intersections
+    -- were ~95% of this oracle's sweep wall (measured 35.7 s -> 5.1 s
+    -- at sf0.1; VERDICT r12 #2).
+    inter AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+      FROM cand c
+      JOIN tok ta ON ta.doc_id = c.doc_a
+      JOIN tok tb ON tb.doc_id = c.doc_b AND tb.tk = ta.tk
+      GROUP BY 1, 2
+    ),
+    sz AS MATERIALIZED (SELECT doc_id, len(ts) AS l FROM sh)
+    SELECT i.doc_a, i.doc_b,
+           CAST((i.i * 1000) // (za.l + zb.l - i.i) AS BIGINT) AS jacc_milli
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.doc_a
+    JOIN sz zb ON zb.doc_id = i.doc_b
+    WHERE (i.i * 1000) // (za.l + zb.l - i.i) >= {PF_JACC_MILLI}
     """,
 )
 def dedup_prefix_filter_jaccard(spark, sf_dir):

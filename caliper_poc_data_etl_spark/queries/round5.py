@@ -150,7 +150,11 @@ def text_bpe_tokenize(spark, sf_dir):
     # sy pushed a second copy of the whole replace chain into the
     # predicate (measured +1.5 s of the query's 2.2 s at sf0.1); the
     # raw-text predicate is scan-pushable and the chain now evaluates
-    # once, in the projection.
+    # once, in the projection. ADVICE r12 NULL note: rlike drops
+    # NULL-text rows, which the old size(sy)-based exclusion kept
+    # (size(NULL) = -1 non-ANSI) — that is an ORACLE-PARITY fix, not
+    # just perf: the oracle's WHERE w <> '' never emits NULL-text
+    # docs either (regexp_replace(NULL) is NULL).
     base = d.filter(F.lower(F.col("text")).rlike("[a-z]")).select(
         "doc_id", syms.alias("sy")
     )

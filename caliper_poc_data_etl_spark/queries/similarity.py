@@ -37,6 +37,13 @@ def _dot_sql(x: str, y: str) -> str:
     bit-identical. Exists because rendering ONE string costs one py4j
     round-trip where the Column construction costs hundreds (r12:
     sim_ann_lsh build 1.7 s → 0.35 s, measured value-identical)."""
+    # ADVICE r12: interpolated identifiers must be plain names — a
+    # column needing backticks (dots, spaces) would parse wrong.
+    for name in (x, y):
+        if not name.startswith("array("):
+            assert __import__("re").fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", name), (
+                f"_dot_sql needs a plain identifier, got {name!r}"
+            )
     return (
         f"aggregate(zip_with({x}, {y}, (p, q) -> CAST(p * q AS DOUBLE)), "
         "0.0D, (acc, v) -> acc + v)"
@@ -114,7 +121,12 @@ def _hyperplanes() -> list[list[float]]:
 def _hp_sql(hp) -> str:
     """Render one ±1.0 hyperplane as a SQL double-array literal (the
     values are exactly representable, so the rendered literal is the
-    same double F.lit would produce)."""
+    same double F.lit would produce). ADVICE r12: the :.1f rendering
+    is only exact for ±1.0 — any other hyperplane value must fail
+    loudly here rather than silently round."""
+    assert all(v in (-1.0, 1.0) for v in hp), (
+        "non-±1.0 hyperplane would be truncated by the :.1f rendering"
+    )
     return "array(" + ", ".join(f"{v:.1f}D" for v in hp) + ")"
 
 

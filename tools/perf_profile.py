@@ -79,6 +79,14 @@ def main() -> int:
     names = [n for n in bench.HEADLINE if n in qs]
     if only:
         names = [n for n in names if any(f in n for f in only)]
+        # ADVICE r12: an explicitly requested non-headline query must
+        # profile too, not silently skip — fall back to registry keys.
+        extra = [
+            n
+            for n in sorted(qs)
+            if n not in names and any(f in n for f in only)
+        ]
+        names += extra
 
     spark = get_spark("perf_profile")
     spark.range(1).count()
@@ -133,7 +141,8 @@ def main() -> int:
             "explain_sec": round(t_plan, 3),
             "first_sec": round(t_first, 3),
             "warm_sec": warm,
-            "warm_min": min(warm),
+            # ADVICE r12: SPARK_GRAFT_PROFILE_TRIALS=0 must not crash
+            "warm_min": min(warm) if warm else None,
             "noop_sec": noop_t,
             "plan": _plan_counts(plan),
         }
