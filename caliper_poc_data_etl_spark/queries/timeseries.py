@@ -1199,45 +1199,42 @@ def ts_acf_autocorrelation(spark, sf_dir):
         ],
     )
 
-    def dsum(expr, prec, scale):
-        return F.sum(F.round(expr, scale).cast(f"decimal({prec},{scale})")).cast(
-            "double"
+    # Parsed-expression aggregates (the r12 similarity.py recipe): one
+    # py4j round-trip per column instead of ~10 per dsum Column chain.
+    # Same operators after parsing (round → CAST(DECIMAL) → sum →
+    # CAST(DOUBLE)), so the decimal-exact sums and the per-lag IEEE
+    # closing algebra are bit-identical.
+    def dsum_sql(e, prec, scale):
+        return (
+            f"CAST(sum(CAST(round({e}, {scale}) "
+            f"AS DECIMAL({prec},{scale}))) AS DOUBLE)"
         )
 
     aggs = [
         F.count("*").alias("n"),
-        dsum(F.col("v"), 18, 2).alias("sx"),
-        dsum(F.col("v") * F.col("v"), 28, 4).alias("sxx"),
+        F.expr(dsum_sql("v", 18, 2)).alias("sx"),
+        F.expr(dsum_sql("v * v", 28, 4)).alias("sxx"),
     ]
     for k in range(1, _ACF_MAX_LAG + 1):
-        vk = F.col(f"v{k}")
         aggs += [
-            dsum(F.col("v") * vk, 28, 4).alias(f"sxy{k}"),
-            F.sum(
-                F.when(vk.isNotNull(), F.round("v", 2).cast("decimal(18,2)"))
-            )
-            .cast("double")
-            .alias(f"s_head{k}"),
-            dsum(vk, 18, 2).alias(f"s_tail{k}"),
+            F.expr(dsum_sql(f"v * v{k}", 28, 4)).alias(f"sxy{k}"),
+            F.expr(
+                f"CAST(sum(CASE WHEN v{k} IS NOT NULL THEN "
+                "CAST(round(v, 2) AS DECIMAL(18,2)) END) AS DOUBLE)"
+            ).alias(f"s_head{k}"),
+            F.expr(dsum_sql(f"v{k}", 18, 2)).alias(f"s_tail{k}"),
         ]
     m = lagged.agg(*aggs).withColumn("xbar", F.col("sx") / F.col("n"))
     rows = None
     for k in range(1, _ACF_MAX_LAG + 1):
-        num = (
-            F.col(f"sxy{k}")
-            - F.col("xbar") * (F.col(f"s_head{k}") + F.col(f"s_tail{k}"))
-            + (F.col("n") - k) * F.col("xbar") * F.col("xbar")
-        )
-        den = (
-            F.col("sxx")
-            - 2 * F.col("xbar") * F.col("sx")
-            + F.col("n") * F.col("xbar") * F.col("xbar")
-        )
         r = m.select(
             F.lit(k).alias("lag"),
-            (F.floor(num / den * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias(
-                "acf"
-            ),
+            F.expr(
+                f"floor((sxy{k} - xbar * (s_head{k} + s_tail{k}) "
+                f"+ (n - {k}) * xbar * xbar) "
+                f"/ (sxx - 2 * xbar * sx + n * xbar * xbar) "
+                "* 1e4 + 0.5D) / 1e4"
+            ).alias("acf"),
         )
         rows = r if rows is None else rows.unionAll(r)
     return rows
