@@ -1,6 +1,10 @@
 """Interleaved A/B: current Lloyd machinery vs co-partitioned rewrite.
 
-OLD = queries/round5.py `_kmeans_final_assignment` as committed.
+Negative result #5 of r13 (the co-partitioned variant measured ~40%
+SLOWER; see OPTIMIZATION_r13.md). Kept as the experiment record.
+
+OLD = queries/round5.py `_kmeans_final_assignment` as committed (after
+r13's lazy-checkpoint adoption).
 NEW = same algorithm, but the exploded matrix `xe` is hash-partitioned
 by vec_id ONCE before its localCheckpoint (checkpoint preserves
 outputPartitioning), so every round's groupBy(vec_id, k), argmin
